@@ -1,0 +1,281 @@
+"""Declarative constraint DSL.
+
+Each constraint is a small object contributing up to three things to ONE
+shared plan (the reference runs 12 sequential SQL+numpy passes,
+/root/reference/dataval/dataval.py:370-472 — here every check becomes
+columns in the same DataFrame plan so the whole suite is a single scan +
+one window shuffle + one aggregation shuffle):
+
+* ``row_condition(df)`` — a boolean Column marking per-row violations;
+  the suite ORs ``flag`` into the row's ``dataval`` bitmask where true
+  (analog of the bit-OR executemany,
+  /root/reference/dataval/dataval.py:347-367).
+* ``agg_metrics()`` — aggregate expressions merged into the single wide
+  ``groupBy(part).agg(...)`` pass (analog of the per-(camera,ccd)
+  summary grid, /root/reference/dataval/dataval.py:424-471, but one
+  pass instead of 32 queries).
+* ``partition_fail_expr()`` — a boolean over the aggregated metrics row
+  deciding partition-level failure (analog of the 5%/10% error-ratio
+  gate, /root/reference/dataval/dataval.py:475-539).
+
+Sequence-aware constraints (``needs_sequence``) read enrichment columns
+``_prev_idx``, ``_prev_ts``, ``_next_idx`` that the suite computes with a
+single window pass partitioned by conversation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataval_spark.quality import QualityFlag
+
+
+class Constraint:
+    """Base class. Subclasses override what they contribute."""
+
+    name: str = "constraint"
+    flag: QualityFlag | None = None
+    needs_sequence: bool = False
+
+    def row_condition(self, df: DataFrame) -> Column | None:
+        return None
+
+    def agg_metrics(self) -> dict[str, Column]:
+        """Aggregate expressions for the wide agg pass, keyed by alias."""
+        return {}
+
+    def partition_fail(self, metrics: dict) -> bool | None:
+        """Driver-side partition gate over the collected metrics row."""
+        return None
+
+
+@dataclass
+class NotNull(Constraint):
+    """Column must be non-null (and non-empty for strings).
+
+    Analog of the reference's NULL status / missing-lightcurve checks
+    (/root/reference/dataval/dataval.py:497, cleanup.py:34).
+    """
+
+    col: str
+    flag: QualityFlag | None = None
+    empty_is_null: bool = True
+    max_rate: float | None = None  # partition fails above this null rate
+
+    def __post_init__(self):
+        self.name = f"not_null_{self.col}"
+
+    def row_condition(self, df: DataFrame) -> Column:
+        c = F.col(self.col)
+        cond = c.isNull()
+        if self.empty_is_null and dict(df.dtypes).get(self.col) == "string":
+            cond = cond | (F.length(c) == 0)
+        return cond
+
+    def agg_metrics(self) -> dict[str, Column]:
+        return {
+            f"null_rate_{self.col}": F.avg(F.col(self.col).isNull().cast("double"))
+        }
+
+    def partition_fail(self, metrics: dict) -> bool | None:
+        if self.max_rate is None:
+            return None
+        rate = metrics.get(f"null_rate_{self.col}") or 0.0
+        return rate > self.max_rate
+
+
+@dataclass
+class Unique(Constraint):
+    """Composite-key uniqueness; flags EVERY member of a duplicate group
+    (reference: ``GROUP BY ... HAVING COUNT(*) > 1``,
+    /root/reference/dataval/camera_overlap.py:31).
+
+    Detected inside the shared sequence window (a row equal in order-key
+    to its predecessor or successor) — no extra shuffle.
+    """
+
+    keys: Sequence[str] = ("conv_id", "turn_idx")
+    flag: QualityFlag | None = QualityFlag.DuplicateTurn
+    needs_sequence: bool = True
+
+    def __post_init__(self):
+        self.name = "unique_" + "_".join(self.keys)
+
+    def row_condition(self, df: DataFrame) -> Column:
+        t = F.col(self.keys[-1])
+        return (t == F.col("_prev_idx")) | (t == F.col("_next_idx"))
+
+
+@dataclass
+class SequenceIntegrity(Constraint):
+    """turn_idx within a conversation must be gap-free starting at 0.
+
+    Analog of the missing-diagnostics completeness anti-join
+    (/root/reference/dataval/dataval.py:543-547): every expected member
+    of the sequence must exist. Flags the row *after* a gap, and the
+    first row when the prefix is missing.
+    """
+
+    flag: QualityFlag | None = QualityFlag.SequenceGap
+    needs_sequence: bool = True
+    name: str = "sequence_integrity"
+
+    def row_condition(self, df: DataFrame) -> Column:
+        t = F.col("turn_idx")
+        first_missing_prefix = F.col("_prev_idx").isNull() & (t > 0)
+        gap = F.col("_prev_idx").isNotNull() & (t - F.col("_prev_idx") > 1)
+        return first_missing_prefix | gap
+
+
+@dataclass
+class MonotonicTs(Constraint):
+    """ts strictly increasing within a conversation (ties allowed only on
+    duplicate turn_idx). Analog of the cadence-vs-TIME consistency check
+    (/root/reference/dataval/release.py:398-411)."""
+
+    flag: QualityFlag | None = QualityFlag.NonMonotonicTs
+    needs_sequence: bool = True
+    name: str = "monotonic_ts"
+
+    def row_condition(self, df: DataFrame) -> Column:
+        return F.col("_prev_ts").isNotNull() & (F.col("ts") < F.col("_prev_ts"))
+
+
+@dataclass
+class Domain(Constraint):
+    """Column value must belong to a fixed domain — analog of the
+    contamination domain check (/root/reference/dataval/contam.py:126-128)."""
+
+    col: str = "role"
+    values: Sequence[str] = ()
+    flag: QualityFlag | None = None
+    allow_null: bool = False
+
+    def __post_init__(self):
+        self.name = f"domain_{self.col}"
+
+    def row_condition(self, df: DataFrame) -> Column:
+        c = F.col(self.col)
+        bad = ~c.isin(*self.values)
+        if self.allow_null:
+            return c.isNotNull() & bad
+        return c.isNull() | bad
+
+    def agg_metrics(self) -> dict[str, Column]:
+        c = F.col(self.col)
+        return {
+            f"out_of_domain_{self.col}": F.sum(
+                (~c.isin(*self.values) & c.isNotNull()).cast("long")
+            )
+        }
+
+
+@dataclass
+class CrossField(Constraint):
+    """Arbitrary cross-field consistency predicate (violation when the
+    condition is true). Analog of the filename-fields-vs-row cross checks
+    (/root/reference/dataval/release.py:206-221)."""
+
+    name: str = "cross_field"
+    condition: Callable[[DataFrame], Column] = None  # type: ignore[assignment]
+    flag: QualityFlag | None = None
+
+    def row_condition(self, df: DataFrame) -> Column:
+        return self.condition(df)
+
+
+@dataclass
+class Envelope(Constraint):
+    """Numeric expression must sit inside per-group bounds.
+
+    Analog of the magnitude-conditional bound curves: value below the
+    lower curve → Low flag, above the upper → High flag
+    (/root/reference/dataval/mag2flux.py:151-153,
+    /root/reference/dataval/pixinaperture.py:252-261). Bounds are a
+    constant lookup per group value (piecewise curves fold to constants
+    at plan time).
+    """
+
+    expr: Callable[[], Column] = None  # type: ignore[assignment]
+    group_col: str = "role"
+    bounds: dict[str, tuple[float, float]] = field(default_factory=dict)
+    low_flag: QualityFlag | None = QualityFlag.TextTooShort
+    high_flag: QualityFlag | None = QualityFlag.TextTooLong
+    name: str = "envelope"
+
+    # Envelope contributes two flags; the suite special-cases it.
+    def low_condition(self, df: DataFrame) -> Column:
+        lo = F.create_map(*[x for k, (a, b) in self.bounds.items() for x in (F.lit(k), F.lit(a))])
+        v = self.expr()
+        return (
+            F.col(self.group_col).isin(*self.bounds.keys())
+            & v.isNotNull()
+            & (v < lo[F.col(self.group_col)])
+        )
+
+    def high_condition(self, df: DataFrame) -> Column:
+        hi = F.create_map(*[x for k, (a, b) in self.bounds.items() for x in (F.lit(k), F.lit(b))])
+        v = self.expr()
+        return (
+            F.col(self.group_col).isin(*self.bounds.keys())
+            & v.isNotNull()
+            & (v > hi[F.col(self.group_col)])
+        )
+
+    def agg_metrics(self) -> dict[str, Column]:
+        v = self.expr()
+        return {
+            f"min_{self.name}": F.min(v),
+            f"max_{self.name}": F.max(v),
+            f"avg_{self.name}": F.avg(v),
+            f"quantiles_{self.name}": F.percentile_approx(
+                v, [0.25, 0.5, 0.75, 0.95], 10_000
+            ),
+        }
+
+
+@dataclass
+class StatusGate(Constraint):
+    """Conversation-level status must be in the OK set; otherwise the row
+    is force-rejected regardless of flag bits — the reference's final
+    UPDATE override (/root/reference/dataval/dataval.py:404-413)."""
+
+    col: str = "status"
+    ok_values: Sequence[int] = (1, 3)  # OK, WARNING
+    flag: QualityFlag | None = QualityFlag.BadStatus
+    name: str = "status_gate"
+
+    def row_condition(self, df: DataFrame) -> Column | None:
+        if self.col not in df.columns:  # graceful degradation, see S4/§1.3
+            return None
+        return ~F.col(self.col).isin(*self.ok_values)
+
+
+@dataclass
+class Stats(Constraint):
+    """Pure metrics contributor (no flag): per-partition column stats —
+    null rate, distinctness sketch, min/max. The 'single wide aggregation
+    pass' members of the north rule."""
+
+    col: str = "text"
+    quantiles: Sequence[float] = ()
+    name: str = "stats"
+
+    def __post_init__(self):
+        self.name = f"stats_{self.col}"
+
+    def agg_metrics(self) -> dict[str, Column]:
+        c = F.col(self.col)
+        out = {
+            f"null_rate_{self.col}": F.avg(c.isNull().cast("double")),
+            f"approx_distinct_{self.col}": F.approx_count_distinct(c),
+        }
+        if self.quantiles:
+            out[f"quantiles_{self.col}"] = F.percentile_approx(
+                c, list(self.quantiles), 10_000
+            )
+        return out

@@ -1,0 +1,100 @@
+"""Distribution-drift constraint: per-partition KS + PSI from sketch
+histograms.
+
+Analog of the reference's per-group KDE distribution comparison
+(/root/reference/dataval/mag_dist.py:41-47), made scale-safe: instead of
+collecting raw values, each partition contributes fixed-width histogram
+bin counts to the single wide aggregation pass (O(P × nbins) numbers reach
+the driver — constant in data size, so this works unchanged at 10^12
+rows). KS is computed on the binned ECDFs, PSI on the normalized bin
+masses, each partition vs the pooled rest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dataval_spark.constraints.core import Constraint
+from dataval_spark.quality import QualityFlag
+
+
+@dataclass
+class Drift(Constraint):
+    """Histogram-sketch drift check on a numeric expression.
+
+    ``bins`` are fixed edges (len = nbins+1); values outside fall into the
+    first/last bin. Fails a partition when PSI > psi_threshold or
+    KS > ks_threshold vs the pooled distribution of all *other*
+    partitions.
+    """
+
+    expr: Callable[[], Column] = None  # type: ignore[assignment]
+    bins: list[float] = field(default_factory=lambda: [float(x) for x in range(0, 2050, 128)])
+    psi_threshold: float = 0.25
+    ks_threshold: float = 0.30
+    flag: QualityFlag | None = QualityFlag.DriftedPartition
+    name: str = "drift"
+
+    @property
+    def nbins(self) -> int:
+        return len(self.bins) - 1
+
+    def _bin_index(self) -> Column:
+        v = self.expr()
+        # clamp into [0, nbins-1]; NULLs excluded via when
+        idx = F.lit(0)
+        for i, edge in enumerate(self.bins[1:-1], start=1):
+            idx = F.when(v >= edge, F.lit(i)).otherwise(idx)
+        return F.when(v.isNull(), F.lit(None)).otherwise(idx)
+
+    def agg_metrics(self) -> dict[str, Column]:
+        idx = self._bin_index()
+        return {
+            f"hist_{self.name}_{i}": F.sum(F.when(idx == i, 1).otherwise(0))
+            for i in range(self.nbins)
+        }
+
+    # -- driver-side evaluation over the collected (tiny) metrics table --
+    def evaluate(self, partition_rows: list[dict]) -> dict[int | str, dict]:
+        """partition_rows: list of dicts with 'part' and hist_* keys.
+
+        Returns {part: {'psi': x, 'ks': y, 'drifted': bool}}.
+        """
+        cols = [f"hist_{self.name}_{i}" for i in range(self.nbins)]
+        counts = {r["part"]: [float(r[c] or 0) for c in cols] for r in partition_rows}
+        total = [sum(v[i] for v in counts.values()) for i in range(self.nbins)]
+        out: dict = {}
+        for part, h in counts.items():
+            rest = [total[i] - h[i] for i in range(self.nbins)]
+            # sample-size-aware noise floors: under the null hypothesis
+            # E[PSI] ≈ (B-1)·(1/n_h + 1/n_r) (chi-square approximation) and
+            # the KS statistic scales ~ c·sqrt(1/n_h + 1/n_r); small
+            # partitions would otherwise false-positive on pure noise.
+            nh, nr = max(sum(h), 1.0), max(sum(rest), 1.0)
+            inv = 1.0 / nh + 1.0 / nr
+            psi_t = self.psi_threshold + 5.0 * (self.nbins - 1) * inv
+            ks_t = max(self.ks_threshold, 3.0 * inv**0.5)
+            out[part] = _compare_hists(h, rest, psi_t, ks_t)
+        return out
+
+
+def _compare_hists(h: list[float], ref: list[float], psi_t: float, ks_t: float) -> dict:
+    eps = 1e-6
+    nh, nr = sum(h) or 1.0, sum(ref) or 1.0
+    p = [max(x / nh, eps) for x in h]
+    q = [max(x / nr, eps) for x in ref]
+    import math
+
+    psi = sum((pi - qi) * math.log(pi / qi) for pi, qi in zip(p, q))
+    # KS on binned ECDFs
+    cp = cq = 0.0
+    ks = 0.0
+    for pi, qi in zip(p, q):
+        cp += pi
+        cq += qi
+        ks = max(ks, abs(cp - cq))
+    return {"psi": psi, "ks": ks, "drifted": bool(psi > psi_t or ks > ks_t)}

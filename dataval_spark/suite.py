@@ -1,0 +1,284 @@
+"""Suite — composes all constraints into one Spark plan and runs it.
+
+The reference executes its validation as 12 sequential checks, each its
+own SQL query + numpy kernel + write-back
+(/root/reference/dataval/dataval.py:370-472). Here the whole suite is
+three fused stages over ONE scan:
+
+  1. sequence enrichment — a single window pass partitioned by
+     conversation (one shuffle on conv_id) computing prev/next order keys
+     and prev ts; serves uniqueness, gap, and monotonicity constraints at
+     once.
+  2. row-flag projection — one wide select ORing every constraint's bit
+     into the int ``dataval`` bitmask + the approved combination
+     (bitmask algebra parity with
+     /root/reference/dataval/dataval.py:399-414).
+  3. partition roll-up — one wide ``groupBy(part).agg(...)`` computing
+     row counts, approved counts, per-flag counts, every constraint's
+     metrics, and drift histogram sketches (one shuffle on part, with
+     map-side partial aggregation).
+
+Scale notes (100 TB / 10^12 turns):
+  * the window shuffle hash-partitions by conv_id; with bounded
+    conversation lengths (int32 turn_idx) the largest conversation is
+    ~10^5 rows — orders of magnitude below a shuffle partition, so no
+    window skew. AQE skew-join/coalesce is enabled for everything else.
+  * the partition roll-up aggregates are all algebraic/sketch-based
+    (sum/avg/approx_count_distinct/percentile_approx/hist counts) →
+    map-side combine shrinks the shuffle to O(parts × metrics).
+  * drift evaluation sees only the aggregated histograms (O(P × nbins)),
+    never raw rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataval_spark.constraints.core import (
+    Constraint,
+    CrossField,
+    Domain,
+    Envelope,
+    MonotonicTs,
+    NotNull,
+    SequenceIntegrity,
+    StatusGate,
+    Stats,
+    Unique,
+)
+from dataval_spark.constraints.drift import Drift
+from dataval_spark.quality import DEFAULT_BITMASK, QualityFlag, decompose
+
+KEY_COLS = ("conv_id", "turn_idx")
+
+
+@dataclass
+class ValidationResult:
+    row_verdicts: DataFrame       # conv_id, turn_idx, part, dataval, approved
+    partition_verdicts: DataFrame # part, n_rows, n_approved, ..., passed
+    violations: DataFrame         # constraint, part, conv_id, turn_idx, detail
+    partition_metrics: list[dict] # collected per-partition metric rows (small)
+
+    def summary(self) -> dict:
+        rows = self.partition_metrics
+        return {
+            "n_rows": sum(r["n_rows"] for r in rows),
+            "n_approved": sum(r["n_approved"] for r in rows),
+            "n_partitions": len(rows),
+            "n_partitions_passed": sum(1 for r in rows if r["passed"]),
+        }
+
+
+class Suite:
+    """A validation suite over a transcript-shaped DataFrame."""
+
+    def __init__(
+        self,
+        constraints: list[Constraint],
+        default_mask: int = DEFAULT_BITMASK,
+        part_col: str = "part",
+        reject_ratio_fail: float = 0.10,
+        conv_col: str = "conv_id",
+        order_col: str = "turn_idx",
+        ts_col: str = "ts",
+    ):
+        self.constraints = constraints
+        self.default_mask = default_mask
+        self.part_col = part_col
+        self.reject_ratio_fail = reject_ratio_fail
+        self.conv_col = conv_col
+        self.order_col = order_col
+        self.ts_col = ts_col
+
+    # ------------------------------------------------------------------
+    def enrich(self, df: DataFrame) -> DataFrame:
+        """Single window pass adding _prev_idx/_next_idx/_prev_ts."""
+        if not any(c.needs_sequence for c in self.constraints):
+            return df
+        w = Window.partitionBy(self.conv_col).orderBy(
+            F.col(self.order_col).asc_nulls_first(), F.col(self.ts_col).asc_nulls_first()
+        )
+        return (
+            df.withColumn("_prev_idx", F.lag(self.order_col).over(w))
+            .withColumn("_next_idx", F.lead(self.order_col).over(w))
+            .withColumn("_prev_ts", F.lag(self.ts_col).over(w))
+        )
+
+    def flag_rows(self, df: DataFrame) -> DataFrame:
+        """One wide projection: dataval bitmask + approved boolean."""
+        bits: list[Column] = []
+        forced_reject: Column | None = None
+        for c in self.constraints:
+            if isinstance(c, Envelope):
+                if c.low_flag:
+                    bits.append(F.when(c.low_condition(df), F.lit(int(c.low_flag))).otherwise(0))
+                if c.high_flag:
+                    bits.append(F.when(c.high_condition(df), F.lit(int(c.high_flag))).otherwise(0))
+                continue
+            cond = c.row_condition(df)
+            if cond is None or c.flag is None:
+                continue
+            bits.append(F.when(cond, F.lit(int(c.flag))).otherwise(0))
+            if isinstance(c, StatusGate):
+                # forced rejection overrides bitmask approval — the final
+                # UPDATE in the reference's chain wins
+                # (/root/reference/dataval/dataval.py:404-413)
+                forced_reject = cond
+
+        dataval = reduce(lambda a, b: a.bitwiseOR(b), bits, F.lit(0)).cast("int")
+        out = df.withColumn("dataval", dataval)
+        approved = out["dataval"].bitwiseAND(F.lit(self.default_mask)) == 0
+        if forced_reject is not None:
+            approved = approved & ~forced_reject
+        return out.withColumn("approved", approved)
+
+    def partition_aggregate(self, flagged: DataFrame) -> DataFrame:
+        """One wide groupBy(part) computing everything partition-level."""
+        aggs: list[Column] = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("approved").cast("long")).alias("n_approved"),
+            F.sum((~F.col("approved")).cast("long")).alias("n_rejected"),
+        ]
+        # per-flag rejection-reason counts — analog of the bit-loop summary
+        # (/root/reference/dataval/dataval.py:449-471)
+        for fl in QualityFlag:
+            aggs.append(
+                F.sum((F.col("dataval").bitwiseAND(F.lit(int(fl))) != 0).cast("long")).alias(
+                    f"n_flag_{fl.name}"
+                )
+            )
+        seen: set[str] = set()
+        for c in self.constraints:
+            for alias, expr in c.agg_metrics().items():
+                if alias in seen:
+                    continue
+                seen.add(alias)
+                aggs.append(expr.alias(alias))
+        return flagged.groupBy(self.part_col).agg(*aggs)
+
+    # ------------------------------------------------------------------
+    def run(self, df: DataFrame) -> ValidationResult:
+        enriched = self.enrich(df)
+        flagged = self.flag_rows(enriched)
+
+        part_agg = self.partition_aggregate(flagged)
+        metric_rows = [r.asDict() for r in part_agg.collect()]
+
+        # drift: driver-side over the collected sketch histograms
+        drifted_parts: set = set()
+        for c in self.constraints:
+            if isinstance(c, Drift):
+                res = c.evaluate(metric_rows)
+                for part, r in res.items():
+                    for m in metric_rows:
+                        if m["part"] == part:
+                            m[f"{c.name}_psi"] = r["psi"]
+                            m[f"{c.name}_ks"] = r["ks"]
+                    if r["drifted"]:
+                        drifted_parts.add(part)
+
+        # partition verdict: error-ratio gate + constraint-specific gates +
+        # drift (reference: per-(camera,ccd) 5%/10% gate,
+        # /root/reference/dataval/dataval.py:475-539)
+        for m in metric_rows:
+            ratio = (m["n_rejected"] / m["n_rows"]) if m["n_rows"] else 0.0
+            m["reject_ratio"] = ratio
+            m["drifted"] = m["part"] in drifted_parts
+            m["dataval_part"] = int(QualityFlag.DriftedPartition) if m["drifted"] else 0
+            gate_fails = [
+                bool(c.partition_fail(m))
+                for c in self.constraints
+                if c.partition_fail(m) is not None
+            ]
+            m["passed"] = (
+                ratio <= self.reject_ratio_fail
+                and not m["drifted"]
+                and not any(gate_fails)
+            )
+
+        spark = df.sparkSession
+        if metric_rows:
+            pv = spark.createDataFrame(
+                [
+                    {k: (float(v) if isinstance(v, float) else v) for k, v in m.items() if not isinstance(v, list)}
+                    for m in metric_rows
+                ]
+            )
+        else:
+            pv = spark.createDataFrame(
+                [],
+                schema="part int, n_rows long, n_approved long, n_rejected long, "
+                "reject_ratio double, drifted boolean, dataval_part int, passed boolean",
+            )
+
+        row_verdicts = flagged.select(
+            self.conv_col, self.order_col, self.part_col, "dataval", "approved"
+        )
+        violations = (
+            flagged.where(F.col("dataval") != 0)
+            .select(
+                F.explode(decompose(F.col("dataval"))).alias("constraint"),
+                F.col(self.part_col).alias("part"),
+                self.conv_col,
+                self.order_col,
+                F.col("dataval"),
+            )
+            .orderBy("constraint", self.conv_col, self.order_col)
+        )
+        return ValidationResult(row_verdicts, pv, violations, metric_rows)
+
+
+# ---------------------------------------------------------------------------
+# The standard transcript suite — the engine's flagship configuration
+# (SURVEY.md §7.0 mapping table).
+ROLE_DOMAIN = ["system", "user", "assistant", "tool"]
+TOOL_DOMAIN = ["search", "exec", "browse"]
+# char-length envelope per role, derived from fixtures.ROLE_WORDS bounds
+CHAR_BOUNDS = {
+    "system": (8 * 3 - 1, 24 * 9),
+    "user": (4 * 3 - 1, 32 * 9),
+    "assistant": (16 * 3 - 1, 96 * 9),
+    "tool": (6 * 3 - 1, 40 * 9),
+}
+
+
+def transcript_suite(
+    char_bounds: dict[str, tuple[float, float]] | None = None,
+    drift_bins: list[float] | None = None,
+) -> Suite:
+    bounds = char_bounds or CHAR_BOUNDS
+    bins = drift_bins or [float(x) for x in range(0, 901, 60)]
+    text_len = lambda: F.length(F.col("text")).cast("double")  # noqa: E731
+    constraints: list[Constraint] = [
+        NotNull("text", flag=QualityFlag.InvalidText, max_rate=0.05),
+        NotNull("ts", flag=QualityFlag.InvalidTimestamp, empty_is_null=False),
+        CrossField(
+            name="conv_id_format",
+            condition=lambda df: F.col("conv_id").isNull()
+            | ~F.col("conv_id").rlike("^conv-[0-9]{12}$"),
+            flag=QualityFlag.InvalidConvId,
+        ),
+        Unique(keys=("conv_id", "turn_idx")),
+        SequenceIntegrity(),
+        MonotonicTs(),
+        Domain(col="role", values=ROLE_DOMAIN, flag=QualityFlag.InvalidRole),
+        CrossField(
+            name="tool_consistency",
+            condition=lambda df: (
+                ((F.col("role") == "tool") & F.col("tool").isNull())
+                | ((F.col("role") != "tool") & F.col("role").isNotNull() & F.col("tool").isNotNull())
+                | (F.col("tool").isNotNull() & ~F.col("tool").isin(*TOOL_DOMAIN))
+            ),
+            flag=QualityFlag.InvalidTool,
+        ),
+        Envelope(expr=text_len, group_col="role", bounds=bounds, name="text_len"),
+        StatusGate(),
+        Stats(col="text"),
+        Stats(col="role"),
+        Drift(expr=text_len, bins=bins, name="drift_text_len"),
+    ]
+    return Suite(constraints)

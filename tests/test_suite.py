@@ -1,0 +1,127 @@
+"""End-to-end suite tests against the independent pandas oracle.
+
+Mirrors the reference's end-to-end invariants
+(/root/reference/tests/test_dataval.py:15-50): verdict row count equals
+input row count, clean targets carry no flags, defective rows carry
+exactly the expected bits, and the clean partition passes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from dataval_spark import DEFAULT_BITMASK, QualityFlag
+from dataval_spark.fixtures import CLEAN_PART, DRIFT_PART, transcripts
+from dataval_spark.oracle import oracle_partition_summary, oracle_row_verdicts
+from dataval_spark.suite import transcript_suite
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    df = transcripts(spark, n_convs=400, seed=2187, n_parts=8, with_labels=True)
+    return df.cache()
+
+
+@pytest.fixture(scope="module")
+def result(data):
+    return transcript_suite().run(data.drop("defects"))
+
+
+def test_row_count_conserved(data, result):
+    # verdict rows == input rows (/root/reference/tests/test_dataval.py:35-43)
+    assert result.row_verdicts.count() == data.count()
+
+
+def test_row_verdict_parity_with_oracle(data, result):
+    pdf = data.drop("defects").toPandas()
+    expected = oracle_row_verdicts(pdf)
+    got = result.row_verdicts.toPandas()
+
+    key = ["conv_id", "turn_idx", "dataval", "approved"]
+    exp_sorted = expected[key].sort_values(key).reset_index(drop=True)
+    got_sorted = got[key].astype({"dataval": "int64"}).sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exp_sorted, got_sorted, check_dtype=False)
+
+
+def test_clean_partition_passes(result):
+    clean = [m for m in result.partition_metrics if m["part"] == CLEAN_PART]
+    assert len(clean) == 1
+    assert clean[0]["passed"]
+    assert clean[0]["n_rejected"] == 0
+    assert not clean[0]["drifted"]
+
+
+def test_drifted_partition_detected(result):
+    drift = [m for m in result.partition_metrics if m["part"] == DRIFT_PART]
+    assert len(drift) == 1
+    assert drift[0]["drifted"]
+    assert not drift[0]["passed"]
+    assert drift[0]["dataval_part"] == int(QualityFlag.DriftedPartition)
+
+
+def test_every_defect_class_fires(data, result):
+    """Sabotage-style check: each injected defect label produces its flag
+    (/root/reference/tests/test_run_package_release.py:207-245)."""
+    flag_by_label = {
+        "duplicate_turn": QualityFlag.DuplicateTurn,
+        "ts_out_of_order": QualityFlag.NonMonotonicTs,
+        "null_text": QualityFlag.InvalidText,
+        "null_role": QualityFlag.InvalidRole,
+        "bad_role": QualityFlag.InvalidRole,
+        "bad_tool": QualityFlag.InvalidTool,
+        "tool_mismatch": QualityFlag.InvalidTool,
+        "too_long": QualityFlag.TextTooLong,
+        "too_short": QualityFlag.TextTooShort,
+        "bad_status_conv": QualityFlag.BadStatus,
+    }
+    import numpy as np
+
+    labeled = data.toPandas()
+    verdicts = result.row_verdicts.toPandas()
+    # OR together the bits of all rows sharing a key (duplicate copies)
+    fired = (
+        verdicts.assign(dataval=verdicts["dataval"].astype(int))
+        .groupby(["conv_id", "turn_idx"])["dataval"]
+        .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+    )
+    for label, flag in flag_by_label.items():
+        rows = labeled[labeled["defects"].map(lambda d, l=label: l in list(d) if d is not None else False)]
+        assert len(rows) > 0, f"fixture produced no rows for defect {label}"
+        keys = list(rows[["conv_id", "turn_idx"]].itertuples(index=False, name=None))
+        hit = sum(1 for k in keys if int(fired.get(k, 0)) & int(flag))
+        assert hit == len(keys), f"{label}: {hit}/{len(keys)} rows flagged with {flag.name}"
+
+
+def test_sequence_gap_fires(data, result):
+    """Gap rows are dropped by the generator; their successors must be
+    flagged. Count gaps independently in pandas."""
+    pdf = data.select("conv_id", "turn_idx").toPandas()
+    pdf = pdf.sort_values(["conv_id", "turn_idx"])
+    prev = pdf.groupby("conv_id")["turn_idx"].shift(1)
+    gaps = pdf[(prev.notna() & (pdf["turn_idx"] - prev > 1)) | (prev.isna() & (pdf["turn_idx"] > 0))]
+    assert len(gaps) > 0
+    verdicts = result.row_verdicts.toPandas()
+    flagged = verdicts[verdicts["dataval"].astype(int) & int(QualityFlag.SequenceGap) != 0]
+    assert len(flagged) >= len(gaps.drop_duplicates(["conv_id", "turn_idx"]))
+
+
+def test_partition_summary_matches_oracle(data, result):
+    pdf = data.drop("defects").toPandas()
+    expected = oracle_partition_summary(oracle_row_verdicts(pdf))
+    got = (
+        pd.DataFrame(result.partition_metrics)[["part", "n_rows", "n_approved", "n_rejected"]]
+        .sort_values("part")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        expected.sort_values("part").reset_index(drop=True).astype("int64"),
+        got.astype("int64"),
+    )
+
+
+def test_default_bitmask_composition():
+    assert DEFAULT_BITMASK & int(QualityFlag.DuplicateTurn)
+    assert DEFAULT_BITMASK & int(QualityFlag.SequenceGap)
+    assert not DEFAULT_BITMASK & int(QualityFlag.DriftedPartition)
+    assert not DEFAULT_BITMASK & int(QualityFlag.BadStatus)  # handled by forced rejection
