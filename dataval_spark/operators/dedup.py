@@ -1,0 +1,196 @@
+"""Deduplication operators: exact, MinHash(+LSH banding), SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB corpus):
+  * exact dedup — hash-groupBy on a 128-bit fingerprint; map-side partial
+    aggregation makes the shuffle proportional to distinct docs.
+  * MinHash — the signature is computed per-row from the token array
+    (no token explode, no shuffle); candidate grouping shuffles only
+    (band_key, doc_id) pairs, i.e. O(docs × bands), never O(tokens).
+  * n-gram Jaccard — shingle explode + self-equi-join on shingle; the
+    join key is fine-grained (a shingle) so AQE handles skew; a frequency
+    cap drops stop-shingles that would otherwise quadratically blow up
+    the join (standard LSH-free pair generation guardrail).
+  * SimHash — per-row bit-majority over token hashes, fully JVM-side;
+    near-dup = Hamming distance on the 16/64-bit code (bit_count(xor)).
+  * embedding cosine — brute force is a crossJoin (only for candidate
+    re-ranking); the scale path buckets by LSH sign-planes first.
+
+All hashing is md5-based so DuckDB reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataval_spark.operators.text import normalize, tokens
+
+
+# ----------------------------------------------------------------- exact
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents — GROUP BY
+    fingerprint HAVING COUNT>1 (reference duplicate check shape,
+    /root/reference/dataval/camera_overlap.py:40)."""
+    return (
+        df.withColumn("fp", F.md5(normalize(F.col(text_col))))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id member of each exact-dup group (deterministic)."""
+    w = Window.partitionBy(F.md5(normalize(F.col(text_col)))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+# --------------------------------------------------------------- minhash
+def _min_hash(toks: Column, i: int) -> Column:
+    prefix = f"{i}:"
+    return F.array_min(F.transform(toks, lambda x: F.md5(F.concat(F.lit(prefix), x))))
+
+
+def minhash_signature(text: Column, n_hashes: int = 8) -> Column:
+    """MinHash over the distinct token set: hash_i(doc) =
+    min(md5(i || ':' || token)); the signature is the concatenation.
+    Lexicographic min over md5 hex == min over a 128-bit hash family —
+    deterministic and engine-portable."""
+    toks = F.array_distinct(tokens(normalize(text)))
+    mins = [_min_hash(toks, i) for i in range(n_hashes)]
+    return F.concat_ws("|", *mins)
+
+
+def minhash_bands(text: Column, n_hashes: int = 8, band_size: int = 2) -> list[Column]:
+    """LSH banding: signature split into bands of ``band_size`` hashes;
+    docs sharing any band key are near-dup candidates."""
+    toks = F.array_distinct(tokens(normalize(text)))
+    mins = [_min_hash(toks, i) for i in range(n_hashes)]
+    return [
+        F.concat_ws("|", F.lit(str(b)), *mins[b * band_size : (b + 1) * band_size])
+        for b in range(n_hashes // band_size)
+    ]
+
+
+def minhash_candidates(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    n_hashes: int = 8, band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH: explode band keys,
+    self-join per band, dedupe pairs. Shuffle volume = docs × bands."""
+    bands = minhash_bands(F.col(text_col), n_hashes, band_size)
+    keyed = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(*bands)).alias("band_key"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- simhash
+def simhash(text: Column, bits: int = 16) -> Column:
+    """Per-row SimHash: token t contributes +1 to bit b when bit b of
+    md5(t) is set, else -1; code bit b = majority sign. Uses the first 4
+    hex chars of md5 (16 bits) mapped to int — portable via
+    conv/('0x'||h)::int in both engines."""
+    toks = F.array_distinct(tokens(normalize(text)))
+    n = F.size(toks)
+
+    def _h(x: Column) -> Column:
+        return F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int")
+
+    def _ones(bit_mask: int) -> Column:
+        return F.size(F.filter(toks, lambda x: _h(x).bitwiseAND(F.lit(bit_mask)) != 0))
+
+    code = F.lit(0)
+    for b in range(bits):
+        ones = _ones(1 << b)
+        code = code.bitwiseOR(F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+    return code
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    bits: int = 16, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Pairs are generated by
+    self-join on the code's high byte (a crude band) then filtered by
+    bit_count(xor) — keeps the join from being a full cross product."""
+    coded = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("code"))
+    band = lambda c: F.shiftright(c, bits // 2)  # noqa: E731
+    a = coded.alias("a")
+    b = coded.alias("b")
+    ham = F.bit_count(F.col("a.code").bitwiseXOR(F.col("b.code")))
+    return (
+        a.join(b, (band(F.col("a.code")) == band(F.col("b.code"))) & (F.col("a.doc") < F.col("b.doc")))
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )
+
+
+# --------------------------------------------------------- n-gram jaccard
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = tokens(normalize(text))
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    n: int = 3, threshold: float = 0.2,
+    within: str | None = None, max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    explode -> (optional stop-shingle cap) -> self-join on shingle ->
+    count common -> jaccard = common / (|A| + |B| - common).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        *( [F.col(within).alias("grp")] if within else [] ),
+        shingles(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+    exploded = base.select("doc", *( ["grp"] if within else [] ), "n_sh", F.explode("sh").alias("shingle"))
+    if max_shingle_freq:
+        freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        exploded = exploded.join(
+            F.broadcast(freq.where(F.col("f") > max_shingle_freq)), "shingle", "left_anti"
+        )
+
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc"))
+    if within:
+        cond = cond & (F.col("a.grp") == F.col("b.grp"))
+    common = (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

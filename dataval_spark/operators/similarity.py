@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — exact baseline: broadcast the (small) query
+  set, JVM-side zip_with/aggregate dot products, window top-k. At scale
+  the corpus side stays distributed; only queries are broadcast.
+* LSH sign-plane bucketing — the scale path: each vector is assigned a
+  small bucket code from deterministic hyperplanes; candidate search
+  touches only same-bucket rows, turning the crossJoin into an equi-join.
+* embedding-cosine near-dup — same-bucket pairs above a cosine threshold.
+
+No Python UDFs: dot products are F.zip_with + F.aggregate (whole-stage
+codegen). Hyperplane weights are sin((i+1)*(j+1)) — deterministic,
+dependency-free, reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vec(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_vec(a), _vec(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_vec(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x corpus, deterministic
+    tie-break on corpus id. Output: query_id, vec_id, sim, rank."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        joined.select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def plane(j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j."""
+    return [math.sin((i + 1) * (j + 1)) for i in range(dim)]
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 4) -> Column:
+    """Sign-plane bucket code in [0, 2^n_planes): bit j = sign of the dot
+    product with plane j."""
+    code = F.lit(0)
+    for j in range(n_planes):
+        w = plane(j, dim)
+        d = F.aggregate(
+            F.zip_with(
+                _vec(vec),
+                F.array(*[F.lit(x) for x in w]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return code
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: only same-bucket candidates are scored.
+    At 10^9+ vectors this replaces the O(N·Q) crossJoin with an
+    equi-join on bucket."""
+    c = corpus.withColumn("_bkt", lsh_bucket(F.col(vec_col), dim, n_planes))
+    q = queries.withColumn("_bkt", lsh_bucket(F.col(query_vec_col), dim, n_planes))
+    joined = c.join(F.broadcast(q), "_bkt")
+    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        joined.select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame, dim: int, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed."""
+    coded = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bkt"),
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

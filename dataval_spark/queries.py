@@ -1,0 +1,977 @@
+"""Driver-contract query registry: name -> (spark_fn, duckdb_oracle_sql).
+
+One entry per operator family from SURVEY.md §2, expressed twice:
+  * a Spark DataFrame implementation (the engine path), and
+  * an equivalent ANSI-SQL string DuckDB can run on the same parquet
+    tables (the correctness oracle).
+
+Column names and float rounding are done identically on both sides so the
+driver's order-insensitive value-hash comparison matches bit-for-bit
+(floats are rounded INSIDE the query, timestamps are emitted as strings).
+
+Registered tables: region nation customer supplier part orders lineitem
+events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco
+
+
+# =====================================================================
+# Scans / aggregation (SURVEY §2.1, §2.4)
+# =====================================================================
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1-shaped wide single-pass aggregation — the reference's
+    'one wide agg' flagship shape (SURVEY §2.10 / A1-A4)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_uniqueness_duplicates",
+    """
+    SELECT l_orderkey, l_partkey, count(*) AS dup_cnt
+    FROM lineitem GROUP BY l_orderkey, l_partkey HAVING count(*) > 1
+    """,
+)
+def q02(spark, sf_dir):
+    """Uniqueness constraint: GROUP BY HAVING COUNT>1
+    (reference /root/reference/dataval/camera_overlap.py:31)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("dup_cnt"))
+        .where(F.col("dup_cnt") > 1)
+    )
+
+
+@query(
+    "q03_sequence_integrity",
+    """
+    SELECT count(*) AS n_convs,
+           sum(CASE WHEN min_idx = 1 AND max_idx = n_turns THEN 1 ELSE 0 END) AS n_gap_free,
+           sum(CASE WHEN min_idx <> 1 OR max_idx <> n_turns THEN 1 ELSE 0 END) AS n_with_gaps
+    FROM (
+      SELECT l_orderkey, count(*) AS n_turns,
+             min(l_linenumber) AS min_idx, max(l_linenumber) AS max_idx
+      FROM lineitem GROUP BY l_orderkey
+    )
+    """,
+)
+def q03(spark, sf_dir):
+    """Referential sequence integrity without a sort: per-conversation
+    (count, min, max) aggregation — gap-free iff min=1 and max=count.
+    Scale-safe form of the window check (map-side combinable)."""
+    li = t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("l_linenumber").alias("min_idx"),
+        F.max("l_linenumber").alias("max_idx"),
+    )
+    ok = (F.col("min_idx") == 1) & (F.col("max_idx") == F.col("n_turns"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum(ok.cast("long")).alias("n_gap_free"),
+        F.sum((~ok).cast("long")).alias("n_with_gaps"),
+    )
+
+
+@query(
+    "q04_null_rates",
+    """
+    SELECT round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_text,
+           round(avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_lang,
+           round(avg(CASE WHEN source IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_rate_source,
+           count(*) AS n_rows
+    FROM documents
+    """,
+)
+def q04(spark, sf_dir):
+    """Per-column null-rate stats in one pass (north rule: single wide
+    aggregation; reference NULL checks /root/reference/dataval/dataval.py:497)."""
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.round(F.avg(F.col("text").isNull().cast("double")), 6).alias("null_rate_text"),
+        F.round(F.avg(F.col("lang").isNull().cast("double")), 6).alias("null_rate_lang"),
+        F.round(F.avg(F.col("source").isNull().cast("double")), 6).alias("null_rate_source"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q05_domain_check",
+    """
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+                    OR event_type IS NULL THEN 1 ELSE 0 END) AS n_bad_type,
+           sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS n_bad_value
+    FROM events
+    """,
+)
+def q05(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    dom = ["click", "view", "purchase", "signup", "error"]
+    bad_type = (~F.col("event_type").isin(dom)) | F.col("event_type").isNull()
+    bad_value = F.col("value").isNull() | (F.col("value") < 0)
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad_type.cast("long")).alias("n_bad_type"),
+        F.sum(bad_value.cast("long")).alias("n_bad_value"),
+    )
+
+
+@query(
+    "q06_stats_by_nation",
+    """
+    SELECT n_name,
+           count(*) AS n_customers,
+           round(min(c_acctbal), 4) AS min_bal,
+           round(max(c_acctbal), 4) AS max_bal,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q06(spark, sf_dir):
+    """Broadcast dim join + grouped min/max stats (J1 + A4)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "q07_status_histogram",
+    "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+)
+def q07(spark, sf_dir):
+    """Status histogram (reference /root/reference/dataval/dataval.py:506-513)."""
+    return t(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q08_grid_summary",
+    """
+    SELECT n_name,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           count(*) AS n_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q08(spark, sf_dir):
+    """Partition-grid verdict counts in ONE pass — replaces the
+    reference's 32 per-(camera,ccd) queries
+    (/root/reference/dataval/dataval.py:424-439) with fused conditional
+    aggregation."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("n_f"),
+            F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("n_o"),
+            F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_p"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+# =====================================================================
+# Joins (SURVEY §2.3)
+# =====================================================================
+
+@query(
+    "q09_completeness_antijoin",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q09(spark, sf_dir):
+    """Anti-join completeness: entities missing their satellite rows
+    (reference /root/reference/dataval/dataval.py:543-547)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q10_semijoin_open_orders",
+    """
+    SELECT n_name, count(*) AS n_customers_with_open
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    GROUP BY n_name
+    """,
+)
+def q10(spark, sf_dir):
+    """Semi-join via IN-subquery (reference /root/reference/dataval/dataval.py:404-413)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_open"))
+    )
+
+
+@query(
+    "q11_three_way_revenue",
+    """
+    SELECT c_mktsegment,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q11(spark, sf_dir):
+    """3-way join + agg — the release-candidate query shape
+    (/root/reference/run_package_release.py:122-137)."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+# =====================================================================
+# Bitmask verdict algebra (SURVEY §2.10, F13, A7)
+# =====================================================================
+
+_FLAG_SQL = """
+      SELECT l_returnflag, l_linestatus,
+             (CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END
+            | CASE WHEN l_discount > 0.06 THEN 2 ELSE 0 END
+            | CASE WHEN l_tax > 0.07 THEN 4 ELSE 0 END
+            | CASE WHEN l_extendedprice <= 0 THEN 8 ELSE 0 END) AS dataval
+      FROM lineitem
+"""
+
+
+@query(
+    "q12_bitmask_verdicts",
+    f"""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           sum(CASE WHEN (dataval & 1) <> 0 THEN 1 ELSE 0 END) AS n_high_qty,
+           sum(CASE WHEN (dataval & 2) <> 0 THEN 1 ELSE 0 END) AS n_high_disc,
+           sum(CASE WHEN (dataval & 4) <> 0 THEN 1 ELSE 0 END) AS n_high_tax,
+           sum(CASE WHEN (dataval & 8) <> 0 THEN 1 ELSE 0 END) AS n_bad_price,
+           sum(CASE WHEN (dataval & 3) = 0 THEN 1 ELSE 0 END) AS n_approved
+    FROM ({_FLAG_SQL})
+    GROUP BY l_returnflag
+    """,
+)
+def q12(spark, sf_dir):
+    """Per-row flag bits ORed into a dataval bitmask, approved =
+    (dataval & DEFAULT_MASK)==0, per-flag reason counts — exact shape of
+    the reference verdict combination
+    (/root/reference/dataval/dataval.py:399-471) on testdata."""
+    li = t(spark, sf_dir, "lineitem")
+    dataval = (
+        F.when(F.col("l_quantity") > 45, 1).otherwise(0)
+        .bitwiseOR(F.when(F.col("l_discount") > 0.06, 2).otherwise(0))
+        .bitwiseOR(F.when(F.col("l_tax") > 0.07, 4).otherwise(0))
+        .bitwiseOR(F.when(F.col("l_extendedprice") <= 0, 8).otherwise(0))
+    )
+    flagged = li.withColumn("dataval", dataval)
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("dataval").bitwiseAND(F.lit(1)) != 0).cast("long")).alias("n_high_qty"),
+        F.sum((F.col("dataval").bitwiseAND(F.lit(2)) != 0).cast("long")).alias("n_high_disc"),
+        F.sum((F.col("dataval").bitwiseAND(F.lit(4)) != 0).cast("long")).alias("n_high_tax"),
+        F.sum((F.col("dataval").bitwiseAND(F.lit(8)) != 0).cast("long")).alias("n_bad_price"),
+        F.sum((F.col("dataval").bitwiseAND(F.lit(3)) == 0).cast("long")).alias("n_approved"),
+    )
+
+
+@query(
+    "q13_partition_gate",
+    f"""
+    SELECT l_returnflag,
+           round(1.0 - sum(CASE WHEN (dataval & 3) = 0 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+             AS reject_ratio,
+           CASE WHEN 1.0 - sum(CASE WHEN (dataval & 3) = 0 THEN 1.0 ELSE 0.0 END) / count(*) <= 0.5
+                THEN true ELSE false END AS passed
+    FROM ({_FLAG_SQL})
+    GROUP BY l_returnflag
+    """,
+)
+def q13(spark, sf_dir):
+    """Per-partition error-ratio pass/fail gate
+    (/root/reference/dataval/dataval.py:475-539)."""
+    li = t(spark, sf_dir, "lineitem")
+    dataval = (
+        F.when(F.col("l_quantity") > 45, 1).otherwise(0)
+        .bitwiseOR(F.when(F.col("l_discount") > 0.06, 2).otherwise(0))
+        .bitwiseOR(F.when(F.col("l_tax") > 0.07, 4).otherwise(0))
+        .bitwiseOR(F.when(F.col("l_extendedprice") <= 0, 8).otherwise(0))
+    )
+    approved = dataval.bitwiseAND(F.lit(3)) == 0
+    ratio = F.lit(1.0) - F.sum(approved.cast("double")) / F.count(F.lit(1))
+    return li.groupBy("l_returnflag").agg(
+        F.round(ratio, 6).alias("reject_ratio"),
+        (ratio <= 0.5).alias("passed"),
+    )
+
+
+# =====================================================================
+# Windows / sorts / top-k (SURVEY §2.5)
+# =====================================================================
+
+@query(
+    "q14_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 4) AS total_price, rn
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def q14(spark, sf_dir):
+    """Deterministic top-k per group (window + row_number)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment", "o_orderkey",
+            F.round("o_totalprice", 4).alias("total_price"), "rn",
+        )
+    )
+
+
+@query(
+    "q15_binned_median",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q15(spark, sf_dir):
+    """Binned median (reference binned_statistic,
+    /root/reference/dataval/pixinaperture.py:95) — exact percentile so the
+    oracle matches bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        )
+    )
+
+
+@query(
+    "q16_mad_robust_sigma",
+    """
+    WITH med AS (SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders)
+    SELECT round((SELECT m FROM med), 4) AS median_price,
+           round(1.4826 * quantile_cont(abs(o_totalprice - (SELECT m FROM med)), 0.5), 4) AS mad_sigma
+    FROM orders
+    """,
+)
+def q16(spark, sf_dir):
+    """MAD robust sigma: 1.4826 * median(|x - median(x)|)
+    (reference /root/reference/dataval/utilities.py:211-221). Two exact
+    percentile passes."""
+    o = t(spark, sf_dir, "orders")
+    m = o.agg(F.expr("percentile(o_totalprice, 0.5)").alias("m")).collect()[0]["m"]
+    return o.agg(
+        F.round(F.lit(m), 4).alias("median_price"),
+        F.round(
+            F.lit(1.4826) * F.expr(f"percentile(abs(o_totalprice - {m!r}), 0.5)"), 4
+        ).alias("mad_sigma"),
+    )
+
+
+# =====================================================================
+# Scalar functions (SURVEY §2.7)
+# =====================================================================
+
+@query(
+    "q17_power_law_transform",
+    """
+    SELECT p_brand,
+           round(sum(round(greatest(0.0, power(10.0, -0.4 * (p_size - 20.0))), 6)), 2) AS total_flux
+    FROM part GROUP BY p_brand
+    """,
+)
+def q17(spark, sf_dir):
+    """mag2flux power-law transform: clip(10^(-0.4(m-zp)), 0, inf)
+    (reference /root/reference/dataval/utilities.py:224-239)."""
+    p = t(spark, sf_dir, "part")
+    flux = F.round(
+        F.greatest(F.lit(0.0), F.pow(F.lit(10.0), F.lit(-0.4) * (F.col("p_size") - F.lit(20.0)))), 6
+    )
+    return p.groupBy("p_brand").agg(F.round(F.sum(flux), 2).alias("total_flux"))
+
+
+@query(
+    "q18_regexp_extract",
+    """
+    SELECT regexp_extract(o_orderpriority, '^([0-9]+)-', 1) AS prio_num,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q18(spark, sf_dir):
+    """Regex field extraction (reference filename parse,
+    /root/reference/dataval/release.py:177-221)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.regexp_extract("o_orderpriority", r"^([0-9]+)-", 1).alias("prio_num"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q19_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q19(spark, sf_dir):
+    """Time-bucketed rollup — batch form of the streaming windowed agg
+    (ts emitted as string so both engines hash identically)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@query(
+    "q20_sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    )
+    SELECT count(DISTINCT user_id) AS n_users,
+           sum(is_start) AS n_sessions,
+           count(*) AS n_events
+    FROM marked
+    """,
+)
+def q20(spark, sf_dir):
+    """Sessionization via lag-gap window — per-conversation sequence
+    analysis at scale (gap threshold 30 min)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800), 1
+    ).otherwise(0)
+    return ev.withColumn("is_start", is_start).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("is_start").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q21_like_filter",
+    """
+    SELECT source, count(*) AS n_match
+    FROM documents WHERE text LIKE '%window%scan%' OR text LIKE '%shuffle%'
+    GROUP BY source
+    """,
+)
+def q21(spark, sf_dir):
+    """LIKE / substring predicates (reference
+    /root/reference/dataval/dataval.py:609-623)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("text").like("%window%scan%") | F.col("text").like("%shuffle%"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+
+
+@query(
+    "q22_distinct_ordered",
+    "SELECT DISTINCT o_orderpriority FROM orders",
+)
+def q22(spark, sf_dir):
+    """DISTINCT driving per-group loops (reference distinct cadences,
+    /root/reference/dataval/dataval.py:223-224)."""
+    return t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+@query(
+    "q23_set_difference",
+    """
+    SELECT count(*) AS n_unmatched_users FROM (
+      SELECT DISTINCT user_id FROM events
+      WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+    )
+    """,
+)
+def q23(spark, sf_dir):
+    """Set difference / resume anti-join shape
+    (reference /root/reference/run_package_release.py:262-268)."""
+    ev = t(spark, sf_dir, "events").select("user_id").distinct()
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    return ev.join(c, "user_id", "left_anti").agg(F.count(F.lit(1)).alias("n_unmatched_users"))
+
+
+# =====================================================================
+# Text analysis (training-data pipeline ops)
+# =====================================================================
+
+from dataval_spark.operators import dedup as D  # noqa: E402
+from dataval_spark.operators import similarity as S  # noqa: E402
+from dataval_spark.operators import text as X  # noqa: E402
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS_SQL = f"list_distinct(string_split({_NORM_SQL}, ' '))"
+
+
+@query(
+    "q24_token_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split(trim(text), ' '))) AS total_tokens,
+           round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens,
+           round(avg(length(text)), 4) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q24(spark, sf_dir):
+    """Token counting over the documents table (whitespace tokenizer)."""
+    d = t(spark, sf_dir, "documents")
+    n = X.token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+_QUALITY_SQL = """round(
+      least(len(string_split(trim(text), ' ')) / 50.0, 1.0) * 0.6
+    + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / greatest(length(text), 1) * 5.0, 1.0)) * 0.4, 6)"""
+
+
+@query(
+    "q25_text_quality",
+    f"""
+    SELECT source,
+           round(avg({_QUALITY_SQL}), 6) AS avg_quality,
+           sum(CASE WHEN {_QUALITY_SQL} >= 0.8 THEN 1 ELSE 0 END) AS n_high_quality,
+           count(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q25(spark, sf_dir):
+    """Composite quality scoring (length + punctuation heuristics)."""
+    d = t(spark, sf_dir, "documents")
+    q = X.quality_score(F.col("text"))
+    return d.groupBy("source").agg(
+        F.round(F.avg(q), 6).alias("avg_quality"),
+        F.sum((q >= 0.8).cast("long")).alias("n_high_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _lang_id_sql() -> str:
+    score = {
+        lang: f"len(list_filter({_TOKS_SQL}, t -> t IN ({', '.join(repr(w) for w in mk)})))"
+        for lang, mk in sorted(X.LANG_MARKERS.items())
+    }
+    # same strict-> when-chain as operators.text.lang_id
+    expr, best = "'und'", "0"
+    for lang in sorted(score):
+        s = score[lang]
+        expr = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return expr
+
+
+@query(
+    "q26_lang_id",
+    f"""
+    SELECT {_lang_id_sql()} AS predicted_lang, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def q26(spark, sf_dir):
+    """Heuristic marker-based language ID (argmax with deterministic
+    tie-break), aggregated to predicted-language counts."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(X.lang_id(F.col("text")).alias("predicted_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q27_fingerprints",
+    f"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT substr(md5({_NORM_SQL}), 1, 16)) AS n_unique_fp,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    """,
+)
+def q27(spark, sf_dir):
+    """Document fingerprinting (md5 of normalized text) + exact-dup count."""
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(X.fingerprint(F.col("text"))).alias("n_unique_fp"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+@query(
+    "q28_exact_dup_groups",
+    f"""
+    SELECT fp, dup_cnt FROM (
+      SELECT md5({_NORM_SQL}) AS fp, count(*) AS dup_cnt
+      FROM documents GROUP BY 1
+    ) WHERE dup_cnt > 1
+    """,
+)
+def q28(spark, sf_dir):
+    """Exact dedup: hash-groupBy duplicate groups."""
+    return D.exact_dup_groups(t(spark, sf_dir, "documents")).select("fp", "dup_cnt")
+
+
+def _minhash_sql(n_hashes: int = 4) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({_TOKS_SQL}, t -> md5('{i}:' || t)))"
+        for i in range(n_hashes)
+    )
+    return f"concat_ws('|', {mins})"
+
+
+@query(
+    "q29_minhash_signatures",
+    f"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT {_minhash_sql(4)}) AS n_signatures
+    FROM documents
+    """,
+)
+def q29(spark, sf_dir):
+    """MinHash signatures (4 md5 hash functions over distinct tokens);
+    identical signature => near-dup candidate group."""
+    d = t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(D.minhash_signature(F.col("text"), 4)).alias("n_signatures"),
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    n = f"len({_TOKS_SQL})"
+    parts = []
+    for b in range(bits):
+        ones = (
+            f"len(list_filter({_TOKS_SQL}, "
+            f"t -> (('0x' || substr(md5(t), 1, 4))::INT & {1 << b}) != 0))"
+        )
+        parts.append(f"(CASE WHEN {ones} * 2 > {n} THEN {1 << b} ELSE 0 END)")
+    return "(" + " | ".join(parts) + ")"
+
+
+@query(
+    "q30_simhash",
+    f"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT {_simhash_sql(16)}) AS n_codes,
+           round(avg(bit_count({_simhash_sql(16)}::BIGINT)), 4) AS avg_popcount
+    FROM documents
+    """,
+)
+def q30(spark, sf_dir):
+    """16-bit SimHash codes per document (token bit-majority)."""
+    d = t(spark, sf_dir, "documents")
+    code = D.simhash(F.col("text"), 16)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(code).alias("n_codes"),
+        F.round(F.avg(F.bit_count(code.cast("bigint"))), 4).alias("avg_popcount"),
+    )
+
+
+
+
+@query(
+    "q31_ngram_jaccard_pairs",
+    f"""
+    WITH sh0 AS (
+      SELECT doc_id AS doc, source AS grp, string_split({_NORM_SQL}, ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc, grp,
+             list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+      FROM sh0
+    ),
+    ex AS (SELECT doc, grp, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.grp = b.grp AND a.doc < b.doc
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT count(*) AS n_pairs,
+           round(max(round(common / (n_a + n_b - common), 6)), 6) AS max_jaccard
+    FROM pairs WHERE round(common / (n_a + n_b - common), 6) >= 0.08
+    """,
+)
+def q31(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs within the same source."""
+    pairs = D.jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.08, within="source", max_shingle_freq=0,
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+
+
+# =====================================================================
+# Similarity search (embeddings)
+# =====================================================================
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> (e.embedding)[i]::DOUBLE * (q.qv)[i]::DOUBLE))"
+)
+_NORM_E = "sqrt(list_sum(list_transform(range(1, 65), i -> (e.embedding)[i]::DOUBLE * (e.embedding)[i]::DOUBLE)))"
+_NORM_Q = "sqrt(list_sum(list_transform(range(1, 65), i -> (q.qv)[i]::DOUBLE * (q.qv)[i]::DOUBLE)))"
+
+
+@query(
+    "q32_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, e.vec_id,
+             round({_DOT_SQL} / ({_NORM_E} * {_NORM_Q}), 4) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 5
+    """,
+)
+def q32(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for 10 query vectors."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = e.select("vec_id", "embedding")
+    res = S.brute_force_topk(
+        corpus.alias("c"), q, k=6,  # k+1 then drop self to keep exactly 5
+    )
+    return (
+        res.where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+            ),
+        )
+        .where(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def _bucket_sql(n_planes: int = 4) -> str:
+    parts = []
+    for j in range(n_planes):
+        d = f"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * sin(i * {j + 1})))"
+        parts.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+@query(
+    "q33_lsh_buckets",
+    f"""
+    SELECT {_bucket_sql(4)} AS bucket, count(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q33(spark, sf_dir):
+    """LSH sign-plane bucket histogram — the ANN scale path's partitioning."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.groupBy(S.lsh_bucket(F.col("embedding"), 64, 4).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+@query(
+    "q34_embedding_norm_stats",
+    """
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_sum(list_transform(range(1, 65),
+                 i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))), 4) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q34(spark, sf_dir):
+    """Per-label embedding L2-norm stats (vector column hygiene check)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(S.norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+@query(
+    "q35_asof_last_click",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+      FROM events
+    )
+    SELECT count(*) AS n_errors,
+           sum(CASE WHEN last_click IS NOT NULL THEN 1 ELSE 0 END) AS n_with_prior_click,
+           round(avg(round(epoch(ts) - epoch(last_click), 6)), 4) AS avg_gap_sec
+    FROM w WHERE event_type = 'error'
+    """,
+)
+def q35(spark, sf_dir):
+    """As-of join (last 'click' before each 'error' per user) via a
+    conditional running-max window — Spark-native as-of pattern."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    errs = ev.withColumn("last_click", last_click).where(F.col("event_type") == "error")
+    return errs.agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.sum(F.col("last_click").isNotNull().cast("long")).alias("n_with_prior_click"),
+        F.round(
+            F.avg(
+                F.round(
+                    F.col("ts").cast("timestamp").cast("double")
+                    - F.col("last_click").cast("timestamp").cast("double"),
+                    6,
+                )
+            ),
+            4,
+        ).alias("avg_gap_sec"),
+    )
