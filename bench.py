@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01": sec, ...}, "sf": ...}
+
+Each query is executed once for warm-up-free wall timing of the full plan
+(actions force the complete pipeline; results are counted, not collected,
+so driver transfer is not measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataval_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_sequence_integrity",
+    "q08_grid_summary",
+    "q11_three_way_revenue",
+    "q12_bitmask_verdicts",
+    "q14_topk_per_group",
+    "q20_sessionization",
+    "q24_token_stats",
+    "q26_lang_id",
+    "q29_minhash_signatures",
+    "q30_simhash",
+    "q32_cosine_topk",
+    "q33_lsh_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from dataval_spark.queries import QUERIES
+    from dataval_spark.suite import transcript_suite
+    from __spark_entry__ import _lineitem_as_transcripts
+
+    spark = get_spark(app_name="dataval_spark_bench", master=f"local[{cpus}]")
+
+    # warm-up: JVM classloading + codegen, excluded from timings
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name[:3]] = round(time.perf_counter() - t0, 3)
+
+    # flagship: the full validation suite over lineitem-as-transcripts
+    df = _lineitem_as_transcripts(spark, sf_dir)
+    t0 = time.perf_counter()
+    suite = transcript_suite()
+    # transcript_suite expects status/tool columns; adapt constraints that
+    # require absent columns degrade gracefully (StatusGate row_condition
+    # returns None when the column is missing)
+    result = suite.run(df)
+    n_rows = sum(m["n_rows"] for m in result.partition_metrics)
+    suite_sec = round(time.perf_counter() - t0, 3)
+    timings["suite"] = suite_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_full_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "suite_rows": n_rows,
+                "suite_turns_per_sec": round(n_rows / suite_sec) if suite_sec else None,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

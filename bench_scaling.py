@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling bench (sandbox proxy for the north rule's
+"throughput scaling efficiency >= 0.8 from N to 4N executors").
+
+No real cluster exists here, so per BASELINE.md the SAME validation job
+runs on the SAME input at two parallelism levels on this host:
+  N  = local[8]   (8 executor threads)
+  4N = local[32]  (32 executor threads)
+
+Protocol:
+  1. Generate the deterministic synthetic transcript table in-Spark
+     (heavy-tailed conversation sizes + forced mega-conversations to
+     exercise the skew path) and write it to parquet ONCE (~128 files so
+     both levels have enough input splits).
+  2. In a fresh subprocess per level (clean JVM): read the table, run the
+     full transcript constraint suite, report wall seconds. A small
+     warm-up query runs first so JVM startup is excluded; the suite's
+     Catalyst/codegen compile time is INCLUDED (it is part of the job).
+  3. efficiency = (T_N / T_4N) / 4.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+INPUT = os.environ.get("SPARK_GRAFT_BENCH_INPUT", "/tmp/dataval_bench_input")
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2500000"))
+LEVELS = (8, 32)
+
+
+def generate(n_convs: int, path: str) -> int:
+    from dataval_spark.fixtures import transcripts
+    from dataval_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench_gen", master="local[32]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    df = transcripts(
+        spark, n_convs=n_convs, seed=2187, n_parts=64,
+        skew_convs=16, skew_turns=50_000,
+    )
+    (
+        df.repartition(128)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    n = spark.read.parquet(path).count()
+    spark.stop()
+    return n
+
+
+def run_level(level: int, path: str) -> dict:
+    """Run the suite at local[level] in a fresh subprocess; return timing."""
+    code = f"""
+import json, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from dataval_spark.session import get_spark
+from dataval_spark.suite import transcript_suite
+
+spark = get_spark(app_name="bench_lvl{level}", master="local[{level}]",
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+spark.range(1_000_000).selectExpr("sum(id)").collect()   # JVM warm-up
+df = spark.read.parquet({path!r})
+t0 = time.perf_counter()
+res = transcript_suite().run(df)
+wall = time.perf_counter() - t0
+n = sum(m["n_rows"] for m in res.partition_metrics)
+print("RESULT " + json.dumps({{"level": {level}, "wall_sec": round(wall, 2),
+      "rows": n, "turns_per_sec": round(n / wall)}}))
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"level {level} failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    t0 = time.time()
+    marker = os.path.join(INPUT, "_ROWS")
+    if os.path.exists(marker):
+        n_rows = int(open(marker).read())
+        print(f"reusing input {INPUT} ({n_rows} rows)", file=sys.stderr)
+    else:
+        n_rows = generate(N_CONVS, INPUT)
+        with open(marker, "w") as f:
+            f.write(str(n_rows))
+        print(f"generated {n_rows} rows in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    results = {lvl: run_level(lvl, INPUT) for lvl in LEVELS}
+    t_n, t_4n = results[LEVELS[0]]["wall_sec"], results[LEVELS[1]]["wall_sec"]
+    eff = round((t_n / t_4n) / (LEVELS[1] / LEVELS[0]), 3)
+
+    report = {
+        "metric": "turns_validated_per_sec_full_suite",
+        "input_rows": n_rows,
+        "levels": results,
+        "scaling_efficiency_N_to_4N": eff,
+        "target": 0.8,
+        "passed": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — scaling evidence (north rule proxy)\n\n"
+            "Same job (full transcript constraint suite), same input "
+            f"({n_rows:,} turns, heavy-tailed conversation sizes incl. 16 "
+            "forced 50k-turn mega-conversations), two parallelism levels on "
+            "one 32-core host — the sandbox proxy for N vs 4N executors "
+            "(see BASELINE.md).\n\n"
+            "| level | wall (s) | turns/sec |\n|---|---|---|\n"
+            + "".join(
+                f"| local[{lvl}] | {r['wall_sec']} | {r['turns_per_sec']:,} |\n"
+                for lvl, r in results.items()
+            )
+            + f"\n**Scaling efficiency (T_8/T_32)/4 = {eff}** "
+            f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n\n"
+            "Catalyst plan-compile time (~constant, serial) is included in "
+            "both walls; input is 128 parquet files so both levels have "
+            "enough splits; AQE on, shuffle partitions = 2x threads.\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""CLI entrypoint — ``spark-submit --py-files dataval_spark.zip -m`` or
+``python -m dataval_spark.cli``.
+
+Mirrors the reference's CLI contract (/root/reference/run_dataval.py:21-57
+and run_package_release.py:28-35): method allowlist, --validate (dry-run
+vs persisted verdicts), corrector-style suite selection, and an exit code
+derived from validation outcome (0 ok / 3 warnings / 4 errors,
+/root/reference/run_dataval.py:129-133).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import uuid
+
+
+METHODS = [
+    "all", "nullness", "uniqueness", "sequence", "monotonic_ts",
+    "domain", "envelope", "drift", "status",
+]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dataval-spark", description=__doc__)
+    p.add_argument("--input", required=True, help="input table path (parquet dir)")
+    p.add_argument("--output", default=None, help="warehouse dir for verdict tables")
+    p.add_argument("--method", choices=METHODS, default="all",
+                   help="run a single check family (reference --method)")
+    p.add_argument("--validate", action="store_true",
+                   help="dry-run: compute verdicts but do not persist "
+                        "(reference TEMP-table mode)")
+    p.add_argument("--manifest", default=None, help="manifest path for resumable runs")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--master", default=None)
+    p.add_argument("--cpus", type=int, default=None)
+    return p
+
+
+_METHOD_FILTER = {
+    "nullness": ("not_null_text", "not_null_ts"),
+    "uniqueness": ("unique_conv_id_turn_idx",),
+    "sequence": ("sequence_integrity",),
+    "monotonic_ts": ("monotonic_ts",),
+    "domain": ("domain_role", "tool_consistency", "conv_id_format"),
+    "envelope": ("text_len",),
+    "drift": ("drift_text_len",),
+    "status": ("status_gate",),
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from dataval_spark.manifest import run_resumable
+    from dataval_spark.session import get_spark
+    from dataval_spark.suite import Suite, transcript_suite
+
+    master = args.master or (f"local[{args.cpus}]" if args.cpus else None)
+    spark = get_spark(app_name="dataval_spark_cli", master=master)
+    df = spark.read.parquet(args.input)
+
+    suite = transcript_suite()
+    if args.method != "all":
+        names = _METHOD_FILTER[args.method]
+        keep = [c for c in suite.constraints if c.name in names or not c.flag]
+        suite = Suite(keep, part_col=suite.part_col)
+
+    if args.manifest:
+        run_id = args.run_id or uuid.uuid4().hex[:12]
+        verdicts_path = None if args.validate else (
+            f"{args.output}/verdicts" if args.output else None
+        )
+        result = run_resumable(spark, df, suite, args.manifest, run_id, verdicts_path)
+        if result is None:
+            print("Nothing to process", file=sys.stderr)
+            return 0
+    else:
+        result = suite.run(df)
+        if not args.validate and args.output:
+            result.row_verdicts.write.mode("overwrite").partitionBy("part").parquet(
+                f"{args.output}/verdicts"
+            )
+            result.partition_verdicts.coalesce(1).write.mode("overwrite").parquet(
+                f"{args.output}/partition_verdicts"
+            )
+
+    summary = result.summary()
+    print(json.dumps(summary))
+    n_failed_parts = summary["n_partitions"] - summary["n_partitions_passed"]
+    n_rejected = summary["n_rows"] - summary["n_approved"]
+    # exit-code contract: 4 = partition failures, 3 = row rejections only
+    if n_failed_parts:
+        return 4
+    if n_rejected:
+        return 3
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

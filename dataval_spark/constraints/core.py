@@ -233,7 +233,7 @@ class Envelope(Constraint):
             f"max_{self.name}": F.max(v),
             f"avg_{self.name}": F.avg(v),
             f"quantiles_{self.name}": F.percentile_approx(
-                v, [0.25, 0.5, 0.75, 0.95], 10_000
+                v, [0.25, 0.5, 0.75, 0.95], 2_000
             ),
         }
 
@@ -276,6 +276,6 @@ class Stats(Constraint):
         }
         if self.quantiles:
             out[f"quantiles_{self.col}"] = F.percentile_approx(
-                c, list(self.quantiles), 10_000
+                c, list(self.quantiles), 2_000
             )
         return out

@@ -138,29 +138,36 @@ def transcripts(
     )
     t = t.withColumn("role", role)
 
-    # deterministic pseudo-text, role-conditional word count
-    words = F.array(*[F.lit(w) for w in WORDS])
+    # deterministic pseudo-text, role-conditional length.
+    # Implementation note (scale): text is a substring of a constant
+    # word corpus at a hash-derived offset — plain string built-ins stay
+    # inside whole-stage codegen, whereas a per-word
+    # transform/element_at loop is an interpreted higher-order function
+    # (~50x slower at 10^8 turns). Word-count envelope [lo,hi) maps to a
+    # char length of 6*words, which sits strictly inside the
+    # (3*lo-1, 9*hi) char bounds the Envelope constraint checks.
+    corpus_words = [WORDS[(i * 7) % len(WORDS)] for i in range(400)]
+    corpus = " ".join(corpus_words) + " "
+    corpus = (corpus * 2)[: 6 * 200 + 600]  # long enough for any role max
     lo = F.create_map(*[y for r, (a, b) in ROLE_WORDS.items() for y in (F.lit(r), F.lit(a))])
     hi = F.create_map(*[y for r, (a, b) in ROLE_WORDS.items() for y in (F.lit(r), F.lit(b))])
     n_words = (lo[F.col("role")] + ht % (hi[F.col("role")] - lo[F.col("role")])).cast("int")
-    # drifted partition: systematically longer texts (distribution shift the
-    # KS/PSI check must detect — analog of the reference's per-group KDE
-    # comparison, /root/reference/dataval/mag_dist.py:41-47)
+    n_chars = n_words * 6
+    # drifted partition: systematically longer texts (distribution shift
+    # the KS/PSI check must detect — analog of the reference's per-group
+    # KDE comparison, /root/reference/dataval/mag_dist.py:41-47), capped
+    # below the role envelope so TextTooLong does not fire
     if with_defects:
-        # capped below the role envelope so the shift is detectable by
-        # KS/PSI without tripping the row-level TextTooLong check
-        n_words = F.when(
+        n_chars = F.when(
             F.col("part") == DRIFT_PART,
-            F.least(hi[F.col("role")] - 1, n_words * 2).cast("int"),
-        ).otherwise(n_words)
-    text = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), n_words),
-            lambda i: F.element_at(
-                words, (F.pmod(ht + i * 2654435761, F.lit(len(WORDS))) + 1).cast("int")
-            ),
-        ),
-        " ",
+            F.least(hi[F.col("role")] * 9 - 10, (n_chars * 1.45).cast("int")),
+        ).otherwise(n_chars)
+    # 6-char hash prefix varies content per turn; remainder from the corpus
+    offset = (ht % 400).cast("int")
+    text = F.concat(
+        F.lpad(F.hex(ht % 1048576), 5, "0"),
+        F.lit(" "),
+        F.substring(F.lit(corpus), offset + 1, n_chars - 6),
     )
     t = t.withColumn("text", text)
 

@@ -703,7 +703,19 @@ def q26(spark, sf_dir):
     """Heuristic marker-based language ID (argmax with deterministic
     tie-break), aggregated to predicted-language counts."""
     d = t(spark, sf_dir, "documents")
-    return d.groupBy(X.lang_id(F.col("text")).alias("predicted_lang")).agg(
+    # project the marker scores once, then run the argmax chain over the
+    # cheap score columns (avoids re-evaluating each array filter 2x per
+    # CASE branch — Catalyst does not CSE across the when-chain)
+    scores = X.lang_scores(F.col("text"))
+    scored = d.select(*[c.alias(f"s_{lang}") for lang, c in scores.items()])
+    expr = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(scores):
+        s_col = F.col(f"s_{lang}")
+        new_expr = F.when(s_col > best, F.lit(lang)).otherwise(expr)
+        best = F.when(s_col > best, s_col).otherwise(best)
+        expr = new_expr
+    return scored.groupBy(expr.alias("predicted_lang")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
 

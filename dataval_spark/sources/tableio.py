@@ -1,0 +1,86 @@
+"""TableIO seam: Iceberg catalog when the runtime jar is present, plain
+partitioned Parquet otherwise.
+
+The north rule targets Iceberg tables; the sandbox's PySpark 4.1.2 ships
+no Iceberg runtime jar (verified against site-packages/pyspark/jars), so
+every read/write goes through this seam:
+
+* Iceberg available  -> ``spark.read.format('iceberg').load(name)`` /
+  ``df.writeTo(name).createOrReplace()`` — snapshot-atomic commits give
+  the manifest/resume semantics for free.
+* Parquet fallback   -> path-based tables, ``partitionBy`` on the verdict
+  partition column, append mode; atomicity is per-file and resume
+  idempotence comes from the manifest keying (manifest.py).
+
+Nothing else in the engine knows which backend is active.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, warehouse: str, catalog: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.catalog = catalog
+        self.use_iceberg = catalog is not None and iceberg_available(spark)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def exists(self, name: str) -> bool:
+        """Table-existence probe (reference sqlite_master probe,
+        /root/reference/dataval/dataval.py:107)."""
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
+        p = self._path(name)
+        return os.path.exists(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.format("iceberg").load(f"{self.catalog}.{name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def replace(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        """Create-or-replace (reference DROP+CREATE verdict table,
+        /root/reference/dataval/dataval.py:152-177)."""
+        if self.use_iceberg:
+            w = df.writeTo(f"{self.catalog}.{name}")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    def append(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
+        """Incremental append (reference commit-every-100 batching,
+        /root/reference/run_package_release.py:283-317 — here one atomic
+        commit per partition/snapshot)."""
+        if self.use_iceberg:
+            df.writeTo(f"{self.catalog}.{name}").append()
+            return
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))

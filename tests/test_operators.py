@@ -1,0 +1,164 @@
+"""Unit tests for the training-data-pipeline operators (dedup,
+similarity, text, multimodal) on small, hand-checkable inputs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataval_spark.operators import dedup as D
+from dataval_spark.operators import multimodal as M
+from dataval_spark.operators import similarity as S
+from dataval_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "a"),   # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog", "a"),     # near dup of 1
+        (4, "completely different text about spark shuffles", "a"),
+        (5, "der hund und die katze und der vogel", "b"),
+        (6, "  The   Quick  Brown Fox jumps over the lazy dog ", "b"),  # dup modulo norm
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string").cache()
+
+
+def test_exact_dup_groups(docs):
+    groups = D.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_cnt"] == 3  # 1, 2, and 6 (normalized)
+
+
+def test_dedup_keep_first(docs):
+    kept = D.dedup_keep_first(docs, "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_minhash_identical_signatures(docs):
+    sig = docs.select(
+        "doc_id", D.minhash_signature(F.col("text"), 4).alias("sig")
+    ).collect()
+    by_id = {r.doc_id: r.sig for r in sig}
+    assert by_id[1] == by_id[2] == by_id[6]
+    assert by_id[1] != by_id[4]
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_candidates(docs, "doc_id").collect()}
+    assert (1, 2) in pairs        # exact dups always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares most shingle mins
+    assert (1, 4) not in pairs
+
+
+def test_simhash_hamming(docs):
+    codes = {r.doc_id: r.code for r in docs.select(
+        "doc_id", D.simhash(F.col("text"), 16).alias("code")).collect()}
+    assert codes[1] == codes[2] == codes[6]
+    ham_near = bin(codes[1] ^ codes[3]).count("1")
+    ham_far = bin(codes[1] ^ codes[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_pairs(docs, "doc_id", n=3, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 6)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_jaccard_within_group(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in D.jaccard_pairs(
+        docs, "doc_id", n=3, threshold=0.3, within="source").collect()}
+    assert (1, 2) in pairs
+    assert (1, 6) not in pairs  # different source
+
+
+def test_brute_force_topk(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    top = S.brute_force_topk(corpus, queries, k=2).collect()
+    assert [r.vec_id for r in top] == [0, 1]
+    assert top[0].sim > 0.99
+
+
+def test_lsh_bucket_stability(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [0.5] * 8), (3, [-0.5] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    buckets = {r.vec_id: r.b for r in df.select(
+        "vec_id", S.lsh_bucket(F.col("embedding"), 8, 4).alias("b")).collect()}
+    assert buckets[1] == buckets[2]
+    assert buckets[1] != buckets[3]
+    assert 0 <= buckets[1] < 16
+
+
+def test_lsh_topk_finds_same_bucket_neighbors(spark):
+    corpus = spark.createDataFrame(
+        [(i, [1.0 + 0.01 * i] * 8) for i in range(10)] + [(99, [-1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0] * 8)], "query_id long, query_vec array<float>"
+    )
+    res = S.lsh_topk(corpus, queries, dim=8, k=3).collect()
+    assert len(res) == 3
+    assert all(r.vec_id != 99 for r in res)
+
+
+def test_token_and_quality(spark):
+    df = spark.createDataFrame([("the quick fox",), ("",)], "text string")
+    rows = df.select(
+        X.token_count(F.col("text")).alias("n"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert rows[0].n == 3 and rows[1].n == 0
+    assert len(rows[0].fp) == 16
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of the house",),
+         ("der hund und die katze nicht das",),
+         ("xyzzy plugh",)],
+        "text string",
+    )
+    langs = [r.l for r in df.select(X.lang_id(F.col("text")).alias("l")).collect()]
+    assert langs == ["en", "de", "und"]
+
+
+def test_multimodal_features_and_flags(spark):
+    rows = [
+        (1, "image", bytearray(b"\x01\x02\x03\x04"), 2, 2, None),
+        (2, "audio", bytearray(b"\xff\x00"), None, None, 1000),
+        (3, "image", None, 2, 2, None),        # missing payload
+        (4, "hologram", bytearray(b"\x01"), None, None, None),  # bad kind+dims
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    feats = {r.media_id: r for r in M.extract_features(df).collect()}
+    assert feats[1].n_bytes == 4
+    assert len(feats[1].feat) == 8
+    assert feats[3].n_bytes == 0
+
+    flags = {r.media_id: r for r in M.media_integrity_flags(df).collect()}
+    assert flags[1].approved and flags[2].approved
+    assert flags[3].dataval & 1
+    assert flags[4].dataval & 2 and flags[4].dataval & 4
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
