@@ -44,8 +44,28 @@ class Constraint:
     def row_condition(self, df: DataFrame) -> Column | None:
         return None
 
+    def helper_columns(self) -> dict[str, Column]:
+        """Columns the suite materializes once in the PRE-SHUFFLE
+        projection, so (a) agg expressions stay trivial column refs
+        (codegen size) and (b) the window shuffle carries narrow derived
+        values instead of raw wide columns (shuffle volume)."""
+        return {}
+
+    def wide_cols(self) -> list[str]:
+        """Raw columns this constraint needs to survive past the narrow
+        projection (widens the shuffle — avoid unless necessary)."""
+        return []
+
     def agg_metrics(self) -> dict[str, Column]:
-        """Aggregate expressions for the wide agg pass, keyed by alias."""
+        """Aggregate expressions for the wide agg pass, keyed by alias.
+
+        MUST be declarative aggregates only (sum/min/max/avg/count over
+        simple expressions). TypedImperativeAggregates such as
+        percentile_approx / approx_count_distinct force the whole
+        aggregation into ObjectHashAggregateExec, which does NOT support
+        whole-stage codegen — measured 8-10x slower for the fused pass.
+        Quantiles are derived driver-side from the Drift histogram
+        instead; HLL distinctness is opt-in (Stats.approx_distinct)."""
         return {}
 
     def partition_fail(self, metrics: dict) -> bool | None:
@@ -76,10 +96,11 @@ class NotNull(Constraint):
             cond = cond | (F.length(c) == 0)
         return cond
 
+    def helper_columns(self) -> dict[str, Column]:
+        return {f"_nul_{self.col}": F.col(self.col).isNull().cast("double")}
+
     def agg_metrics(self) -> dict[str, Column]:
-        return {
-            f"null_rate_{self.col}": F.avg(F.col(self.col).isNull().cast("double"))
-        }
+        return {f"null_rate_{self.col}": F.avg(F.col(f"_nul_{self.col}"))}
 
     def partition_fail(self, metrics: dict) -> bool | None:
         if self.max_rate is None:
@@ -165,13 +186,12 @@ class Domain(Constraint):
             return c.isNotNull() & bad
         return c.isNull() | bad
 
-    def agg_metrics(self) -> dict[str, Column]:
+    def helper_columns(self) -> dict[str, Column]:
         c = F.col(self.col)
-        return {
-            f"out_of_domain_{self.col}": F.sum(
-                (~c.isin(*self.values) & c.isNotNull()).cast("long")
-            )
-        }
+        return {f"_ood_{self.col}": (~c.isin(*self.values) & c.isNotNull()).cast("long")}
+
+    def agg_metrics(self) -> dict[str, Column]:
+        return {f"out_of_domain_{self.col}": F.sum(F.col(f"_ood_{self.col}"))}
 
 
 @dataclass
@@ -207,6 +227,13 @@ class Envelope(Constraint):
     high_flag: QualityFlag | None = QualityFlag.TextTooLong
     name: str = "envelope"
 
+    @property
+    def _helper(self) -> str:
+        return f"_m_{self.name}"
+
+    def helper_columns(self) -> dict[str, Column]:
+        return {self._helper: self.expr()}
+
     # Envelope contributes two flags; the suite special-cases it.
     def low_condition(self, df: DataFrame) -> Column:
         lo = F.create_map(*[x for k, (a, b) in self.bounds.items() for x in (F.lit(k), F.lit(a))])
@@ -227,14 +254,11 @@ class Envelope(Constraint):
         )
 
     def agg_metrics(self) -> dict[str, Column]:
-        v = self.expr()
+        v = F.col(self._helper)
         return {
             f"min_{self.name}": F.min(v),
             f"max_{self.name}": F.max(v),
             f"avg_{self.name}": F.avg(v),
-            f"quantiles_{self.name}": F.percentile_approx(
-                v, [0.25, 0.5, 0.75, 0.95], 2_000
-            ),
         }
 
 
@@ -262,20 +286,24 @@ class Stats(Constraint):
     pass' members of the north rule."""
 
     col: str = "text"
-    quantiles: Sequence[float] = ()
+    approx_distinct: bool = False
     name: str = "stats"
 
     def __post_init__(self):
         self.name = f"stats_{self.col}"
 
+    def helper_columns(self) -> dict[str, Column]:
+        return {f"_nul_{self.col}": F.col(self.col).isNull().cast("double")}
+
+    def wide_cols(self) -> list[str]:
+        # HLL needs the raw values — keeping them widens the shuffle
+        return [self.col] if self.approx_distinct else []
+
     def agg_metrics(self) -> dict[str, Column]:
-        c = F.col(self.col)
-        out = {
-            f"null_rate_{self.col}": F.avg(c.isNull().cast("double")),
-            f"approx_distinct_{self.col}": F.approx_count_distinct(c),
-        }
-        if self.quantiles:
-            out[f"quantiles_{self.col}"] = F.percentile_approx(
-                c, list(self.quantiles), 2_000
-            )
+        out = {f"null_rate_{self.col}": F.avg(F.col(f"_nul_{self.col}"))}
+        if self.approx_distinct:
+            # HLL is a TypedImperativeAggregate: including it drops the
+            # whole fused agg out of codegen (see class docstring) — only
+            # enable when distinctness is actually needed.
+            out[f"approx_distinct_{self.col}"] = F.approx_count_distinct(F.col(self.col))
         return out

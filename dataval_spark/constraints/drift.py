@@ -51,12 +51,42 @@ class Drift(Constraint):
             idx = F.when(v >= edge, F.lit(i)).otherwise(idx)
         return F.when(v.isNull(), F.lit(None)).otherwise(idx)
 
+    @property
+    def _helper(self) -> str:
+        return f"_bin_{self.name}"
+
+    def helper_columns(self) -> dict[str, Column]:
+        return {self._helper: self._bin_index()}
+
     def agg_metrics(self) -> dict[str, Column]:
-        idx = self._bin_index()
+        idx = F.col(self._helper)
         return {
-            f"hist_{self.name}_{i}": F.sum(F.when(idx == i, 1).otherwise(0))
+            f"hist_{self.name}_{i}": F.sum((idx == i).cast("long"))
             for i in range(self.nbins)
         }
+
+    def quantiles_from_hist(self, row: dict, probs=(0.25, 0.5, 0.75, 0.95)) -> list[float]:
+        """Driver-side quantile estimates by linear interpolation within
+        the sketch histogram — replaces percentile_approx in the wide
+        pass (same O(P x nbins) information, zero executor cost)."""
+        counts = [float(row.get(f"hist_{self.name}_{i}") or 0) for i in range(self.nbins)]
+        total = sum(counts)
+        if total <= 0:
+            return [float("nan")] * len(probs)
+        out = []
+        for p in probs:
+            target = p * total
+            cum = 0.0
+            q = float(self.bins[-1])
+            for i, c in enumerate(counts):
+                if cum + c >= target and c > 0:
+                    frac = (target - cum) / c
+                    lo, hi_ = self.bins[i], self.bins[i + 1]
+                    q = lo + frac * (hi_ - lo)
+                    break
+                cum += c
+            out.append(round(q, 3))
+        return out
 
     # -- driver-side evaluation over the collected (tiny) metrics table --
     def evaluate(self, partition_rows: list[dict]) -> dict[int | str, dict]:

@@ -1,0 +1,3 @@
+from dataval_spark.functions import scalar
+
+__all__ = ["scalar"]

@@ -1,0 +1,3 @@
+from dataval_spark.plans import explain
+
+__all__ = ["explain"]

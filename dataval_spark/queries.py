@@ -987,3 +987,135 @@ def q35(spark, sf_dir):
             4,
         ).alias("avg_gap_sec"),
     )
+
+
+# =====================================================================
+# Additional operator coverage (set ops, sampling, model fit, windows,
+# grouping sets)
+# =====================================================================
+
+@query(
+    "q36_set_union",
+    """
+    SELECT count(*) AS n_keys FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+    )
+    """,
+)
+def q36(spark, sf_dir):
+    """Set union (reference strata union,
+    /root/reference/notes/trim_input_todo.py:26-41)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    c = t(spark, sf_dir, "customer").where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    return o.union(c).distinct().agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+@query(
+    "q37_stratified_sample",
+    """
+    SELECT lang, doc_id, fp_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS fp_rank
+      FROM documents
+    ) WHERE fp_rank <= 5
+    """,
+)
+def q37(spark, sf_dir):
+    """Deterministic stratified sampling: top-k per stratum ordered by a
+    content hash — the reproducible analog of the reference's
+    ORDER BY RANDOM() LIMIT 5000 trim
+    (/root/reference/notes/trim_input_todo.py:29-40; seed precedent
+    /root/reference/dataval/dataval.py:79)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    return (
+        d.withColumn("fp_rank", F.row_number().over(w))
+        .where(F.col("fp_rank") <= 5)
+        .select("lang", "doc_id", "fp_rank")
+    )
+
+
+@query(
+    "q38_grid_argmin_fit",
+    """
+    WITH grid AS (SELECT unnest(range(0, 105000, 5000)) AS c),
+    cost AS (
+      SELECT c, round(sum(round(abs(o_totalprice - c), 4)), 2) AS total_cost
+      FROM orders CROSS JOIN grid GROUP BY c
+    )
+    SELECT c AS best_c, total_cost FROM cost
+    ORDER BY total_cost ASC, c ASC LIMIT 1
+    """,
+)
+def q38(spark, sf_dir):
+    """Grid-search argmin model fit: evaluate a loss over a constant
+    candidate grid with one crossJoin + groupBy, pick the minimizer —
+    the reference's zeropoint chi-square grid fit
+    (/root/reference/dataval/mag2flux.py:36,86-99) without scipy."""
+    o = t(spark, sf_dir, "orders")
+    grid = spark.range(0, 105000, 5000).select(F.col("id").cast("bigint").alias("c"))
+    cost = (
+        o.crossJoin(F.broadcast(grid))
+        .groupBy("c")
+        .agg(F.round(F.sum(F.round(F.abs(F.col("o_totalprice") - F.col("c")), 4)), 2).alias("total_cost"))
+    )
+    return cost.orderBy(F.asc("total_cost"), F.asc("c")).limit(1).select(
+        F.col("c").alias("best_c"), "total_cost"
+    )
+
+
+@query(
+    "q39_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+    FROM orders WHERE o_custkey < 50
+    """,
+)
+def q39(spark, sf_dir):
+    """Running cumulative window aggregate per entity (ordered frame)."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+    )
+
+
+@query(
+    "q40_cube_rollup",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 4) AS total_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q40(spark, sf_dir):
+    """CUBE grouping sets — the reference's manual camera x ccd grid
+    (/root/reference/dataval/dataval.py:424-439) done natively, including
+    the margins."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "total_qty",
+        )
+    )

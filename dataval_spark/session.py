@@ -37,9 +37,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # 16g, not bigger: with a huge heap G1's young-gen sizing collapses
+        # at high thread counts (measured: identical 17M-row suite run,
+        # 48g heap -> 98s at local[32]; 16g heap -> 14s). The engine's
+        # narrow-shuffle design keeps working sets small, so a compact
+        # heap with tight GC beats a giant one.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The fused suite plan generates very large whole-stage methods;
+        # HotSpot refuses to JIT methods over ~8000 bytecode
+        # (-XX:DontCompileHugeMethods), so Spark's default 65535 limit
+        # silently leaves the hot loop in the bytecode interpreter.
+        # Capping at 8000 makes oversized stages fall back to smaller
+        # JIT-able units — measured 4x faster on the full suite.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

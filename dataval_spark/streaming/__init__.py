@@ -1,0 +1,6 @@
+from dataval_spark.streaming.validate_stream import (
+    stateless_flags,
+    windowed_partition_verdicts,
+)
+
+__all__ = ["stateless_flags", "windowed_partition_verdicts"]

@@ -95,24 +95,30 @@ class Suite:
         self.ts_col = ts_col
 
     # ------------------------------------------------------------------
-    def enrich(self, df: DataFrame) -> DataFrame:
-        """Single window pass adding _prev_idx/_next_idx/_prev_ts."""
-        if not any(c.needs_sequence for c in self.constraints):
-            return df
-        w = Window.partitionBy(self.conv_col).orderBy(
-            F.col(self.order_col).asc_nulls_first(), F.col(self.ts_col).asc_nulls_first()
-        )
-        return (
-            df.withColumn("_prev_idx", F.lag(self.order_col).over(w))
-            .withColumn("_next_idx", F.lead(self.order_col).over(w))
-            .withColumn("_prev_ts", F.lag(self.ts_col).over(w))
-        )
+    def project(self, df: DataFrame) -> DataFrame:
+        """Pre-shuffle narrow projection.
 
-    def flag_rows(self, df: DataFrame) -> DataFrame:
-        """One wide projection: dataval bitmask + approved boolean."""
+        Evaluates every row-local (non-sequence) constraint against the
+        raw row and materializes: the partial ``dataval`` bitmask
+        (``_pre``), the forced-rejection bit (``_forced``), and every
+        helper/agg-input column — then SELECTS ONLY the narrow set the
+        window and aggregation need.
+
+        Scale rationale: the conversation-window shuffle would otherwise
+        carry the raw ``text`` (hundreds of bytes/row) through shuffle
+        write + sort + read; measured on 17M rows this was the difference
+        between negative scaling (GC/sort pressure at 32 threads) and
+        clean scaling. Shuffled row width drops ~10x.
+        """
         bits: list[Column] = []
         forced_reject: Column | None = None
+        helpers: dict[str, Column] = {}
+        wide_cols: set[str] = set()
         for c in self.constraints:
+            helpers.update(c.helper_columns())
+            wide_cols.update(getattr(c, "wide_cols", lambda: [])())
+            if c.needs_sequence:
+                continue
             if isinstance(c, Envelope):
                 if c.low_flag:
                     bits.append(F.when(c.low_condition(df), F.lit(int(c.low_flag))).otherwise(0))
@@ -129,11 +135,51 @@ class Suite:
                 # (/root/reference/dataval/dataval.py:404-413)
                 forced_reject = cond
 
-        dataval = reduce(lambda a, b: a.bitwiseOR(b), bits, F.lit(0)).cast("int")
+        pre = reduce(lambda a, b: a.bitwiseOR(b), bits, F.lit(0)).cast("int")
+        keep = [
+            F.col(self.conv_col),
+            F.col(self.order_col),
+            F.col(self.ts_col),
+            F.col(self.part_col),
+            pre.alias("_pre"),
+            (forced_reject if forced_reject is not None else F.lit(False)).alias("_forced"),
+        ]
+        keep += [expr.alias(name) for name, expr in helpers.items()]
+        keep += [F.col(c) for c in sorted(wide_cols) if c in df.columns]
+        return df.select(*keep)
+
+    def enrich(self, df: DataFrame) -> DataFrame:
+        """Single window pass adding _prev_idx/_next_idx/_prev_ts."""
+        if not any(c.needs_sequence for c in self.constraints):
+            return df
+        w = Window.partitionBy(self.conv_col).orderBy(
+            F.col(self.order_col).asc_nulls_first(), F.col(self.ts_col).asc_nulls_first()
+        )
+        return (
+            df.withColumn("_prev_idx", F.lag(self.order_col).over(w))
+            .withColumn("_next_idx", F.lead(self.order_col).over(w))
+            .withColumn("_prev_ts", F.lag(self.ts_col).over(w))
+        )
+
+    def flag_rows(self, df: DataFrame) -> DataFrame:
+        """Final flag combination: row-local bits (from project) ORed with
+        the sequence-constraint bits (from enrich), then the approved
+        algebra."""
+        if "_pre" not in df.columns:  # direct use on raw rows (streaming)
+            df = self.enrich(self.project(df))
+        bits: list[Column] = [F.col("_pre")]
+        for c in self.constraints:
+            if not c.needs_sequence:
+                continue
+            cond = c.row_condition(df)
+            if cond is None or c.flag is None:
+                continue
+            bits.append(F.when(cond, F.lit(int(c.flag))).otherwise(0))
+        dataval = reduce(lambda a, b: a.bitwiseOR(b), bits).cast("int")
         out = df.withColumn("dataval", dataval)
-        approved = out["dataval"].bitwiseAND(F.lit(self.default_mask)) == 0
-        if forced_reject is not None:
-            approved = approved & ~forced_reject
+        approved = (
+            out["dataval"].bitwiseAND(F.lit(self.default_mask)) == 0
+        ) & ~F.col("_forced")
         return out.withColumn("approved", approved)
 
     def partition_aggregate(self, flagged: DataFrame) -> DataFrame:
@@ -162,13 +208,15 @@ class Suite:
 
     # ------------------------------------------------------------------
     def run(self, df: DataFrame) -> ValidationResult:
-        enriched = self.enrich(df)
+        enriched = self.enrich(self.project(df))
         flagged = self.flag_rows(enriched)
 
         part_agg = self.partition_aggregate(flagged)
         metric_rows = [r.asDict() for r in part_agg.collect()]
 
-        # drift: driver-side over the collected sketch histograms
+        # drift + quantile sketches: driver-side over the collected
+        # histograms (replaces percentile_approx in the wide pass — see
+        # Constraint.agg_metrics docstring)
         drifted_parts: set = set()
         for c in self.constraints:
             if isinstance(c, Drift):
@@ -178,6 +226,7 @@ class Suite:
                         if m["part"] == part:
                             m[f"{c.name}_psi"] = r["psi"]
                             m[f"{c.name}_ks"] = r["ks"]
+                            m[f"quantiles_{c.name}"] = c.quantiles_from_hist(m)
                     if r["drifted"]:
                         drifted_parts.add(part)
 

@@ -1,0 +1,90 @@
+"""Unit tests for the scalar function library (reference-parity kernels,
+/root/reference/dataval tests analog: tests/test_utilities.py,
+tests/test_quality.py, tests/test_noisemodel.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataval_spark.functions import scalar as S
+
+
+def _one(spark, col, **cols):
+    row = spark.createDataFrame(
+        [tuple(cols.values())], ", ".join(f"{k} double" for k in cols)
+    ).select(col.alias("v")).collect()[0]
+    return row.v
+
+
+def test_power_law(spark):
+    # mag == zeropoint -> flux 1.0; fainter by 2.5 mag -> flux /10
+    assert _one(spark, S.power_law(F.col("m")), m=20.451) == pytest.approx(1.0)
+    assert _one(spark, S.power_law(F.col("m")), m=22.951) == pytest.approx(0.1)
+
+
+def test_piecewise_linear_interp_and_extrapolation(spark):
+    kx, ky = [0.0, 10.0, 20.0], [100.0, 50.0, 0.0]
+    f = lambda v: _one(spark, S.piecewise_linear(F.col("x"), kx, ky), x=v)  # noqa: E731
+    assert f(0.0) == pytest.approx(100.0)
+    assert f(5.0) == pytest.approx(75.0)
+    assert f(15.0) == pytest.approx(25.0)
+    assert f(-5.0) == pytest.approx(100.0)   # constant extrapolation (ext=3)
+    assert f(99.0) == pytest.approx(0.0)
+
+
+def test_log_piecewise_bound(spark):
+    kx, ky = [0.0, 10.0], [100.0, 1.0]
+    v = _one(spark, S.log_piecewise_bound(F.col("x"), kx, ky), x=5.0)
+    assert v == pytest.approx(10.0)  # log-space midpoint of 100 and 1
+
+
+def test_monotonic_guard():
+    S.assert_monotonic_decreasing([5.0, 3.0, 1.0])
+    with pytest.raises(ValueError):
+        S.assert_monotonic_decreasing([5.0, 6.0, 1.0])
+
+
+def test_sphere_distance(spark):
+    d = _one(
+        spark,
+        S.sphere_distance(F.col("a"), F.col("b"), F.col("c"), F.col("d")),
+        a=0.0, b=0.0, c=90.0, d=0.0,
+    )
+    assert d == pytest.approx(90.0)
+    d2 = _one(
+        spark,
+        S.sphere_distance(F.col("a"), F.col("b"), F.col("c"), F.col("d")),
+        a=45.0, b=30.0, c=45.0, d=30.0,
+    )
+    assert d2 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_bitmask_pass_and_binary_repr(spark):
+    df = spark.createDataFrame([(0,), (2,), (5,), (8,)], "f int")
+    got = [r.ok for r in df.select(S.bitmask_pass(F.col("f"), 2 | 4).alias("ok")).collect()]
+    assert got == [True, False, False, True]
+    b = df.select(S.binary_repr(F.col("f"), 8).alias("b")).collect()
+    assert b[2].b == "00000101"
+
+
+def test_rolling_hash_deterministic(spark):
+    df = spark.createDataFrame([("abc",), ("abc",), ("abd",)], "t string")
+    hs = [r.h for r in df.select(S.rolling_hash(F.col("t")).alias("h")).collect()]
+    assert hs[0] == hs[1] != hs[2]
+    expected = 0
+    for ch in "abc":
+        expected = (expected * 31 + ord(ch)) % 1_000_003
+    assert hs[0] == expected
+
+
+def test_cadence_backfill(spark):
+    df = spark.createDataFrame(
+        [("ffi", 10), ("ffi", 60), ("tpf:123", 10), ("other", 1)],
+        "datasource string, sector int",
+    )
+    got = [r.c for r in df.select(
+        S.cadence_backfill(F.col("datasource"), F.col("sector")).alias("c")).collect()]
+    assert got == [1800, 600, 120, None]
