@@ -90,6 +90,35 @@ def rolling_hash(text: Column, base: int = 31, mod: int = 1_000_003) -> Column:
     )
 
 
+def quadrature_total(*components: Column) -> Column:
+    """sqrt(sum of squares) — the reference noise model's combination of
+    shot/zodiacal/read/systematic components into a total
+    (/root/reference/dataval/noise_model.py:84-164). Each component is a
+    plain Column expression; the model becomes one codegen'd projection."""
+    total = None
+    for c in components:
+        sq = c * c
+        total = sq if total is None else total + sq
+    return F.sqrt(total)
+
+
+def zodiacal_rms(gal_lat: Column, a: float = 16.0, b: float = -0.26, c: float = 0.002) -> Column:
+    """Quadratic background-RMS curve in |galactic latitude| — the shape
+    of the reference's ZLnoise (/root/reference/dataval/noise_model.py:16-23):
+    a second-order polynomial evaluated per row, constants folded."""
+    x = F.abs(gal_lat)
+    return F.lit(a) + F.lit(b) * x + F.lit(c) * x * x
+
+
+def relpath(path: Column, root: str) -> Column:
+    """Relative path under a root — os.path.relpath analog
+    (/root/reference/dataval/dataval.py:672,687)."""
+    prefix = root if root.endswith("/") else root + "/"
+    return F.when(
+        path.startswith(prefix), path.substr(F.lit(len(prefix) + 1), F.length(path))
+    ).otherwise(path)
+
+
 def cadence_backfill(datasource: Column, sector: Column) -> Column:
     """CASE-rule backfill of a derived column from two source columns —
     shape of the reference's cadence migration

@@ -1119,3 +1119,61 @@ def q40(spark, sf_dir):
             "n", "total_qty",
         )
     )
+
+
+@query(
+    "q41_median_cadence",
+    """
+    WITH gaps AS (
+      SELECT l_orderkey,
+             round(epoch(l_shipdate)
+                   - epoch(lag(l_shipdate) OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_shipdate, l_partkey, l_suppkey)), 6) AS gap_sec
+      FROM lineitem
+    )
+    SELECT count(*) AS n_gaps,
+           round(quantile_cont(gap_sec, 0.5), 4) AS median_gap_sec,
+           round(avg(gap_sec), 4) AS avg_gap_sec
+    FROM gaps WHERE gap_sec IS NOT NULL
+    """,
+)
+def q41(spark, sf_dir):
+    """Median inter-event interval from the time vector — the reference's
+    median-cadence cross-check (int(round(86400*median(diff(time)))),
+    /root/reference/dataval/release.py:398-411) via lag + exact median."""
+    li = t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic data —
+    # the ordering must be total for lag() to be deterministic across
+    # engines; remaining ties share l_shipdate so gaps are unaffected
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_shipdate", "l_partkey", "l_suppkey"
+    )
+    gap = F.round(
+        F.col("l_shipdate").cast("timestamp").cast("double")
+        - F.lag("l_shipdate").over(w).cast("timestamp").cast("double"),
+        6,
+    )
+    gaps = li.select(gap.alias("gap_sec")).where(F.col("gap_sec").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_sec, 0.5)"), 4).alias("median_gap_sec"),
+        F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
+    )
+
+
+@query(
+    "q42_set_intersection",
+    """
+    SELECT count(*) AS n_common FROM (
+      SELECT DISTINCT user_id FROM events
+      INTERSECT
+      SELECT c_custkey FROM customer
+    )
+    """,
+)
+def q42(spark, sf_dir):
+    """Set intersection (reference np.in1d membership,
+    /root/reference/dataval/noise_metrics.py:220-232)."""
+    ev = t(spark, sf_dir, "events").select("user_id").distinct()
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    return ev.intersect(c).agg(F.count(F.lit(1)).alias("n_common"))
