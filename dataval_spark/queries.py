@@ -1177,3 +1177,36 @@ def q42(spark, sf_dir):
     ev = t(spark, sf_dir, "events").select("user_id").distinct()
     c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
     return ev.intersect(c).agg(F.count(F.lit(1)).alias("n_common"))
+
+
+@query(
+    "q43_conversation_rollup",
+    """
+    SELECT cast(l_orderkey AS VARCHAR) AS conv_id,
+           count(*) AS n_turns,
+           min(l_linenumber) AS min_idx,
+           max(l_linenumber) AS max_idx,
+           CASE WHEN min(l_linenumber) = 0
+                     AND max(l_linenumber) = count(*) - 1
+                THEN true ELSE false END AS gap_free
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 6
+    """,
+)
+def q43(spark, sf_dir):
+    """Salted two-phase per-conversation rollup (operators/rollup.py) —
+    results are exactly equal to a plain groupBy, proven against the
+    unsalted DuckDB oracle. Restricted to conversations with >= 6 turns
+    to keep the compared output small."""
+    from dataval_spark.operators.rollup import conversation_rollup
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.col("l_linenumber").alias("turn_idx"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    r = conversation_rollup(li)
+    return r.where(F.col("n_turns") >= 6).select(
+        "conv_id", "n_turns", "min_idx", "max_idx", "gap_free"
+    )

@@ -162,3 +162,30 @@ def test_multimodal_features_and_flags(spark):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
+
+
+def test_salted_rollup_equals_plain_groupby(spark):
+    from dataval_spark.fixtures import transcripts
+    from dataval_spark.operators.rollup import conversation_rollup
+
+    df = transcripts(spark, n_convs=150, seed=2187, n_parts=4, skew_convs=2, skew_turns=3000)
+    salted = conversation_rollup(df, n_salts=8).orderBy("conv_id")
+    plain = (
+        df.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("min_idx"),
+            F.max("turn_idx").alias("max_idx"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .withColumn(
+            "gap_free",
+            (F.col("min_idx") == 0) & (F.col("max_idx") == F.col("n_turns") - 1),
+        )
+        .orderBy("conv_id")
+    )
+    assert salted.collect() == plain.collect()
+    # the skewed mega-conversations are present and correct
+    skewed = {r.conv_id: r.n_turns for r in salted.where("n_turns >= 3000").collect()}
+    assert len(skewed) == 2

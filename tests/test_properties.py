@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) for the engine's pure algebra:
+bitmask verdict combination, drift statistics, histogram quantiles.
+These run without Spark jobs (driver-side math), so examples are cheap.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataval_spark.constraints.drift import Drift, _compare_hists
+from dataval_spark.quality import DEFAULT_BITMASK, QualityFlag
+
+ALL_BITS = 0
+for _f in QualityFlag:
+    ALL_BITS |= int(_f)
+
+
+@given(st.integers(min_value=0, max_value=ALL_BITS))
+def test_approved_iff_no_masked_bit(dataval):
+    approved = (dataval & DEFAULT_BITMASK) == 0
+    # parity with the reference's two-step UPDATE chain
+    # (/root/reference/dataval/dataval.py:401-402): dataval==0 approves,
+    # and dataval>0 approves iff no default-mask bit is set
+    if dataval == 0:
+        assert approved
+    for f in QualityFlag:
+        if int(f) & DEFAULT_BITMASK and dataval & int(f):
+            assert not approved
+            break
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=4, max_size=32),
+)
+def test_identical_distributions_never_drift(h):
+    r = _compare_hists([float(x) for x in h], [float(x) * 3 for x in h], 0.25, 0.30)
+    assert r["psi"] < 1e-6
+    assert r["ks"] < 1e-9
+    assert not r["drifted"]
+
+
+@given(
+    st.integers(min_value=4, max_value=16),
+    st.integers(min_value=100, max_value=10_000),
+)
+def test_disjoint_distributions_always_drift(nbins, n):
+    h = [float(n)] + [0.0] * (nbins - 1)
+    ref = [0.0] * (nbins - 1) + [float(n)]
+    r = _compare_hists(h, ref, 0.25, 0.30)
+    assert r["drifted"]
+    assert r["ks"] > 0.9
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=5, max_size=5),
+)
+@settings(max_examples=50)
+def test_hist_quantiles_monotonic_and_bounded(counts):
+    d = Drift(expr=None, bins=[0.0, 10.0, 20.0, 30.0, 40.0, 50.0], name="t")
+    row = {f"hist_t_{i}": c for i, c in enumerate(counts)}
+    qs = d.quantiles_from_hist(row, probs=(0.1, 0.5, 0.9))
+    if sum(counts) == 0:
+        assert all(q != q for q in qs)  # all NaN
+        return
+    assert qs == sorted(qs)                      # monotonic in p
+    assert all(0.0 <= q <= 50.0 for q in qs)     # inside the bin range
+
+
+def test_median_of_uniform_hist_is_midpoint():
+    d = Drift(expr=None, bins=[0.0, 10.0, 20.0, 30.0, 40.0], name="t")
+    row = {f"hist_t_{i}": 25 for i in range(4)}
+    (q50,) = d.quantiles_from_hist(row, probs=(0.5,))
+    assert abs(q50 - 20.0) < 1e-6
