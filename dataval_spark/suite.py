@@ -72,6 +72,39 @@ class ValidationResult:
             "n_partitions_passed": sum(1 for r in rows if r["passed"]),
         }
 
+    def report(self) -> str:
+        """Human-readable per-partition summary — parity with the
+        reference's printed per-(camera,ccd) approved/rejected grid and
+        per-flag rejection-reason counts
+        (/root/reference/dataval/dataval.py:422-471)."""
+        rows = sorted(self.partition_metrics, key=lambda m: m["part"])
+        total = self.summary()
+        lines = [
+            "part  rows      approved  rejected  rej%    drift  verdict",
+            "----  --------  --------  --------  ------  -----  -------",
+        ]
+        for m in rows:
+            lines.append(
+                f"{m['part']:>4}  {m['n_rows']:>8}  {m['n_approved']:>8}  "
+                f"{m['n_rejected']:>8}  {m['reject_ratio']*100:>5.2f}%  "
+                f"{'yes' if m['drifted'] else 'no':>5}  "
+                f"{'PASS' if m['passed'] else 'FAIL'}"
+            )
+        lines.append("")
+        lines.append(
+            f"TOTAL {total['n_rows']} rows, {total['n_approved']} approved "
+            f"({total['n_approved']/max(total['n_rows'],1)*100:.2f}%), "
+            f"{total['n_partitions_passed']}/{total['n_partitions']} partitions passed"
+        )
+        # per-flag rejection-reason counts across all partitions
+        flag_totals = {
+            f.name: sum(m.get(f"n_flag_{f.name}", 0) for m in rows) for f in QualityFlag
+        }
+        fired = {k: v for k, v in flag_totals.items() if v}
+        if fired:
+            lines.append("flag counts: " + ", ".join(f"{k}={v}" for k, v in sorted(fired.items())))
+        return "\n".join(lines)
+
 
 class Suite:
     """A validation suite over a transcript-shaped DataFrame."""

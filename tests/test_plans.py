@@ -59,3 +59,21 @@ def test_dim_join_broadcasts(spark, sf_dir):
     df = QUERIES["q06_stats_by_nation"](spark, sf_dir)
     df.collect()
     assert E.broadcast_join_count(df) >= 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Both sides bucketed on the join key -> the join plan has ZERO
+    exchanges (the pay-at-write / win-at-read strategy for repeated
+    conv_id joins at scale)."""
+    from dataval_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}/wh'")
+    left = transcripts(spark, n_convs=200, seed=2187, n_parts=4, with_defects=False)
+    right = left.groupBy("conv_id").count()
+    write_bucketed(left, "bktest.turns", "conv_id", n_buckets=8)
+    write_bucketed(right, "bktest.convs", "conv_id", n_buckets=8)
+
+    joined = bucketed_join(spark, "bktest.turns", "bktest.convs", "conv_id")
+    joined.collect()
+    assert E.shuffle_count(joined) == 0, E.physical_plan(joined)
+    assert joined.count() == left.count()

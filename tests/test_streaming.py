@@ -51,3 +51,73 @@ def test_streaming_flags_match_batch(spark, stream_dir):
     exp_a = expected_flagged.where("approved").count()
     assert got.n == exp_n
     assert got.a == exp_a
+
+
+def test_stateful_sequence_validation(spark, tmp_path):
+    """Drive applyInPandasWithState across TWO micro-batches: state must
+    carry max_idx/last_ts between batches so cross-batch duplicates and
+    gaps are caught."""
+    import os
+    import pandas as pd
+
+    from dataval_spark.quality import QualityFlag
+    from dataval_spark.streaming.stateful import streaming_sequence_verdicts
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    schema = "conv_id string, turn_idx int, ts string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).selectExpr(
+            "conv_id", "turn_idx", "cast(ts as timestamp) AS ts"
+        )
+
+    batch1 = mk(
+        [("c1", 0, "2024-01-01 00:00:00"),
+         ("c1", 1, "2024-01-01 00:01:00"),
+         ("c2", 0, "2024-01-01 00:00:00")]
+    )
+    batch1.coalesce(1).write.mode("append").parquet(d)
+
+    import time
+
+    def poll(n_expected, deadline=120):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            if q.exception():
+                raise AssertionError(q.exception())
+            rows = spark.sql("SELECT * FROM seq_verdicts").collect()
+            if len(rows) >= n_expected:
+                return rows
+            time.sleep(2)
+        raise AssertionError(f"timed out waiting for {n_expected} rows")
+
+    stream = spark.readStream.schema(batch1.schema).parquet(d)
+    q = (
+        streaming_sequence_verdicts(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("seq_verdicts")
+        .start()
+    )
+    try:
+        poll(3)
+        # micro-batch 2: a replayed turn (dup), a gap, an out-of-order ts
+        batch2 = mk(
+            [("c1", 1, "2024-01-01 00:02:00"),   # dup of existing idx
+             ("c1", 4, "2024-01-01 00:03:00"),   # gap (2,3 missing)
+             ("c2", 1, "2023-12-31 23:59:00")]   # ts regression
+        )
+        batch2.coalesce(1).write.mode("append").parquet(d)
+        rows = poll(6)
+    finally:
+        q.stop()
+
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.conv_id, r.turn_idx), []).append(r.dataval)
+    assert by_key[("c1", 0)] == [0]
+    assert by_key[("c1", 1)][0] == 0                               # first arrival clean
+    assert int(QualityFlag.DuplicateTurn) in by_key[("c1", 1)]     # replay flagged
+    assert by_key[("c1", 4)] == [int(QualityFlag.SequenceGap)]
+    assert by_key[("c2", 1)] == [int(QualityFlag.NonMonotonicTs)]
