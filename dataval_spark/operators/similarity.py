@@ -40,7 +40,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide, not /: Spark 4 runs ANSI mode by default, so a single
+    # zero vector in a 10^9-row corpus would fail the whole job with
+    # DIVIDE_BY_ZERO. NULL similarity ranks last instead.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(

@@ -189,3 +189,80 @@ def test_salted_rollup_equals_plain_groupby(spark):
     # the skewed mega-conversations are present and correct
     skewed = {r.conv_id: r.n_turns for r in salted.where("n_turns >= 3000").collect()}
     assert len(skewed) == 2
+
+
+def test_ivf_ann_recall(spark):
+    """IVF with 4 well-separated clusters: training finds them, probing 1
+    cluster returns the true neighbors, recall vs brute force is perfect
+    on separated data."""
+    import math
+
+    from dataval_spark.operators.ivf import build_index, ivf_topk, train_centroids
+    from dataval_spark.operators.similarity import brute_force_topk
+
+    dim = 8
+    rows = []
+    for cluster in range(4):
+        base = [0.0] * dim
+        base[cluster * 2] = 10.0
+        for i in range(25):
+            vec = [b + math.sin(cluster * 100 + i * 7 + d) * 0.3 for d, b in enumerate(base)]
+            rows.append((cluster * 100 + i, vec))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = train_centroids(corpus, dim, k=4, iters=3)
+    assert len(cents) == 4
+    index = build_index(corpus, cents).cache()
+    # clusters are balanced: each centroid owns ~25 vectors
+    sizes = {r["_cluster"]: r["n"] for r in index.groupBy("_cluster").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == 4 and all(v == 25 for v in sizes.values())
+
+    queries = spark.createDataFrame(
+        [(0, rows[3][1]), (1, rows[28][1])], "query_id long, query_vec array<float>"
+    )
+    approx = ivf_topk(index, cents, queries, k=5, nprobe=1)
+    exact = brute_force_topk(corpus, queries, k=5)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    assert a == e  # perfect recall on separated clusters with nprobe=1
+
+
+def test_text_ops_unicode_and_edge_cases(spark):
+    """Unicode text, emoji, CJK, empty and whitespace-only strings must
+    not break tokenization/fingerprints/dedup hashing."""
+    rows = [
+        (1, "héllo wörld ünïcode"),
+        (2, "日本語 テキスト 検証"),
+        (3, "emoji 🚀 in 🧪 text"),
+        (4, ""),
+        (5, "   "),
+        (6, "tabs\tand\nnewlines  collapse"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n"),
+        X.fingerprint(F.col("text")).alias("fp"),
+        D.simhash(F.col("text"), 16).alias("sh"),
+        D.minhash_signature(F.col("text"), 2).alias("mh"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n == 3 and by_id[2].n == 3 and by_id[3].n == 5
+    assert by_id[4].n == 0 and by_id[5].n == 0
+    assert by_id[6].n == 4  # \t and \n are token separators
+    assert all(len(r.fp) == 16 for r in out)
+    assert all(0 <= r.sh < 2**16 for r in out)
+
+
+def test_similarity_null_and_zero_vectors(spark):
+    """Zero vectors produce NULL cosine (0/0) rather than crashing; they
+    rank last and never displace real neighbors."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    top = S.brute_force_topk(corpus, queries, k=2).collect()
+    assert [r.vec_id for r in top] == [1, 3]
