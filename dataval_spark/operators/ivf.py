@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dataval_spark.operators.similarity import cosine
+from dataval_spark.operators.similarity import rank_topk
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
@@ -30,16 +30,23 @@ def _sq_dist(vec: Column, centroid: list[float]) -> Column:
     return d
 
 
+def _dist_structs(vec: Column, centroids: list[list[float]]) -> Column:
+    """Sorted array of (distance, centroid-idx) structs — struct ordering
+    sorts by distance first, index as deterministic tie-break."""
+    return F.array_sort(
+        F.array(*[
+            F.struct(_sq_dist(vec, c).alias("d"), F.lit(j).alias("j"))
+            for j, c in enumerate(centroids)
+        ])
+    )
+
+
 def _assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin over squared distances to every centroid (when-chain)."""
-    best_idx = F.lit(0)
-    best_d = _sq_dist(vec, centroids[0])
-    for j, c in enumerate(centroids[1:], start=1):
-        d = _sq_dist(vec, c)
-        closer = d < best_d
-        best_idx = F.when(closer, F.lit(j)).otherwise(best_idx)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return best_idx
+    """argmin over squared distances. Uses array_sort over (d, j) structs
+    — O(k·dim) expression nodes. A when-chain argmin embeds the running
+    best twice per step, doubling the expression tree each centroid
+    (O(2^k) plan nodes): Catalyst hangs at k=16 before reading any data."""
+    return F.element_at(_dist_structs(vec, centroids), 1).getField("j")
 
 
 def train_centroids(
@@ -88,30 +95,10 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe the nprobe nearest clusters per query, score only those
     vectors, return the cosine top-k with deterministic tie-break."""
-    from pyspark.sql import Window
-
     q = queries.withColumn(
         "_probes",
-        F.slice(
-            F.array_sort(
-                F.array(*[
-                    F.struct(
-                        _sq_dist(F.col(query_vec_col), c).alias("d"),
-                        F.lit(j).alias("j"),
-                    )
-                    for j, c in enumerate(centroids)
-                ])
-            ),
-            1,
-            nprobe,
-        ).getField("j"),
+        F.slice(_dist_structs(F.col(query_vec_col), centroids), 1, nprobe).getField("j"),
     )
     q = q.withColumn("_cluster", F.explode("_probes")).drop("_probes")
     joined = index.join(F.broadcast(q), "_cluster")
-    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        joined.select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)

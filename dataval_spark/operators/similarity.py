@@ -46,6 +46,23 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+def rank_topk(
+    joined: DataFrame, k: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Shared scoring tail for every ANN variant: rounded cosine (the
+    4-decimal round is what the DuckDB oracle parity relies on),
+    deterministic tie-break on corpus id, rank <= k."""
+    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        joined.select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -54,13 +71,7 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast queries x corpus, deterministic
     tie-break on corpus id. Output: query_id, vec_id, sim, rank."""
     joined = corpus.crossJoin(F.broadcast(queries))
-    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        joined.select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
 def plane(j: int, dim: int) -> list[float]:
@@ -99,13 +110,7 @@ def lsh_topk(
     c = corpus.withColumn("_bkt", lsh_bucket(F.col(vec_col), dim, n_planes))
     q = queries.withColumn("_bkt", lsh_bucket(F.col(query_vec_col), dim, n_planes))
     joined = c.join(F.broadcast(q), "_bkt")
-    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4)
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        joined.select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
 def cosine_near_dup_pairs(

@@ -1210,3 +1210,21 @@ def q43(spark, sf_dir):
     return r.where(F.col("n_turns") >= 6).select(
         "conv_id", "n_turns", "min_idx", "max_idx", "gap_free"
     )
+
+
+@query(
+    "q44_dedup_keep_first",
+    f"""
+    SELECT lang, count(*) AS n_kept FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1 GROUP BY lang
+    """,
+)
+def q44(spark, sf_dir):
+    """Keep-first exact dedup (operators/dedup.py::dedup_keep_first):
+    lowest-id survivor per normalized-text fingerprint group."""
+    d = D.dedup_keep_first(t(spark, sf_dir, "documents"), "doc_id")
+    return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -3,8 +3,11 @@
 
 Usage:
     python package.py [out.zip]
-    spark-submit --py-files dataval_spark.zip -m dataval_spark.cli \
+    spark-submit --py-files dataval_spark.zip run_validate.py \
         --input s3://bucket/transcripts --manifest s3://bucket/manifest --run-id r1
+
+(spark-submit takes a primary application FILE — run_validate.py is the
+thin wrapper around dataval_spark.cli.main.)
 
 Mirrors the reference's deployable-CLI contract (run_dataval.py /
 run_package_release.py) for multi-executor clusters.

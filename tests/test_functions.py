@@ -88,3 +88,25 @@ def test_cadence_backfill(spark):
     got = [r.c for r in df.select(
         S.cadence_backfill(F.col("datasource"), F.col("sector")).alias("c")).collect()]
     assert got == [1800, 600, 120, None]
+
+
+def test_combine_verdicts_and_decompose(spark):
+    from dataval_spark.quality import QualityFlag, decompose
+    from dataval_spark.verdict import combine_verdicts
+
+    df = spark.createDataFrame(
+        [(0, 1), (int(QualityFlag.DuplicateTurn), 1),
+         (int(QualityFlag.BadStatus), 1), (0, 4)],
+        "dataval int, status int",
+    )
+    out = combine_verdicts(df).collect()
+    assert [r.approved for r in out] == [True, False, True, False]
+    # BadStatus bit alone does not reject (outside mask); status=4 forces
+
+    names = df.select(decompose(F.col("dataval")).alias("n")).collect()
+    assert list(names[1].n) == ["DuplicateTurn"]
+    assert list(names[0].n) == []
+
+    # graceful degradation without status column
+    out2 = combine_verdicts(df.drop("status")).collect()
+    assert [r.approved for r in out2] == [True, False, True, True]
