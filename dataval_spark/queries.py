@@ -30,6 +30,11 @@ ORACLE: dict[str, str] = {}
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The DuckDB oracle treats timestamps as UTC-naive; every timestamp-
+    # rendering/epoch expression here assumes the same. The driver may
+    # hand us a session with a different timezone — pin it.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
