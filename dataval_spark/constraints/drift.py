@@ -38,6 +38,12 @@ class Drift(Constraint):
     ks_threshold: float = 0.30
     flag: QualityFlag | None = QualityFlag.DriftedPartition
     name: str = "drift"
+    # Optional reference histogram (bin counts from a trusted baseline
+    # period/run — e.g. a previous manifest's metrics). When set, each
+    # partition is compared against IT instead of the pooled rest of the
+    # current run: the production drift semantics, and it detects
+    # whole-dataset drift that pooled-rest comparison is blind to.
+    baseline: list[float] | None = None
 
     @property
     def nbins(self) -> int:
@@ -99,7 +105,10 @@ class Drift(Constraint):
         total = [sum(v[i] for v in counts.values()) for i in range(self.nbins)]
         out: dict = {}
         for part, h in counts.items():
-            rest = [total[i] - h[i] for i in range(self.nbins)]
+            if self.baseline is not None:
+                rest = [float(x) for x in self.baseline]
+            else:
+                rest = [total[i] - h[i] for i in range(self.nbins)]
             # sample-size-aware noise floors: under the null hypothesis
             # E[PSI] ≈ (B-1)·(1/n_h + 1/n_r) (chi-square approximation) and
             # the KS statistic scales ~ c·sqrt(1/n_h + 1/n_r); small

@@ -125,3 +125,40 @@ def test_default_bitmask_composition():
     assert DEFAULT_BITMASK & int(QualityFlag.SequenceGap)
     assert not DEFAULT_BITMASK & int(QualityFlag.DriftedPartition)
     assert not DEFAULT_BITMASK & int(QualityFlag.BadStatus)  # handled by forced rejection
+
+
+def test_drift_against_persisted_baseline(spark):
+    """Production drift semantics: compare every partition against a
+    reference-period histogram. Whole-dataset drift (every partition
+    shifted the same way) is invisible to pooled-rest comparison but
+    must fire against a baseline."""
+    from dataval_spark.constraints.drift import Drift
+    from dataval_spark.suite import Suite
+    from pyspark.sql import functions as F
+
+    bins = [0.0, 200.0, 400.0, 600.0, 900.0]
+    text_len = lambda: F.length(F.col("text")).cast("double")  # noqa: E731
+
+    # baseline period: clean generation
+    base = transcripts(spark, n_convs=300, seed=1, n_parts=4, with_defects=False)
+    d0 = Drift(expr=text_len, bins=bins, name="d")
+    res0 = Suite([d0]).run(base)
+    baseline = [
+        sum(m[f"hist_d_{i}"] for m in res0.partition_metrics) for i in range(d0.nbins)
+    ]
+
+    # current period: every text massively longer (global shift)
+    shifted = base.withColumn("text", F.repeat(F.col("text"), 3))
+    d_pooled = Drift(expr=text_len, bins=bins, name="d")
+    pooled = Suite([d_pooled]).run(shifted)
+    assert not any(m["drifted"] for m in pooled.partition_metrics), (
+        "pooled-rest comparison is blind to whole-dataset drift"
+    )
+
+    d_base = Drift(expr=text_len, bins=bins, name="d", baseline=baseline)
+    against_base = Suite([d_base]).run(shifted)
+    assert all(m["drifted"] for m in against_base.partition_metrics)
+
+    # and a clean current period does NOT fire against the baseline
+    clean_again = Suite([Drift(expr=text_len, bins=bins, name="d", baseline=baseline)]).run(base)
+    assert not any(m["drifted"] for m in clean_again.partition_metrics)
