@@ -72,6 +72,26 @@ class Constraint:
         """Driver-side partition gate over the collected metrics row."""
         return None
 
+    def identity(self) -> dict:
+        """Deterministic description of this constraint's configuration,
+        used by the manifest settings guard (manifest.suite_hash).
+        Includes every non-callable field value; callables (custom
+        predicates, expressions) contribute their qualified name only."""
+        out = {"cls": type(self).__name__, "name": self.name,
+               "flag": int(self.flag) if self.flag else 0}
+        for k, v in sorted(vars(self).items()):
+            if k in out or k.startswith("_"):
+                continue
+            if callable(v):
+                out[k] = getattr(v, "__qualname__", "callable")
+            elif isinstance(v, (list, tuple)):
+                out[k] = [str(x) for x in v]
+            elif isinstance(v, dict):
+                out[k] = {str(a): str(b) for a, b in sorted(v.items())}
+            else:
+                out[k] = str(v)
+        return out
+
 
 @dataclass
 class NotNull(Constraint):
@@ -127,6 +147,10 @@ class Unique(Constraint):
         self.name = "unique_" + "_".join(self.keys)
 
     def row_condition(self, df: DataFrame) -> Column:
+        # keys must equal the suite's (conv_col, order_col): the window
+        # enrichment is partitioned/ordered on those — Suite validates
+        # this at construction time (suite.py) so a mismatched composite
+        # key fails fast instead of silently never flagging.
         t = F.col(self.keys[-1])
         return (t == F.col("_prev_idx")) | (t == F.col("_next_idx"))
 
@@ -141,12 +165,13 @@ class SequenceIntegrity(Constraint):
     first row when the prefix is missing.
     """
 
+    order_col: str = "turn_idx"
     flag: QualityFlag | None = QualityFlag.SequenceGap
     needs_sequence: bool = True
     name: str = "sequence_integrity"
 
     def row_condition(self, df: DataFrame) -> Column:
-        t = F.col("turn_idx")
+        t = F.col(self.order_col)
         first_missing_prefix = F.col("_prev_idx").isNull() & (t > 0)
         gap = F.col("_prev_idx").isNotNull() & (t - F.col("_prev_idx") > 1)
         return first_missing_prefix | gap
@@ -158,12 +183,13 @@ class MonotonicTs(Constraint):
     duplicate turn_idx). Analog of the cadence-vs-TIME consistency check
     (/root/reference/dataval/release.py:398-411)."""
 
+    ts_col: str = "ts"
     flag: QualityFlag | None = QualityFlag.NonMonotonicTs
     needs_sequence: bool = True
     name: str = "monotonic_ts"
 
     def row_condition(self, df: DataFrame) -> Column:
-        return F.col("_prev_ts").isNotNull() & (F.col("ts") < F.col("_prev_ts"))
+        return F.col("_prev_ts").isNotNull() & (F.col(self.ts_col) < F.col("_prev_ts"))
 
 
 @dataclass
@@ -276,7 +302,11 @@ class StatusGate(Constraint):
     def row_condition(self, df: DataFrame) -> Column | None:
         if self.col not in df.columns:  # graceful degradation, see S4/§1.3
             return None
-        return ~F.col(self.col).isin(*self.ok_values)
+        # NULL status must reject (oracle parity): bare ~isin yields NULL
+        # for NULL input, which would silently drop the row from both
+        # n_approved and n_rejected
+        c = F.col(self.col)
+        return c.isNull() | ~c.isin(*self.ok_values)
 
 
 @dataclass

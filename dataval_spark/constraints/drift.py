@@ -104,9 +104,18 @@ class Drift(Constraint):
         counts = {r["part"]: [float(r[c] or 0) for c in cols] for r in partition_rows}
         total = [sum(v[i] for v in counts.values()) for i in range(self.nbins)]
         out: dict = {}
+        degenerate = self.baseline is None and len(counts) < 2
         for part, h in counts.items():
             if self.baseline is not None:
                 rest = [float(x) for x in self.baseline]
+            elif degenerate:
+                # pooled-rest needs >=2 partitions; a resumed run that
+                # validates a single new partition has no reference —
+                # report the degeneracy instead of a vacuous pass
+                # (callers should supply `baseline` for resumed runs)
+                out[part] = {"psi": 0.0, "ks": 0.0, "drifted": False,
+                             "no_reference": True}
+                continue
             else:
                 rest = [total[i] - h[i] for i in range(self.nbins)]
             # sample-size-aware noise floors: under the null hypothesis

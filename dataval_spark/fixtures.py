@@ -205,10 +205,14 @@ def _inject_defects(t: DataFrame, s, with_labels: bool) -> DataFrame:
         return g
 
     mid = (F.col("turn_idx") > 0) & (F.col("turn_idx") < F.col("n_turns") - 1)
-    g_dup = gate("duplicate_turn")
-    g_gap = gate("sequence_gap", mid)
     g_ooo = gate("ts_out_of_order", F.col("turn_idx") > 0)
     g_null_text = gate("null_text")
+    # duplicate copies must not co-occur with mutations that change on the
+    # copy (NULL text survives concat_ws; shared mutated ts defeats the
+    # strict-< monotonic check) — otherwise the copy inherits labels that
+    # are no longer true of it and ground truth goes stale
+    g_dup = gate("duplicate_turn", ~g_ooo & ~g_null_text)
+    g_gap = gate("sequence_gap", mid)
     g_null_role = gate("null_role", F.col("turn_idx") > 0)
     g_bad_role = gate("bad_role", F.col("turn_idx") > 0)
     g_bad_tool = gate("bad_tool", F.col("role") == "tool")

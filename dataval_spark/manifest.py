@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,29 +33,34 @@ MANIFEST_SCHEMA = (
 
 
 def suite_hash(suite: Suite) -> str:
-    """Deterministic fingerprint of the suite configuration."""
+    """Deterministic fingerprint of the full suite configuration —
+    every constraint's parameters (bounds, thresholds, domains, bins),
+    not just names — so resuming a run under changed settings is
+    refused (the reference's settings-consistency guard,
+    /root/reference/run_package_release.py:229-236)."""
     desc = json.dumps(
-        [
-            {
-                "name": c.name,
-                "flag": int(c.flag) if c.flag else 0,
-                "cls": type(c).__name__,
-            }
-            for c in suite.constraints
-        ]
-        + [{"mask": suite.default_mask, "reject_ratio": suite.reject_ratio_fail}],
+        [c.identity() for c in suite.constraints]
+        + [{"mask": suite.default_mask, "reject_ratio": suite.reject_ratio_fail,
+            "part_col": suite.part_col, "conv_col": suite.conv_col,
+            "order_col": suite.order_col, "ts_col": suite.ts_col}],
         sort_keys=True,
     )
     return hashlib.sha1(desc.encode()).hexdigest()[:16]
 
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
-    if not os.path.exists(path):
-        return None
+    """None only when the manifest genuinely does not exist yet. Works
+    for remote paths (s3://, hdfs://) by asking Spark, not os.path;
+    any OTHER read failure (permissions, corruption) propagates — a
+    swallowed error here would silently disable resume AND the
+    settings guard."""
     try:
         return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
-    except Exception:
-        return None
+    except Exception as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def completed_parts(spark: SparkSession, path: str, run_id: str, shash: str) -> set[int]:
@@ -92,7 +96,10 @@ def run_resumable(
         if df.limit(1).count() == 0:
             return None
 
-    result = suite.run(df)
+    # persist the flagged frame when verdicts are also written: the
+    # metrics collect and the verdicts write would otherwise each pay the
+    # full scan + window shuffle
+    result = suite.run(df, persist=bool(verdicts_path))
     if not result.partition_metrics:
         return None
 
@@ -112,12 +119,14 @@ def run_resumable(
         }
         for m in result.partition_metrics
     ]
-    spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(manifest_path)
-
+    # COMMIT ORDER: verdicts first, manifest last. The manifest append is
+    # what marks partitions done; writing it first would let a crash
+    # between the two writes permanently skip the verdicts on re-run.
     if verdicts_path:
         result.row_verdicts.write.mode("append").partitionBy(suite.part_col).parquet(
             verdicts_path
         )
+    spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(manifest_path)
     return result

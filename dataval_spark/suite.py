@@ -23,9 +23,12 @@ Scale notes (100 TB / 10^12 turns):
     conversation lengths (int32 turn_idx) the largest conversation is
     ~10^5 rows — orders of magnitude below a shuffle partition, so no
     window skew. AQE skew-join/coalesce is enabled for everything else.
-  * the partition roll-up aggregates are all algebraic/sketch-based
-    (sum/avg/approx_count_distinct/percentile_approx/hist counts) →
-    map-side combine shrinks the shuffle to O(parts × metrics).
+  * the partition roll-up aggregates are all DECLARATIVE algebraic
+    expressions (sum/avg/min/max/count + histogram bin counts) — map-side
+    combine shrinks the shuffle to O(parts × metrics), and the whole agg
+    stays in whole-stage codegen (imperative sketches would drop it to
+    interpreted ObjectHashAggregate; quantiles come from the histograms
+    driver-side instead).
   * drift evaluation sees only the aggregated histograms (O(P × nbins)),
     never raw rows.
 """
@@ -126,6 +129,21 @@ class Suite:
         self.conv_col = conv_col
         self.order_col = order_col
         self.ts_col = ts_col
+        # sequence constraints are evaluated against the ONE window this
+        # suite builds (partitionBy conv_col orderBy order_col, ts_col);
+        # a Unique constraint declaring any other composite key would
+        # silently check the wrong thing — fail fast instead.
+        for c in constraints:
+            if isinstance(c, Unique) and tuple(c.keys) != (conv_col, order_col):
+                raise ValueError(
+                    f"Unique{tuple(c.keys)} must match the suite's "
+                    f"(conv_col, order_col)=({conv_col!r}, {order_col!r}); "
+                    "for other keys use a dedicated groupBy-count check"
+                )
+            if isinstance(c, SequenceIntegrity) and c.order_col != order_col:
+                raise ValueError("SequenceIntegrity.order_col must match suite.order_col")
+            if isinstance(c, MonotonicTs) and c.ts_col != ts_col:
+                raise ValueError("MonotonicTs.ts_col must match suite.ts_col")
 
     # ------------------------------------------------------------------
     def project(self, df: DataFrame) -> DataFrame:
@@ -240,9 +258,18 @@ class Suite:
         return flagged.groupBy(self.part_col).agg(*aggs)
 
     # ------------------------------------------------------------------
-    def run(self, df: DataFrame) -> ValidationResult:
+    def run(self, df: DataFrame, persist: bool = False) -> ValidationResult:
+        """Run the suite. ``persist=True`` caches the flagged frame
+        (memory+disk) so callers that consume row_verdicts/violations
+        after the metrics action do not recompute the scan+window —
+        worth it when the verdicts are written out (run_resumable);
+        callers own unpersist via result.row_verdicts.sparkSession."""
         enriched = self.enrich(self.project(df))
         flagged = self.flag_rows(enriched)
+        if persist:
+            from pyspark.storagelevel import StorageLevel
+
+            flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
 
         part_agg = self.partition_aggregate(flagged)
         metric_rows = [r.asDict() for r in part_agg.collect()]
@@ -291,25 +318,35 @@ class Suite:
                 ]
             )
         else:
+            # schema-stable empty result: the aggregation's own schema
+            # plus the driver-derived columns, so empty increments append
+            # cleanly next to non-empty ones
+            from pyspark.sql import types as T
+
+            extra = T.StructType(
+                [
+                    T.StructField("reject_ratio", T.DoubleType()),
+                    T.StructField("drifted", T.BooleanType()),
+                    T.StructField("dataval_part", T.IntegerType()),
+                    T.StructField("passed", T.BooleanType()),
+                ]
+            )
             pv = spark.createDataFrame(
-                [],
-                schema="part int, n_rows long, n_approved long, n_rejected long, "
-                "reject_ratio double, drifted boolean, dataval_part int, passed boolean",
+                [], schema=T.StructType(list(part_agg.schema.fields) + list(extra.fields))
             )
 
         row_verdicts = flagged.select(
             self.conv_col, self.order_col, self.part_col, "dataval", "approved"
         )
-        violations = (
-            flagged.where(F.col("dataval") != 0)
-            .select(
-                F.explode(decompose(F.col("dataval"))).alias("constraint"),
-                F.col(self.part_col).alias("part"),
-                self.conv_col,
-                self.order_col,
-                F.col("dataval"),
-            )
-            .orderBy("constraint", self.conv_col, self.order_col)
+        # no global orderBy here: a full sort of every violating row is an
+        # unbounded extra shuffle at scale, purely cosmetic — consumers
+        # (and tests) sort the slice they look at
+        violations = flagged.where(F.col("dataval") != 0).select(
+            F.explode(decompose(F.col("dataval"))).alias("constraint"),
+            F.col(self.part_col).alias("part"),
+            self.conv_col,
+            self.order_col,
+            F.col("dataval"),
         )
         return ValidationResult(row_verdicts, pv, violations, metric_rows)
 
