@@ -112,8 +112,8 @@ def q02(spark, sf_dir):
     "q03_sequence_integrity",
     """
     SELECT count(*) AS n_convs,
-           sum(CASE WHEN min_idx = 1 AND max_idx = n_turns THEN 1 ELSE 0 END) AS n_gap_free,
-           sum(CASE WHEN min_idx <> 1 OR max_idx <> n_turns THEN 1 ELSE 0 END) AS n_with_gaps
+           CAST(sum(CASE WHEN min_idx = 1 AND max_idx = n_turns THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_free,
+           CAST(sum(CASE WHEN min_idx <> 1 OR max_idx <> n_turns THEN 1 ELSE 0 END) AS BIGINT) AS n_with_gaps
     FROM (
       SELECT l_orderkey, count(*) AS n_turns,
              min(l_linenumber) AS min_idx, max(l_linenumber) AS max_idx
@@ -165,9 +165,9 @@ def q04(spark, sf_dir):
     "q05_domain_check",
     """
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
-                    OR event_type IS NULL THEN 1 ELSE 0 END) AS n_bad_type,
-           sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS n_bad_value
+           CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+                    OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type,
+           CAST(sum(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_value
     FROM events
     """,
 )
@@ -224,9 +224,9 @@ def q07(spark, sf_dir):
     "q08_grid_summary",
     """
     SELECT n_name,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
            count(*) AS n_total
     FROM orders JOIN customer ON o_custkey = c_custkey
                 JOIN nation ON c_nationkey = n_nationkey
@@ -342,11 +342,11 @@ _FLAG_SQL = """
     f"""
     SELECT l_returnflag,
            count(*) AS n_rows,
-           sum(CASE WHEN (dataval & 1) <> 0 THEN 1 ELSE 0 END) AS n_high_qty,
-           sum(CASE WHEN (dataval & 2) <> 0 THEN 1 ELSE 0 END) AS n_high_disc,
-           sum(CASE WHEN (dataval & 4) <> 0 THEN 1 ELSE 0 END) AS n_high_tax,
-           sum(CASE WHEN (dataval & 8) <> 0 THEN 1 ELSE 0 END) AS n_bad_price,
-           sum(CASE WHEN (dataval & 3) = 0 THEN 1 ELSE 0 END) AS n_approved
+           CAST(sum(CASE WHEN (dataval & 1) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_qty,
+           CAST(sum(CASE WHEN (dataval & 2) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+           CAST(sum(CASE WHEN (dataval & 4) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tax,
+           CAST(sum(CASE WHEN (dataval & 8) <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_price,
+           CAST(sum(CASE WHEN (dataval & 3) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_approved
     FROM ({_FLAG_SQL})
     GROUP BY l_returnflag
     """,
@@ -554,7 +554,7 @@ def q19(spark, sf_dir):
       FROM events
     )
     SELECT count(DISTINCT user_id) AS n_users,
-           sum(is_start) AS n_sessions,
+           CAST(sum(is_start) AS BIGINT) AS n_sessions,
            count(*) AS n_events
     FROM marked
     """,
@@ -631,15 +631,21 @@ from dataval_spark.operators import text as X  # noqa: E402
 
 _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS_SQL = f"list_distinct(string_split({_NORM_SQL}, ' '))"
+# exact twin of operators.text.token_count: 0 for empty/blank text, and
+# consecutive whitespace collapses to ONE separator (Spark split on \s+)
+_TOKN_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END"
+)
 
 
 @query(
     "q24_token_stats",
-    """
+    f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split(trim(text), ' '))) AS total_tokens,
-           round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens,
+           CAST(sum({_TOKN_SQL}) AS BIGINT) AS total_tokens,
+           round(avg({_TOKN_SQL}), 4) AS avg_tokens,
            round(avg(length(text)), 4) AS avg_chars
     FROM documents GROUP BY lang
     """,
@@ -656,8 +662,8 @@ def q24(spark, sf_dir):
     )
 
 
-_QUALITY_SQL = """round(
-      least(len(string_split(trim(text), ' ')) / 50.0, 1.0) * 0.6
+_QUALITY_SQL = f"""round(
+      least(({_TOKN_SQL}) / 50.0, 1.0) * 0.6
     + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                    / greatest(length(text), 1) * 5.0, 1.0)) * 0.4, 6)"""
 
@@ -667,7 +673,7 @@ _QUALITY_SQL = """round(
     f"""
     SELECT source,
            round(avg({_QUALITY_SQL}), 6) AS avg_quality,
-           sum(CASE WHEN {_QUALITY_SQL} >= 0.8 THEN 1 ELSE 0 END) AS n_high_quality,
+           CAST(sum(CASE WHEN {_QUALITY_SQL} >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
            count(*) AS n_docs
     FROM documents GROUP BY source
     """,
@@ -962,7 +968,7 @@ def q34(spark, sf_dir):
       FROM events
     )
     SELECT count(*) AS n_errors,
-           sum(CASE WHEN last_click IS NOT NULL THEN 1 ELSE 0 END) AS n_with_prior_click,
+           CAST(sum(CASE WHEN last_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_prior_click,
            round(avg(round(epoch(ts) - epoch(last_click), 6)), 4) AS avg_gap_sec
     FROM w WHERE event_type = 'error'
     """,

@@ -55,12 +55,22 @@ def test_every_query_has_oracle_or_is_declared():
     assert not missing, f"queries without oracle_sql or NO_ORACLE declaration: {missing}"
 
 
+def _dtype_kinds(pdf):
+    """Normalized numpy dtype kind per column, sorted by column name.
+    The driver's value-hash is dtype-aware (it compares the pandas/Arrow
+    representation), so an int64-vs-float64 mismatch — e.g. DuckDB
+    sum(int)->HUGEINT surfacing as float64 — must fail locally too."""
+    return {c: pdf[c].dtype.kind.replace("u", "i") for c in sorted(pdf.columns)}
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
+    spark_pdf.columns = [c.lower() for c in spark_pdf.columns]
 
     oracles = entry_mod.oracle_sql()
     if name not in oracles:
@@ -68,9 +78,15 @@ def test_query_matches_oracle(spark, duck, name):
     res = duck.execute(oracles[name])
     duck_cols = [d[0].lower() for d in res.description]
     duck_rows = res.fetchall()
+    duck_pdf = duck.execute(oracles[name]).df()
+    duck_pdf.columns = [c.lower() for c in duck_pdf.columns]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert _dtype_kinds(spark_pdf) == _dtype_kinds(duck_pdf), (
+        f"{name}: dtype-kind mismatch (driver hash would fail): "
+        f"spark={_dtype_kinds(spark_pdf)} duck={_dtype_kinds(duck_pdf)}"
     )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
