@@ -115,27 +115,72 @@ def simhash(text: Column, bits: int = 16) -> Column:
     return code
 
 
+def simhash_chunk_keys(code: Column, bits: int, max_hamming: int) -> list[Column]:
+    """Pigeonhole multi-index keys: split the ``bits``-bit code into
+    ``max_hamming + 1`` disjoint chunks. Two codes within Hamming distance
+    ``max_hamming`` differ in at most ``max_hamming`` chunks, so they MUST
+    agree exactly on at least one chunk — joining per (chunk_idx,
+    chunk_value) guarantees recall while bounding candidates by per-chunk
+    bucket sizes (2^chunk_bits buckets per index). At production scale use
+    64-bit codes: chunks of 16 bits give 65536 buckets per index; a
+    single high-byte band (the old scheme) had only 2^(bits/2) buckets
+    total and went quadratic per bucket at 10^9 docs."""
+    m = max_hamming + 1
+    base, rem = divmod(bits, m)
+    keys, lo = [], 0
+    for i in range(m):
+        width = base + (1 if i < rem else 0)
+        mask = (1 << width) - 1
+        keys.append(
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(code, lo).bitwiseAND(F.lit(mask)).alias("cv"),
+            )
+        )
+        lo += width
+    return keys
+
+
+def code_candidates(coded: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """Candidate pairs from a (doc, code) frame BEFORE the exact-Hamming
+    filter (one row per agreeing chunk, so a pair can appear up to
+    max_hamming+1 times). Exposed so tests can assert the candidate
+    volume stays O(docs) — not O(docs^2) — on realistic code
+    distributions."""
+    keys = simhash_chunk_keys(F.col("code"), bits, max_hamming)
+    keyed = coded.select("doc", "code", F.explode(F.array(*keys)).alias("k"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return a.join(
+        b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.bit_count(F.col("a.code").bitwiseXOR(F.col("b.code"))).alias("hamming"),
+    )
+
+
+def code_near_pairs(coded: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """Exact near-pair set at Hamming <= max_hamming from (doc, code):
+    recall guaranteed by the pigeonhole multi-index, precision by the
+    bit_count(xor) filter."""
+    return (
+        code_candidates(coded, bits, max_hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str = "text",
     bits: int = 16, max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Pairs are generated by
-    self-join on the code's high byte (a crude band) then filtered by
-    bit_count(xor) — keeps the join from being a full cross product."""
-    coded = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("code"))
-    band = lambda c: F.shiftright(c, bits // 2)  # noqa: E731
-    a = coded.alias("a")
-    b = coded.alias("b")
-    ham = F.bit_count(F.col("a.code").bitwiseXOR(F.col("b.code")))
-    return (
-        a.join(b, (band(F.col("a.code")) == band(F.col("b.code"))) & (F.col("a.doc") < F.col("b.doc")))
-        .where(ham <= max_hamming)
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            ham.alias("hamming"),
-        )
+    """Near-dup pairs by SimHash Hamming distance via the pigeonhole
+    multi-index (see simhash_chunk_keys)."""
+    coded = df.select(
+        F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("code")
     )
+    return code_near_pairs(coded, bits, max_hamming)
 
 
 # --------------------------------------------------------- n-gram jaccard

@@ -1,52 +1,99 @@
 """IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
 scale path alongside the LSH variant (similarity.py).
 
-Index = k centroids (deterministic seeded init + a few Lloyd iterations,
-all DataFrame ops) + a cluster assignment per vector. Search scores only
-the vectors in the ``nprobe`` clusters nearest to the query: a 10^9-row
-corpus at k=4096 / nprobe=8 scores ~0.2% of vectors per query instead of
-a full scan, and the cluster column doubles as the partition key so each
-probe touches a bounded set of files.
+Index = k centroids (deterministic seeded init + a few Lloyd iterations)
++ a cluster assignment per vector. Search scores only the vectors in the
+``nprobe`` clusters nearest to the query: a 10^9-row corpus at k=4096 /
+nprobe=8 scores ~0.2% of vectors per query instead of a full scan, and
+the cluster column doubles as the partition key so each probe touches a
+bounded set of files.
 
-Everything is JVM-side expression code: distance chains fold to
-whole-stage-codegen arithmetic; centroid refresh is one groupBy over
-per-dimension averages.
+Scale design for the assignment step (the k x dim distance argmin):
+unrolling it as column expressions costs k*dim plan nodes — at the
+production point (k=4096, dim=64) that is ~500k expression nodes and
+Catalyst stalls before any data flows. Instead the assignment is an
+Arrow-batched ``mapInPandas`` whose body is ONE BLAS matmul per batch
+((n x dim) @ (dim x k)): plan size is O(1) in k, there is no shuffle and
+no join-back, and vectorized numpy beats scalar-arithmetic codegen on
+dense linear algebra anyway. This is the one place besides multimodal
+decode where the engine leaves the JVM — batch-vectorized, never
+per-row.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
 from dataval_spark.operators.similarity import rank_topk
 
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    d = None
-    for i, c in enumerate(centroid):
-        t = vec[i].cast("double") - F.lit(float(c))
-        sq = t * t
-        d = sq if d is None else d + sq
-    return d
+def _matrix(centroids: list[list[float]]) -> np.ndarray:
+    return np.asarray(centroids, dtype=np.float64)
 
 
-def _dist_structs(vec: Column, centroids: list[list[float]]) -> Column:
-    """Sorted array of (distance, centroid-idx) structs — struct ordering
-    sorts by distance first, index as deterministic tie-break."""
-    return F.array_sort(
-        F.array(*[
-            F.struct(_sq_dist(vec, c).alias("d"), F.lit(j).alias("j"))
-            for j, c in enumerate(centroids)
-        ])
+def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n x k) squared euclidean distances via |x|^2 - 2 x.c + |c|^2."""
+    xn = (X * X).sum(axis=1)[:, None]
+    cn = (C * C).sum(axis=1)[None, :]
+    return xn - 2.0 * (X @ C.T) + cn
+
+
+def assign_clusters(
+    df: DataFrame, centroids: list[list[float]],
+    vec_col: str = "embedding", out_col: str = "_cluster",
+) -> DataFrame:
+    """Nearest-centroid id per row (ties -> lowest centroid index, the
+    same deterministic tie-break as argmin over (dist, idx) structs).
+
+    One matmul per Arrow batch; the centroid matrix (k*dim doubles,
+    ~2 MB at k=4096/dim=64) ships once per task in the closure.
+    """
+    C = _matrix(centroids)
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = np.array([], dtype="int32")
+                yield pdf
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pdf[out_col] = np.argmin(_sq_dists(X, C), axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(_fn, schema)
+
+
+def probe_clusters(
+    queries: DataFrame, centroids: list[list[float]], nprobe: int,
+    query_vec_col: str = "query_vec", out_col: str = "_probes",
+) -> DataFrame:
+    """The ``nprobe`` nearest centroid ids per query, nearest first
+    (deterministic: stable argsort, lowest index on distance ties)."""
+    C = _matrix(centroids)
+    n_take = min(nprobe, len(centroids))
+    schema = StructType(
+        list(queries.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
     )
 
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype=object)
+                yield pdf
+                continue
+            X = np.stack(pdf[query_vec_col].to_numpy()).astype(np.float64)
+            order = np.argsort(_sq_dists(X, C), axis=1, kind="stable")[:, :n_take]
+            pdf[out_col] = list(order.astype("int32"))
+            yield pdf
 
-def _assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin over squared distances. Uses array_sort over (d, j) structs
-    — O(k·dim) expression nodes. A when-chain argmin embeds the running
-    best twice per step, doubling the expression tree each centroid
-    (O(2^k) plan nodes): Catalyst hangs at k=16 before reading any data."""
-    return F.element_at(_dist_structs(vec, centroids), 1).getField("j")
+    return queries.mapInPandas(_fn, schema)
 
 
 def train_centroids(
@@ -65,7 +112,7 @@ def train_centroids(
     )
     centroids = [[float(x) for x in r[0]] for r in init]
     for _ in range(iters):
-        assigned = df.withColumn("_c", _assign(F.col(vec_col), centroids))
+        assigned = assign_clusters(df, centroids, vec_col, "_c")
         means = (
             assigned.groupBy("_c")
             .agg(*[F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}") for i in range(dim)])
@@ -84,7 +131,7 @@ def build_index(
 ) -> DataFrame:
     """Attach the cluster id. In production this DataFrame is written
     partitioned by ``_cluster`` so probes prune files."""
-    return df.withColumn("_cluster", _assign(F.col(vec_col), centroids))
+    return assign_clusters(df, centroids, vec_col, "_cluster")
 
 
 def ivf_topk(
@@ -95,10 +142,7 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe the nprobe nearest clusters per query, score only those
     vectors, return the cosine top-k with deterministic tie-break."""
-    q = queries.withColumn(
-        "_probes",
-        F.slice(_dist_structs(F.col(query_vec_col), centroids), 1, nprobe).getField("j"),
-    )
+    q = probe_clusters(queries, centroids, nprobe, query_vec_col, "_probes")
     q = q.withColumn("_cluster", F.explode("_probes")).drop("_probes")
     joined = index.join(F.broadcast(q), "_cluster")
     return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)

@@ -865,6 +865,36 @@ def q31(spark, sf_dir):
     )
 
 
+@query(
+    "q45_simhash_near_pairs",
+    f"""
+    WITH codes AS (
+      SELECT doc_id AS doc, ({_simhash_sql(16)})::BIGINT AS code FROM documents
+    ),
+    pairs AS (
+      SELECT bit_count(xor(a.code, b.code)) AS h
+      FROM codes a JOIN codes b ON a.doc < b.doc
+      WHERE bit_count(xor(a.code, b.code)) <= 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           round(avg(h), 4) AS avg_hamming
+    FROM pairs
+    """,
+)
+def q45(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming<=3 via the pigeonhole multi-index
+    (recall-guaranteed banding; the oracle brute-forces all pairs)."""
+    pairs = D.simhash_near_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", bits=16, max_hamming=3
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("hamming") == 0).cast("long")).alias("n_exact"),
+        F.round(F.avg("hamming"), 4).alias("avg_hamming"),
+    )
+
+
 # =====================================================================
 # Similarity search (embeddings)
 # =====================================================================

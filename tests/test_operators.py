@@ -62,6 +62,64 @@ def test_simhash_hamming(docs):
     assert ham_near < ham_far
 
 
+def _synthetic_codes(n: int, bits: int = 64, planted: int = 20):
+    """Deterministic pseudo-random codes + `planted` near-dups of code 0
+    at Hamming 1..3 (md5-derived, no RNG so the test is reproducible)."""
+    import hashlib
+
+    mask = (1 << bits) - 1
+    # signed-bigint safe: keep the top bit clear
+    codes = [
+        int(hashlib.md5(f"code:{i}".encode()).hexdigest()[:16], 16) & (mask >> 1)
+        for i in range(n)
+    ]
+    for j in range(planted):
+        ham = (j % 3) + 1
+        c = codes[0]
+        for b in range(ham):
+            c ^= 1 << ((7 * j + 13 * b) % (bits - 1))
+        codes.append(c)
+    return [(i, c) for i, c in enumerate(codes)]
+
+
+def test_simhash_pigeonhole_recall_matches_brute_force(spark):
+    rows = _synthetic_codes(300, planted=20)
+    coded = spark.createDataFrame(rows, "doc long, code long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.code_near_pairs(coded, bits=64, max_hamming=3).collect()
+    }
+    expect = {
+        (a, b, bin(ca ^ cb).count("1"))
+        for a, ca in rows
+        for b, cb in rows
+        if a < b and bin(ca ^ cb).count("1") <= 3
+    }
+    assert len(expect) >= 20  # the planted near-dups are actually there
+    assert got == expect
+
+
+def test_simhash_candidates_stay_linear(spark):
+    # 2000 pseudo-random 64-bit codes: all-pairs is ~2M; the 4-chunk
+    # pigeonhole index (65536 buckets per chunk) must keep candidates
+    # O(docs). The old single high-band scheme had 2^(bits/2) buckets
+    # total and went quadratic per bucket.
+    n = 2000
+    rows = _synthetic_codes(n, planted=0)
+    coded = spark.createDataFrame(rows, "doc long, code long")
+    n_cand = D.code_candidates(coded, bits=64, max_hamming=3).count()
+    assert n_cand < 5 * n, f"candidate blow-up: {n_cand} for {n} docs"
+
+
+def test_simhash_near_pairs_text_surface(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_near_pairs(docs, "doc_id", max_hamming=3).collect()
+    }
+    # exact dups (1,2,6 normalize identically) are at Hamming 0
+    assert pairs[(1, 2)] == 0 and pairs[(1, 6)] == 0 and pairs[(2, 6)] == 0
+
+
 def test_jaccard_pairs(docs):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
@@ -225,6 +283,30 @@ def test_ivf_ann_recall(spark):
     a = {(r.query_id, r.vec_id) for r in approx.collect()}
     e = {(r.query_id, r.vec_id) for r in exact.collect()}
     assert a == e  # perfect recall on separated clusters with nprobe=1
+
+
+def test_ivf_assignment_constant_plan_size_at_large_k(spark):
+    """The production point (k=4096, dim=64) must not stall Catalyst:
+    assignment is one Arrow-batched matmul, so plan construction +
+    execution stays seconds regardless of k (the old expression-unrolled
+    argmin built ~500k plan nodes here and hung before reading data)."""
+    import time
+
+    from dataval_spark.operators.ivf import assign_clusters
+
+    dim, k = 64, 4096
+    # centroid j = 2*j at dimension j%dim — deterministic, distinct
+    cents = [[2.0 * j if d == j % dim else 0.0 for d in range(dim)] for j in range(k)]
+    rows = [(i, [2.0 * i if d == i % dim else 0.1 for d in range(dim)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    t0 = time.monotonic()
+    out = assign_clusters(df, cents)
+    got = {r.vec_id: r["_cluster"] for r in out.collect()}
+    elapsed = time.monotonic() - t0
+    assert elapsed < 30, f"k=4096 assignment took {elapsed:.1f}s — plan blow-up"
+    # vector i sits on centroid i's axis; nearest centroid is i itself
+    assert got[5] == 5 and got[100] == 100 and got[199] == 199
 
 
 def test_text_ops_unicode_and_edge_cases(spark):
