@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dry-run: compute verdicts but do not persist "
                         "(reference TEMP-table mode)")
     p.add_argument("--manifest", default=None, help="manifest path for resumable runs")
+    p.add_argument("--reject-ratio", type=float, default=None,
+                   help="partition FAIL threshold on rejected-row ratio "
+                        "(default: suite's own)")
     p.add_argument("--run-id", default=None)
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
@@ -50,29 +53,56 @@ _METHOD_FILTER = {
 }
 
 
+def build_suite(method: str = "all", reject_ratio: float | None = None):
+    """The suite the CLI runs: transcript_suite, optionally restricted to
+    one check family and/or with an overridden partition-FAIL threshold.
+    Every Suite config knob is propagated through the --method
+    reconstruction (a rebuilt Suite(keep, part_col=...) used to drop
+    reject_ratio/conv/order/ts overrides)."""
+    from dataval_spark.constraints.core import Stats
+    from dataval_spark.suite import Suite, transcript_suite
+
+    suite = transcript_suite()
+    if reject_ratio is not None:
+        suite.reject_ratio_fail = reject_ratio
+    if method != "all":
+        names = _METHOD_FILTER[method]
+        # keep the selected family plus pure metrics contributors (Stats)
+        # ONLY — "not c.flag" also matched Envelope (it carries
+        # low_flag/high_flag instead of flag) and silently re-applied
+        # text-length row flags under every --method
+        keep = [c for c in suite.constraints if c.name in names or isinstance(c, Stats)]
+        suite = Suite(
+            keep,
+            default_mask=suite.default_mask,
+            part_col=suite.part_col,
+            reject_ratio_fail=suite.reject_ratio_fail,
+            conv_col=suite.conv_col,
+            order_col=suite.order_col,
+            ts_col=suite.ts_col,
+        )
+    return suite
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     from dataval_spark.manifest import run_resumable
     from dataval_spark.session import get_spark
-    from dataval_spark.suite import Suite, transcript_suite
 
     master = args.master or (f"local[{args.cpus}]" if args.cpus else None)
     spark = get_spark(app_name="dataval_spark_cli", master=master)
     df = spark.read.parquet(args.input)
 
-    suite = transcript_suite()
-    if args.method != "all":
-        names = _METHOD_FILTER[args.method]
-        keep = [c for c in suite.constraints if c.name in names or not c.flag]
-        suite = Suite(keep, part_col=suite.part_col)
+    suite = build_suite(args.method, args.reject_ratio)
 
     if args.manifest:
         run_id = args.run_id or uuid.uuid4().hex[:12]
         verdicts_path = None if args.validate else (
             f"{args.output}/verdicts" if args.output else None
         )
-        result = run_resumable(spark, df, suite, args.manifest, run_id, verdicts_path)
+        result = run_resumable(spark, df, suite, args.manifest, run_id, verdicts_path,
+                               input_path=args.input)
         if result is None:
             print("Nothing to process", file=sys.stderr)
             return 0

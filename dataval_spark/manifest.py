@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,8 +29,48 @@ from dataval_spark.suite import Suite, ValidationResult
 
 MANIFEST_SCHEMA = (
     "run_id string, suite_hash string, part int, n_rows long, "
-    "n_approved long, n_rejected long, passed boolean, metrics_json string"
+    "n_approved long, n_rejected long, passed boolean, metrics_json string, "
+    "input_fp string, committed_at double"
 )
+
+
+def input_fingerprints(spark: SparkSession, input_path: str, part_col: str) -> dict[int, str]:
+    """Per-partition input snapshot fingerprint from file METADATA only
+    (sorted relative names + sizes under each ``part_col=<v>`` directory,
+    sha1) — no data scan, so a resume probe is O(files) driver-side.
+    Matches the reference manifest's per-file size+hash record
+    (/root/reference/run_package_release.py:180-224); with an Iceberg
+    catalog the snapshot id plays this role instead.
+
+    Uses the Hadoop FileSystem API so s3a:// and hdfs:// work the same as
+    local paths. Returns {} for a non-partitioned layout (fingerprint
+    guard inert — documented degradation, not an error)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(input_path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return {}
+    out: dict[int, str] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(part_col + "=")):
+            continue
+        try:
+            part = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        entries = []
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            f = it.next()
+            fname = f.getPath().getName()
+            if fname.startswith("_") or fname.startswith("."):
+                continue  # _SUCCESS, checksums — not data
+            entries.append([fname, int(f.getLen())])
+        fp = hashlib.sha1(json.dumps(sorted(entries)).encode()).hexdigest()[:16]
+        out[part] = fp
+    return out
 
 
 def suite_hash(suite: Suite) -> str:
@@ -63,7 +104,16 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
         raise
 
 
-def completed_parts(spark: SparkSession, path: str, run_id: str, shash: str) -> set[int]:
+def completed_parts(
+    spark: SparkSession, path: str, run_id: str, shash: str,
+    fps: dict[int, str] | None = None,
+) -> set[int]:
+    """Partitions already validated for this (run_id, suite). When input
+    fingerprints are supplied, a partition only counts as done if the
+    fingerprint recorded at validation time still matches the input NOW —
+    a partition whose input files changed since it was marked done is
+    returned as not-done and gets re-validated. Rows with no recorded
+    fingerprint (pre-lineage manifests) are trusted as done."""
     m = read_manifest(spark, path)
     if m is None:
         return set()
@@ -74,7 +124,93 @@ def completed_parts(spark: SparkSession, path: str, run_id: str, shash: str) -> 
             f"manifest {path} run_id={run_id} was written by a different suite "
             f"(suite_hash {hashes} != {shash}) — refusing to mix results"
         )
-    return {r.part for r in mine.select("part").distinct().collect()}
+    rows = mine.select("part", "input_fp").distinct().collect()
+    if not fps:
+        return {r.part for r in rows}
+    return {
+        r.part for r in rows
+        if not r.input_fp or fps.get(r.part) == r.input_fp
+    }
+
+
+def _latest_per_part(rows: list) -> dict[int, dict]:
+    """Latest manifest row per partition (re-validated parts append a
+    fresh row; committed_at orders them)."""
+    out: dict[int, dict] = {}
+    for r in sorted(rows, key=lambda r: (r["committed_at"] or 0.0)):
+        out[int(r["part"])] = r.asDict()
+    return out
+
+
+def compare_runs(
+    spark: SparkSession, manifest_path: str, run_a: str, run_b: str
+) -> DataFrame:
+    """Two-stage validation diff — the raw-vs-corrected comparison of the
+    reference pipeline (corr_status LEFT JOIN, /root/reference/dataval/dataval.py:325-326;
+    raw-vs-corr noise comparison, noise_metrics.py:220-240) re-expressed
+    as a diff between two manifest runs over the same partition key:
+    validate the table before and after a cleaning stage under the same
+    suite, then diff verdicts and metrics.
+
+    One row per partition present in either run:
+      part, passed_a, passed_b, transition (FIXED / BROKE / STILL_PASS /
+      STILL_FAIL / ONLY_A / ONLY_B), n_rejected_a/b, delta_rejected,
+      metric_deltas_json ({metric: b - a} for shared numeric metrics).
+
+    Driver-side over O(parts) manifest rows — the same legitimate
+    smallness as the metrics collect in Suite.run.
+    """
+    m = read_manifest(spark, manifest_path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {manifest_path}")
+    by_run = {
+        run: _latest_per_part(m.where(F.col("run_id") == run).collect())
+        for run in (run_a, run_b)
+    }
+    a_parts, b_parts = by_run[run_a], by_run[run_b]
+    out = []
+    for part in sorted(set(a_parts) | set(b_parts)):
+        ra, rb = a_parts.get(part), b_parts.get(part)
+        if ra and rb:
+            transition = {
+                (True, True): "STILL_PASS",
+                (True, False): "BROKE",
+                (False, True): "FIXED",
+                (False, False): "STILL_FAIL",
+            }[(bool(ra["passed"]), bool(rb["passed"]))]
+            ma = json.loads(ra["metrics_json"] or "{}")
+            mb = json.loads(rb["metrics_json"] or "{}")
+            deltas = {
+                k: mb[k] - ma[k]
+                for k in sorted(set(ma) & set(mb))
+                if isinstance(ma[k], (int, float)) and not isinstance(ma[k], bool)
+                and isinstance(mb[k], (int, float)) and not isinstance(mb[k], bool)
+            }
+            out.append({
+                "part": part,
+                "passed_a": bool(ra["passed"]), "passed_b": bool(rb["passed"]),
+                "transition": transition,
+                "n_rejected_a": int(ra["n_rejected"]), "n_rejected_b": int(rb["n_rejected"]),
+                "delta_rejected": int(rb["n_rejected"]) - int(ra["n_rejected"]),
+                "metric_deltas_json": json.dumps(deltas, sort_keys=True),
+            })
+        else:
+            out.append({
+                "part": part,
+                "passed_a": bool(ra["passed"]) if ra else None,
+                "passed_b": bool(rb["passed"]) if rb else None,
+                "transition": "ONLY_A" if ra else "ONLY_B",
+                "n_rejected_a": int(ra["n_rejected"]) if ra else None,
+                "n_rejected_b": int(rb["n_rejected"]) if rb else None,
+                "delta_rejected": None,
+                "metric_deltas_json": "{}",
+            })
+    schema = (
+        "part int, passed_a boolean, passed_b boolean, transition string, "
+        "n_rejected_a long, n_rejected_b long, delta_rejected long, "
+        "metric_deltas_json string"
+    )
+    return spark.createDataFrame(out, schema=schema)
 
 
 def run_resumable(
@@ -84,13 +220,20 @@ def run_resumable(
     manifest_path: str,
     run_id: str,
     verdicts_path: str | None = None,
+    input_path: str | None = None,
 ) -> ValidationResult | None:
     """Validate only partitions not yet in the manifest; append results.
 
     Returns None when nothing is left to process (idempotent re-run).
+    With ``input_path`` (a ``part=<v>``-partitioned table root), each
+    manifest row records the input snapshot fingerprint, and a resumed
+    run RE-validates any partition whose input changed since it was
+    marked done (the re-run appends a fresh manifest row with the new
+    fingerprint; consumers key on the current input_fp).
     """
     shash = suite_hash(suite)
-    done = completed_parts(spark, manifest_path, run_id, shash)
+    fps = input_fingerprints(spark, input_path, suite.part_col) if input_path else {}
+    done = completed_parts(spark, manifest_path, run_id, shash, fps)
     if done:
         df = df.where(~F.col(suite.part_col).isin(*done))
         if df.limit(1).count() == 0:
@@ -116,6 +259,8 @@ def run_resumable(
                 {k: v for k, v in m.items() if isinstance(v, (int, float, bool, str))},
                 default=str,
             ),
+            "input_fp": fps.get(int(m["part"]), ""),
+            "committed_at": time.time(),
         }
         for m in result.partition_metrics
     ]

@@ -29,16 +29,25 @@ def conversation_rollup(
     n_salts: int = 16,
 ) -> DataFrame:
     """Per-conversation summary: turn counts, index span, ts span,
-    distinct-role count is intentionally omitted (not algebraic).
+    distinct-index count, gap_free.
 
     Output: conv_id, n_turns, min_idx, max_idx, first_ts, last_ts,
-    gap_free (min_idx=0 and max_idx=n_turns-1).
+    n_distinct_idx, gap_free.
+
+    gap_free is EXACT: min_idx = 0 and n_distinct_idx = max_idx + 1
+    (distinct indexes covering [0, max] leave no gap). The naive
+    min=0 & max=count-1 formula misreports a duplicated index that
+    exactly offsets a missing one. Distinct counting stays algebraic
+    across salts because the salt is a function of the order key:
+    equal indexes land in the same salt group, so per-salt distinct
+    sets are disjoint and their counts sum exactly.
     """
     salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
     partial = (
         df.groupBy(F.col(conv_col), salt.alias("_salt"))
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.countDistinct(order_col).alias("nd"),
             F.min(order_col).alias("mn"),
             F.max(order_col).alias("mx"),
             F.min(ts_col).alias("t0"),
@@ -47,6 +56,7 @@ def conversation_rollup(
     )
     merged = partial.groupBy(conv_col).agg(
         F.sum("n").alias("n_turns"),
+        F.sum("nd").alias("n_distinct_idx"),
         F.min("mn").alias("min_idx"),
         F.max("mx").alias("max_idx"),
         F.min("t0").alias("first_ts"),
@@ -54,5 +64,5 @@ def conversation_rollup(
     )
     return merged.withColumn(
         "gap_free",
-        (F.col("min_idx") == 0) & (F.col("max_idx") == F.col("n_turns") - 1),
+        (F.col("min_idx") == 0) & (F.col("n_distinct_idx") == F.col("max_idx") + 1),
     )

@@ -1228,7 +1228,7 @@ def q42(spark, sf_dir):
            min(l_linenumber) AS min_idx,
            max(l_linenumber) AS max_idx,
            CASE WHEN min(l_linenumber) = 0
-                     AND max(l_linenumber) = count(*) - 1
+                     AND count(DISTINCT l_linenumber) = max(l_linenumber) + 1
                 THEN true ELSE false END AS gap_free
     FROM lineitem
     GROUP BY l_orderkey

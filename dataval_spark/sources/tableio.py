@@ -44,13 +44,25 @@ class TableIO:
 
     def exists(self, name: str) -> bool:
         """Table-existence probe (reference sqlite_master probe,
-        /root/reference/dataval/dataval.py:107)."""
+        /root/reference/dataval/dataval.py:107). Asks Spark, not os.path,
+        so s3a:// / hdfs:// warehouses behave the same as local ones
+        (mirrors manifest.read_manifest). Not-found and
+        empty-dir/no-schema read as False; any OTHER failure (permissions,
+        corruption) propagates rather than masquerading as absence."""
         if self.use_iceberg:
             return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
-        p = self._path(name)
-        return os.path.exists(p) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
-        )
+        try:
+            self.spark.read.parquet(self._path(name)).schema
+            return True
+        except Exception as e:
+            msg = str(e)
+            if (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+            ):
+                return False
+            raise
 
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:

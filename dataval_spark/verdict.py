@@ -31,7 +31,11 @@ def approved_expr(
 ) -> Column:
     ok = dataval.bitwiseAND(F.lit(mask)) == 0
     if status is not None:
-        ok = ok & status.isin(*ok_status)
+        # NULL status must force approved=False, not approved=NULL —
+        # consistent with StatusGate (constraints/core.py) and the pandas
+        # oracle, which both reject NULL status. Without the coalesce the
+        # row would count as neither approved nor rejected.
+        ok = ok & F.coalesce(status.isin(*ok_status), F.lit(False))
     return ok
 
 

@@ -110,3 +110,15 @@ def test_combine_verdicts_and_decompose(spark):
     # graceful degradation without status column
     out2 = combine_verdicts(df.drop("status")).collect()
     assert [r.approved for r in out2] == [True, False, True, True]
+
+
+def test_combine_verdicts_null_status_rejects(spark):
+    """NULL status must force approved=False (not NULL): consistent with
+    StatusGate and the pandas oracle. A NULL approved would count the row
+    as neither approved nor rejected."""
+    from dataval_spark.verdict import combine_verdicts
+
+    df = spark.createDataFrame([(0, None), (0, 1)], "dataval int, status int")
+    out = combine_verdicts(df).collect()
+    assert [r.approved for r in out] == [False, True]
+    assert all(r.approved is not None for r in out)

@@ -9,7 +9,12 @@ from pyspark.sql import functions as F
 
 from dataval_spark.cli import main as cli_main
 from dataval_spark.fixtures import transcripts
-from dataval_spark.manifest import run_resumable, suite_hash
+from dataval_spark.manifest import (
+    compare_runs,
+    input_fingerprints,
+    run_resumable,
+    suite_hash,
+)
 from dataval_spark.sources.tableio import TableIO, iceberg_available
 from dataval_spark.suite import transcript_suite
 
@@ -40,6 +45,64 @@ def test_resume_skips_done_partitions(spark, input_dir, tmp_path):
     assert run_resumable(spark, df, suite, mp, "run1") is None
 
 
+def test_resume_revalidates_changed_input(spark, tmp_path):
+    """Input-lineage guard: a partition whose INPUT files changed after it
+    was marked done must be re-validated on resume (north rule: input
+    snapshot id in the manifest)."""
+    d = str(tmp_path / "input")
+    full = transcripts(spark, n_convs=120, seed=2187, n_parts=4)
+    full.write.partitionBy("part").mode("overwrite").parquet(d)
+    suite = transcript_suite()
+    mp = str(tmp_path / "manifest")
+
+    df = spark.read.parquet(d)
+    r1 = run_resumable(spark, df, suite, mp, "run1", input_path=d)
+    assert {m["part"] for m in r1.partition_metrics} == {0, 1, 2, 3}
+
+    # idempotent re-run: nothing to do
+    assert run_resumable(spark, spark.read.parquet(d), suite, mp, "run1", input_path=d) is None
+
+    # mutate partition 2's input files (append late-arriving rows)
+    fps_before = input_fingerprints(spark, d, "part")
+    late = transcripts(spark, n_convs=240, seed=999, n_parts=4).where(F.col("part") == 2)
+    late.drop("part").write.mode("append").parquet(f"{d}/part=2")
+    fps_after = input_fingerprints(spark, d, "part")
+    assert fps_before[2] != fps_after[2]
+    assert {p for p in fps_before if fps_before[p] == fps_after[p]} == {0, 1, 3}
+
+    # resume: exactly the changed partition is re-validated
+    r3 = run_resumable(spark, spark.read.parquet(d), suite, mp, "run1", input_path=d)
+    assert {m["part"] for m in r3.partition_metrics} == {2}
+
+    # and now everything is consistent again
+    assert run_resumable(spark, spark.read.parquet(d), suite, mp, "run1", input_path=d) is None
+
+
+def test_compare_runs_raw_vs_corrected(spark, tmp_path):
+    """Two-stage validation diff (reference corr-vs-raw semantics,
+    /root/reference/dataval/dataval.py:325-326): cleaning the table flips
+    exactly the previously failing partitions to FIXED."""
+    suite = transcript_suite()
+    mp = str(tmp_path / "manifest")
+    raw = transcripts(spark, n_convs=200, seed=2187, n_parts=4)
+    corrected = transcripts(spark, n_convs=200, seed=2187, n_parts=4, with_defects=False)
+
+    ra = run_resumable(spark, raw, suite, mp, "raw")
+    rb = run_resumable(spark, corrected, suite, mp, "corrected")
+    failed_raw = {m["part"] for m in ra.partition_metrics if not m["passed"]}
+    assert failed_raw, "fixture should have failing partitions in the raw stage"
+    assert all(m["passed"] for m in rb.partition_metrics)
+
+    diff = {r.part: r for r in compare_runs(spark, mp, "raw", "corrected").collect()}
+    assert set(diff) == {0, 1, 2, 3}
+    assert {p for p, r in diff.items() if r.transition == "FIXED"} == failed_raw
+    assert all(
+        r.transition == "STILL_PASS" for p, r in diff.items() if p not in failed_raw
+    )
+    # cleaning can only reduce rejections
+    assert all(r.delta_rejected <= 0 for r in diff.values())
+
+
 def test_suite_hash_stability():
     assert suite_hash(transcript_suite()) == suite_hash(transcript_suite())
 
@@ -67,6 +130,40 @@ def test_cli_validate_dry_run(input_dir, capsys):
 def test_cli_single_method(input_dir, capsys):
     rc = cli_main(["--input", input_dir, "--method", "uniqueness", "--validate", "--cpus", "8"])
     assert rc in (0, 3)  # duplicates exist -> 3; partitions should not fail
+
+
+def test_cli_method_filter_excludes_envelope():
+    """--method nullness must NOT smuggle Envelope's TextTooShort/TooLong
+    row flags back in (Envelope has flag=None but low_flag/high_flag)."""
+    from dataval_spark.cli import build_suite
+    from dataval_spark.constraints.core import Envelope, Stats
+
+    suite = build_suite("nullness")
+    assert not any(isinstance(c, Envelope) for c in suite.constraints)
+    kinds = {type(c).__name__ for c in suite.constraints}
+    assert "NotNull" in kinds
+    assert all(
+        c.name.startswith("not_null") or isinstance(c, Stats) for c in suite.constraints
+    )
+
+
+def test_cli_method_propagates_suite_config(input_dir, capsys):
+    """--reject-ratio must survive the --method suite reconstruction: at
+    threshold 0.0 any sequence defect fails its partition (exit 4); at
+    threshold 1.0 no partition can fail (exit 0 or 3)."""
+    from dataval_spark.cli import build_suite
+
+    assert build_suite("sequence", 0.0).reject_ratio_fail == 0.0
+    rc_strict = cli_main([
+        "--input", input_dir, "--method", "sequence", "--reject-ratio", "0.0",
+        "--validate", "--cpus", "8",
+    ])
+    rc_lax = cli_main([
+        "--input", input_dir, "--method", "sequence", "--reject-ratio", "1.0",
+        "--validate", "--cpus", "8",
+    ])
+    assert rc_strict == 4
+    assert rc_lax in (0, 3)
 
 
 def test_cli_writes_output(input_dir, tmp_path, spark, capsys):

@@ -232,6 +232,7 @@ def test_salted_rollup_equals_plain_groupby(spark):
         df.groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_turns"),
+            F.countDistinct("turn_idx").alias("n_distinct_idx"),
             F.min("turn_idx").alias("min_idx"),
             F.max("turn_idx").alias("max_idx"),
             F.min("ts").alias("first_ts"),
@@ -239,14 +240,39 @@ def test_salted_rollup_equals_plain_groupby(spark):
         )
         .withColumn(
             "gap_free",
-            (F.col("min_idx") == 0) & (F.col("max_idx") == F.col("n_turns") - 1),
+            (F.col("min_idx") == 0) & (F.col("n_distinct_idx") == F.col("max_idx") + 1),
+        )
+        .select(  # same column order as the operator
+            "conv_id", "n_turns", "n_distinct_idx", "min_idx", "max_idx",
+            "first_ts", "last_ts", "gap_free",
         )
         .orderBy("conv_id")
     )
-    assert salted.collect() == plain.collect()
+    assert salted.select(*plain.columns).collect() == plain.collect()
     # the skewed mega-conversations are present and correct
     skewed = {r.conv_id: r.n_turns for r in salted.where("n_turns >= 3000").collect()}
     assert len(skewed) == 2
+
+
+def test_rollup_gap_free_not_fooled_by_duplicate(spark):
+    """A duplicated turn_idx that exactly offsets a missing one must NOT
+    report gap_free (the count-based formula was fooled by this)."""
+    from dataval_spark.operators.rollup import conversation_rollup
+
+    rows = [
+        ("c1", 0, "2024-01-01 00:00:00"),
+        ("c1", 1, "2024-01-01 00:05:00"),
+        ("c1", 1, "2024-01-01 00:06:00"),  # duplicate of idx 1
+        ("c1", 3, "2024-01-01 00:15:00"),  # idx 2 missing — gapped!
+        ("c2", 0, "2024-01-01 00:00:00"),
+        ("c2", 1, "2024-01-01 00:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {r.conv_id: r for r in conversation_rollup(df, n_salts=4).collect()}
+    assert not out["c1"].gap_free and out["c1"].n_distinct_idx == 3
+    assert out["c2"].gap_free
 
 
 def test_ivf_ann_recall(spark):
