@@ -2,20 +2,28 @@
 (duplicate turn, sequence gap, non-monotonic ts) on an unbounded stream.
 
 Batch mode does these with one window pass (suite.py). On a stream the
-conversation's history must be carried as state: this operator keeps
-(max_turn_idx_seen, last_ts, seen-bitset-free count) per conv_id via
-``applyInPandasWithState`` and emits one verdict row per incoming turn.
+conversation's history must be carried as state: this operator keeps a
+CONTIGUOUS-PREFIX counter plus a bounded pending-index set per conv_id
+via ``applyInPandasWithState`` and emits one verdict row per incoming
+turn.
 
-Semantics on a stream are necessarily arrival-order based (a turn is
-judged against what has arrived so far): duplicates and regressions are
-exact; a "gap" heals if the missing turn arrives later — healed gaps are
-emitted as updates with the corrected bit cleared. For exact batch parity
-run the batch suite over the accumulated table; this operator is the
-low-latency early-warning path.
+Semantics on a stream are arrival-order based, with healing:
 
-State size: 3 scalars per live conversation — O(live convs), bounded by
-the ProcessingTimeTimeout eviction below, the standard pattern for
-10^9-conversation streams.
+* duplicate  — the turn index was genuinely seen before (prefix or
+  pending set), so a late arrival that FILLS a gap is recognized as a
+  gap-filler, never misflagged as a replay;
+* gap        — the immediate predecessor index has not arrived yet;
+* healed gap — when the missing predecessor arrives, the turn that was
+  flagged gapped is RE-emitted with the SequenceGap bit cleared (update
+  output mode: last write per key wins downstream);
+* out-of-order ts — arrival ts below the conversation's running max.
+
+State size: 4 scalars + a pending set bounded at MAX_PENDING indexes per
+live conversation (the pending set only holds indexes above the
+contiguous prefix, so for a healthy stream it is empty). On overflow the
+lowest pending index is evicted: healing and replay detection degrade
+for that index only — documented lossy bound, O(live convs) state
+total, with ProcessingTimeTimeout eviction for idle conversations.
 """
 
 from __future__ import annotations
@@ -29,11 +37,16 @@ from dataval_spark.quality import QualityFlag
 OUTPUT_SCHEMA = (
     "conv_id string, turn_idx int, dataval int, max_idx_seen int, n_seen long"
 )
-STATE_SCHEMA = "max_idx int, n_seen long, last_ts double"
+STATE_SCHEMA = (
+    "contig int, max_idx int, n_seen long, last_ts double, "
+    "pend_idx array<int>, pend_flags array<int>"
+)
 
 _DUP = int(QualityFlag.DuplicateTurn)
 _GAP = int(QualityFlag.SequenceGap)
 _OOO = int(QualityFlag.NonMonotonicTs)
+
+MAX_PENDING = 1024
 
 
 def validate_conversation(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
@@ -49,26 +62,57 @@ def validate_conversation(key, pdf_iter: Iterator[pd.DataFrame], state) -> Itera
         return
 
     # NB: GroupState.get is a property in PySpark (not a method)
-    max_idx, n_seen, last_ts = state.get if state.exists else (-1, 0, float("-inf"))
+    if state.exists:
+        contig, max_idx, n_seen, last_ts, pend_idx, pend_flags = state.get
+        pending = dict(zip(pend_idx, pend_flags))
+    else:
+        contig, max_idx, n_seen, last_ts, pending = -1, -1, 0, float("-inf"), {}
 
     out_rows = []
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
         for turn_idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
+            idx = int(turn_idx)
             ts_s = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
             flags = 0
-            if turn_idx <= max_idx:
-                flags |= _DUP          # turn index not advancing = replay/dup
-            elif turn_idx > max_idx + 1:
-                flags |= _GAP          # skipped ahead: predecessor missing so far
             if ts_s < last_ts:
                 flags |= _OOO
-            max_idx = max(max_idx, int(turn_idx))
+            if idx <= contig or idx in pending:
+                flags |= _DUP  # genuinely seen before: replay
+            else:
+                if idx > contig + 1 and (idx - 1) not in pending:
+                    flags |= _GAP  # immediate predecessor missing so far
+                # heal: this arrival is the missing predecessor of a
+                # previously gap-flagged turn -> re-emit it, bit cleared
+                nxt = pending.get(idx + 1)
+                if nxt is not None and nxt & _GAP:
+                    pending[idx + 1] = nxt & ~_GAP
+                    out_rows.append(
+                        (conv_id, idx + 1, nxt & ~_GAP, max(max_idx, idx), n_seen + 1)
+                    )
+                pending[idx] = flags
+                # advance the contiguous prefix; pruned entries need no
+                # further healing so they leave the state
+                while (contig + 1) in pending:
+                    contig += 1
+                    pending.pop(contig)
+                if len(pending) > MAX_PENDING:
+                    pending.pop(min(pending))  # documented lossy bound
+            max_idx = max(max_idx, idx)
             last_ts = max(last_ts, ts_s)
             n_seen += 1
-            out_rows.append((conv_id, int(turn_idx), flags, max_idx, n_seen))
+            out_rows.append((conv_id, idx, flags, max_idx, n_seen))
 
-    state.update((max_idx, n_seen, last_ts))
+    state.update(
+        (
+            contig,
+            max_idx,
+            n_seen,
+            last_ts,
+            sorted(pending),
+            [pending[i] for i in sorted(pending)],
+        )
+    )
     state.setTimeoutDuration(24 * 3600 * 1000)  # evict idle conversations
     yield pd.DataFrame(out_rows, columns=cols)
 
@@ -88,7 +132,8 @@ def streaming_sequence_verdicts(stream):
             # requires event-time watermark plumbing this operator does
             # not carry; with append the Python worker hard-crashes
             # (verified on PySpark 4.1.2). Update mode emits each turn's
-            # verdict once per arrival, which is the desired semantics.
+            # verdict once per arrival (plus healed-gap re-emissions),
+            # which is the desired semantics.
             outputMode="update",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )

@@ -112,6 +112,75 @@ def test_combine_verdicts_and_decompose(spark):
     assert [r.approved for r in out2] == [True, False, True, True]
 
 
+def test_noise_model_components(spark):
+    """Expression-level port of the reference noise model — property test
+    mirroring /root/reference/tests/test_noisemodel.py:15-35 plus an
+    independent numpy re-computation of every component."""
+    import math
+
+    import numpy as np
+
+    from dataval_spark.functions.noise import (
+        MASKSIZE_LONG_CADENCE,
+        noise_components,
+        phot_noise_total,
+        pixels_in_aperture,
+    )
+
+    tmags = [float(x) for x in np.linspace(0, 20, 101)]
+    df = spark.createDataFrame([(m,) for m in tmags], "tmag double")
+    comps = noise_components(F.col("tmag"))
+    out = df.select(
+        "tmag",
+        pixels_in_aperture(F.col("tmag")).alias("pixels"),
+        comps["shot"].alias("shot"),
+        comps["zodiacal"].alias("zodiacal"),
+        comps["read"].alias("read"),
+        comps["systematic"].alias("systematic"),
+        phot_noise_total(F.col("tmag")).alias("total"),
+    ).orderBy("tmag").collect()
+
+    # every component bounded by the total (reference test_noisemodel:32-35)
+    for r in out:
+        for c in ("shot", "zodiacal", "read", "systematic"):
+            assert r[c] <= r.total + 1e-9
+        assert r.pixels >= 4                       # aperture floor
+        assert abs(r.systematic - 60.0) < 1e-12    # ppm/sqrt(hr) at 1 hr
+    # shot noise monotonically increases, pixels decrease with magnitude
+    shots = [r.shot for r in out]
+    assert shots == sorted(shots)
+    pix = [r.pixels for r in out]
+    assert pix == sorted(pix, reverse=True)
+
+    # independent numpy recomputation inside the knot range
+    kx = [p[0] for p in MASKSIZE_LONG_CADENCE]
+    ky = [math.log10(p[1]) for p in MASKSIZE_LONG_CADENCE]
+    for r in out:
+        if not (kx[0] <= r.tmag <= kx[-1]):
+            continue
+        pixels = max(4, round(round(10 ** np.interp(r.tmag, kx, ky), 13)))
+        mean_level = max(0.0, 10 ** (-0.4 * (r.tmag - 20.451))) * 3600.0
+        ff = math.sqrt(1800.0 * pixels)
+        shot = 1e6 / math.sqrt(mean_level)
+        zodi = 16.0 * ff * 1e6 / mean_level  # lat 0: (16-10)*1+10 = 16
+        read = 10.0 * ff * 1e6 / mean_level
+        assert r.pixels == pixels
+        assert abs(r.shot - shot) < 1e-6 * shot
+        assert abs(r.zodiacal - zodi) < 1e-6 * zodi
+        assert abs(r.read - read) < 1e-6 * read
+        total = math.sqrt(shot**2 + zodi**2 + read**2 + 60.0**2)
+        assert abs(r.total - total) < 1e-6 * total
+
+
+def test_noise_model_invalid_cadence():
+    import pytest as _pytest
+
+    from dataval_spark.functions.noise import pixels_in_aperture
+
+    with _pytest.raises(NotImplementedError):
+        pixels_in_aperture(F.lit(10.0), cadence=42)
+
+
 def test_combine_verdicts_null_status_rejects(spark):
     """NULL status must force approved=False (not NULL): consistent with
     StatusGate and the pandas oracle. A NULL approved would count the row

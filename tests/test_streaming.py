@@ -110,6 +110,15 @@ def test_stateful_sequence_validation(spark, tmp_path):
         )
         batch2.coalesce(1).write.mode("append").parquet(d)
         rows = poll(6)
+        # micro-batch 3: late arrivals FILL the gap — they must be
+        # recognized as gap-fillers (not replays), and the turn that was
+        # flagged gapped must be re-emitted healed (SequenceGap cleared)
+        batch3 = mk(
+            [("c1", 2, "2024-01-01 00:04:00"),
+             ("c1", 3, "2024-01-01 00:05:00")]
+        )
+        batch3.coalesce(1).write.mode("append").parquet(d)
+        rows = poll(9)  # 2 arrivals + 1 healed re-emission of ("c1", 4)
     finally:
         q.stop()
 
@@ -119,5 +128,9 @@ def test_stateful_sequence_validation(spark, tmp_path):
     assert by_key[("c1", 0)] == [0]
     assert by_key[("c1", 1)][0] == 0                               # first arrival clean
     assert int(QualityFlag.DuplicateTurn) in by_key[("c1", 1)]     # replay flagged
-    assert by_key[("c1", 4)] == [int(QualityFlag.SequenceGap)]
+    assert by_key[("c1", 4)][0] == int(QualityFlag.SequenceGap)    # gapped at arrival
+    assert by_key[("c1", 4)][-1] == 0                              # healed re-emission
     assert by_key[("c2", 1)] == [int(QualityFlag.NonMonotonicTs)]
+    # gap-fillers are NOT misflagged as duplicates
+    assert by_key[("c1", 2)] == [0]
+    assert by_key[("c1", 3)] == [0]
