@@ -1269,3 +1269,109 @@ def q44(spark, sf_dir):
     lowest-id survivor per normalized-text fingerprint group."""
     d = D.dedup_keep_first(t(spark, sf_dir, "documents"), "doc_id")
     return d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# =====================================================================
+# Noise model + embedding near-dup as oracle-checked queries
+# =====================================================================
+
+def _noise_sql() -> str:
+    """DuckDB twin of functions/noise.py: log-space aperture interpolation
+    (linear end-segment extrapolation) + the four components in ppm over
+    tmag = p_size / 3.0, each rounded per-row so value hashes compare."""
+    import math
+
+    from dataval_spark.functions.noise import MASKSIZE_LONG_CADENCE
+
+    pairs = [(x, math.log10(y)) for x, y in MASKSIZE_LONG_CADENCE]
+    xcol = "(p_size / 3.0)"
+
+    def seg(x0, y0, x1, y1):
+        slope = (y1 - y0) / (x1 - x0)
+        return f"({y0!r} + ({xcol} - {x0!r}) * {slope!r})"
+
+    expr = seg(*pairs[0], *pairs[1])
+    for (x0, y0), (x1, y1) in zip(pairs, pairs[1:]):
+        expr = f"CASE WHEN {xcol} >= {x0!r} AND {xcol} < {x1!r} THEN {seg(x0, y0, x1, y1)} ELSE {expr} END"
+    expr = f"CASE WHEN {xcol} >= {pairs[-1][0]!r} THEN {seg(*pairs[-2], *pairs[-1])} ELSE {expr} END"
+
+    pix = f"greatest(CAST(round(round(pow(10.0, {expr}), 13)) AS INT), 4)"
+    mean_level = f"(greatest(0.0, pow(10.0, -0.4 * ({xcol} - 20.451))) * 3600.0)"
+    ff = f"sqrt(1800.0 * {pix})"
+    shot = f"round(greatest(0.0, 1e6 / sqrt({mean_level})), 6)"
+    zodi = f"round(greatest(0.0, 16.0 * {ff} * 1e6 / {mean_level}), 6)"
+    read = f"round(greatest(0.0, 10.0 * {ff} * 1e6 / {mean_level}), 6)"
+    total = f"round(sqrt({shot}*{shot} + {zodi}*{zodi} + {read}*{read} + 60.0*60.0), 4)"
+    return (
+        f"SELECT p_brand, CAST(sum({pix}) AS BIGINT) AS total_pixels, "
+        f"round(avg({shot}), 4) AS avg_shot, "
+        f"round(avg({zodi}), 4) AS avg_zodiacal, "
+        f"round(avg({total}), 4) AS avg_total_noise "
+        f"FROM part GROUP BY p_brand"
+    )
+
+
+@query("q46_noise_model", _noise_sql())
+def q46(spark, sf_dir):
+    """Full noise-model component port as a per-group query
+    (/root/reference/dataval/noise_model.py:84-164): pixels-in-aperture
+    knot interpolation + shot/zodiacal/read/systematic in ppm, quadrature
+    total — all one codegen'd projection (functions/noise.py)."""
+    from dataval_spark.functions import noise as N
+
+    p = t(spark, sf_dir, "part")
+    tmag = F.col("p_size") / 3.0
+    comps = N.noise_components(tmag)  # lat 0, 1h timescale, 1800s cadence
+    shot = F.round(comps["shot"], 6)
+    zodi = F.round(comps["zodiacal"], 6)
+    read = F.round(comps["read"], 6)
+    total = F.round(
+        F.sqrt(shot * shot + zodi * zodi + read * read + F.lit(3600.0)), 4
+    )
+    return p.groupBy("p_brand").agg(
+        F.sum(N.pixels_in_aperture(tmag).cast("long")).alias("total_pixels"),
+        F.round(F.avg(shot), 4).alias("avg_shot"),
+        F.round(F.avg(zodi), 4).alias("avg_zodiacal"),
+        F.round(F.avg(total), 4).alias("avg_total_noise"),
+    )
+
+
+@query(
+    "q47_cosine_near_dup",
+    f"""
+    WITH coded AS (
+      SELECT vec_id AS doc, embedding, {_bucket_sql(4)} AS bkt FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             round(
+               list_sum(list_transform(range(1, 65),
+                 i -> (a.embedding)[i]::DOUBLE * (b.embedding)[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> (a.embedding)[i]::DOUBLE * (a.embedding)[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> (b.embedding)[i]::DOUBLE * (b.embedding)[i]::DOUBLE)))), 4) AS sim
+      FROM coded a JOIN coded b ON a.bkt = b.bkt AND a.doc < b.doc
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(max(sim), 4) AS max_sim,
+           round(avg(sim), 4) AS avg_sim
+    FROM pairs WHERE sim >= 0.3
+    """,
+)
+def q47(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH sign-plane bucketed
+    (operators/similarity.py::cosine_near_dup_pairs) — the bucket
+    equi-join replaces the all-pairs crossJoin; the oracle replicates the
+    same buckets, so candidate sets match exactly. Threshold 0.3 because
+    the synthetic embeddings are near-orthogonal (max in-bucket cosine
+    ~0.47 at sf0.01) — production near-dup thresholds (0.9+) would make
+    the oracle comparison vacuous here."""
+    pairs = S.cosine_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), dim=64, threshold=0.3
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.max("sim"), 4).alias("max_sim"),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )
