@@ -74,6 +74,88 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return df.select("media_id", "kind", "payload").mapInPandas(op, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id long, kind string, width int, height int, payload binary"
+FRAME_SCHEMA = "media_id long, frame_idx int, t_ms int, frame binary"
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for decode->resize->encode: cycles the
+    source bytes to exactly width*height*3 (RGB) bytes, so tests can
+    assert the output geometry without an image library."""
+    n = width * height * 3
+    if not payload:
+        return bytes(n)
+    reps = n // len(payload) + 1
+    return (payload * reps)[:n]
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, decoder=None
+) -> DataFrame:
+    """Resize stage over image rows: Arrow batches in, one resized row
+    out per input row. ``decoder`` is the production plug-in
+    (decode->resize->encode, e.g. PIL/libvips); None uses the
+    deterministic fake so the Spark-side plumbing (schema, batch shape,
+    binary Arrow transfer both directions) is real and tested even
+    without media libraries."""
+    fn = decoder or (lambda b: _fake_resize(b or b"", width, height))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(fn),
+                }
+            )
+
+    return (
+        df.where(F.col("kind") == "image")
+        .select("media_id", "kind", "payload")
+        .mapInPandas(op, RESIZED_SCHEMA)
+    )
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, decoder=None) -> DataFrame:
+    """Frame sampling over video rows: one input row EXPLODES into
+    ``duration_ms // every_ms`` frame rows — the 1:N mapInPandas shape a
+    real ffmpeg-backed sampler has. Frame count comes from metadata (no
+    decode needed); frame bytes come from ``decoder`` (production
+    plug-in) or a deterministic payload slice (the fake)."""
+
+    def fake(payload: bytes, t_ms: int) -> bytes:
+        b = payload or b"\x00"
+        start = t_ms % len(b)
+        return (b[start:] + b[:start])[:64]
+
+    fn = decoder or fake
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ts, frames = [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = int(dur or 0) // every_ms
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    ts.append(i * every_ms)
+                    frames.append(fn(payload, i * every_ms))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "t_ms": ts, "frame": frames}
+            )
+
+    return (
+        df.where(F.col("kind") == "video")
+        .select("media_id", "payload", "duration_ms")
+        .mapInPandas(op, FRAME_SCHEMA)
+    )
+
+
 def media_integrity_flags(df: DataFrame) -> DataFrame:
     """JVM-side structural checks on media rows (no decode needed):
     payload present, kind in domain, dims consistent with kind."""

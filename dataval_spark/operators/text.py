@@ -38,6 +38,20 @@ def char_len(col: Column) -> Column:
     return F.length(col)
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-style pre-tokenization: letter runs, digit runs, and single
+    punctuation marks (the regex split every BPE implementation applies
+    before merges). JVM-side regexp_extract_all — no UDF."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
 def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or STOPWORDS
     toks = tokens(col)

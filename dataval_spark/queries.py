@@ -1375,3 +1375,84 @@ def q47(spark, sf_dir):
         F.round(F.max("sim"), 4).alias("max_sim"),
         F.round(F.avg("sim"), 4).alias("avg_sim"),
     )
+
+
+@query(
+    "q48_psi_drift",
+    """
+    WITH h AS (
+      SELECT l_returnflag AS grp,
+             CAST(least(floor(l_quantity / 10.0), 4) AS INT) AS bin,
+             count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, sum(n) AS t FROM h GROUP BY 1),
+    p AS (
+      SELECT h.grp, h.bin, greatest(h.n / CAST(tot.t AS DOUBLE), 1e-6) AS frac
+      FROM h JOIN tot ON h.grp = tot.grp
+    ),
+    base AS (SELECT bin, frac AS bfrac FROM p WHERE grp = 'A')
+    SELECT p.grp,
+           round(sum(round((p.frac - base.bfrac) * ln(p.frac / base.bfrac), 8)), 4) AS psi,
+           CASE WHEN sum(round((p.frac - base.bfrac) * ln(p.frac / base.bfrac), 8)) > 0.1
+                THEN true ELSE false END AS drifted
+    FROM p JOIN base ON p.bin = base.bin
+    WHERE p.grp <> 'A'
+    GROUP BY p.grp
+    """,
+)
+def q48(spark, sf_dir):
+    """Population-stability-index drift per group vs a baseline group —
+    the SQL-expressible face of the suite's Drift constraint (same PSI
+    formula, constraints/drift.py). Histogram -> normalize -> PSI, all
+    map-side-combinable aggregations."""
+    li = t(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.least(F.floor(F.col("l_quantity") / 10.0), F.lit(4)).cast("int").alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = h.groupBy("grp").agg(F.sum("n").alias("t"))
+    p = h.join(tot, "grp").select(
+        "grp", "bin",
+        F.greatest(F.col("n") / F.col("t").cast("double"), F.lit(1e-6)).alias("frac"),
+    )
+    base = p.where(F.col("grp") == "A").select("bin", F.col("frac").alias("bfrac"))
+    contrib = F.round(
+        (F.col("frac") - F.col("bfrac")) * F.log(F.col("frac") / F.col("bfrac")), 8
+    )
+    return (
+        p.where(F.col("grp") != "A")
+        .join(F.broadcast(base), "bin")
+        .groupBy("grp")
+        .agg(
+            F.round(F.sum(contrib), 4).alias("psi"),
+            (F.sum(contrib) > 0.1).alias("drifted"),
+        )
+    )
+
+
+@query(
+    "q49_bpe_ish_tokens",
+    r"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+             AS total_tokens,
+           round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
+             AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q49(spark, sf_dir):
+    """BPE-style pre-tokenization counts (letter runs / digit runs /
+    punctuation marks) — operators/text.py::bpe_ish_count, JVM-side
+    regexp_extract_all."""
+    d = t(spark, sf_dir, "documents")
+    n = X.bpe_ish_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.sum(n.cast("long")).alias("total_tokens"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+    )

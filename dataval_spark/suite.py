@@ -146,8 +146,12 @@ class Suite:
                 raise ValueError("MonotonicTs.ts_col must match suite.ts_col")
 
     # ------------------------------------------------------------------
-    def project(self, df: DataFrame) -> DataFrame:
+    def project(self, df: DataFrame, keep_extra: tuple[str, ...] = ()) -> DataFrame:
         """Pre-shuffle narrow projection.
+
+        ``keep_extra``: additional source columns to carry through (used
+        by ``clean``, whose OUTPUT is the full row — there the wide
+        shuffle is the point, not overhead).
 
         Evaluates every row-local (non-sequence) constraint against the
         raw row and materializes: the partial ``dataval`` bitmask
@@ -196,7 +200,14 @@ class Suite:
             (forced_reject if forced_reject is not None else F.lit(False)).alias("_forced"),
         ]
         keep += [expr.alias(name) for name, expr in helpers.items()]
-        keep += [F.col(c) for c in sorted(wide_cols) if c in df.columns]
+        wide = [c for c in sorted(wide_cols) if c in df.columns]
+        keep += [F.col(c) for c in wide]
+        kept_names = {self.conv_col, self.order_col, self.ts_col, self.part_col}
+        kept_names.update(helpers)
+        kept_names.update(wide)
+        keep += [
+            F.col(c) for c in keep_extra if c in df.columns and c not in kept_names
+        ]
         return df.select(*keep)
 
     def enrich(self, df: DataFrame) -> DataFrame:
@@ -256,6 +267,24 @@ class Suite:
                 seen.add(alias)
                 aggs.append(expr.alias(alias))
         return flagged.groupBy(self.part_col).agg(*aggs)
+
+    def clean(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """The reference's cleanup mutation
+        (/root/reference/dataval/cleanup.py:48 — UPDATE nulling bad rows)
+        re-expressed immutably: returns ``(cleaned, quarantine)``.
+        ``cleaned`` keeps only approved rows with the original schema —
+        the input for the corrected validation stage (compare with
+        manifest.compare_runs); ``quarantine`` carries the rejected rows
+        plus their dataval bitmask for triage. One plan, no mutation of
+        the source table (Spark-native: tables are immutable; the
+        'mutation' is a new snapshot)."""
+        flagged = self.flag_rows(
+            self.enrich(self.project(df, keep_extra=tuple(df.columns)))
+        )
+        keep = list(df.columns)
+        cleaned = flagged.where(F.col("approved")).select(*keep)
+        quarantine = flagged.where(~F.col("approved")).select(*keep, "dataval")
+        return cleaned, quarantine
 
     # ------------------------------------------------------------------
     def run(self, df: DataFrame, persist: bool = False) -> ValidationResult:

@@ -222,6 +222,33 @@ def test_decode_stub_raises():
         M.decode_image(b"\x89PNG")
 
 
+def test_multimodal_resize_and_frame_sample(spark):
+    rows = [
+        (1, "image", bytearray(b"\x01\x02\x03"), 8, 8, None),
+        (2, "video", bytearray(b"\xaa\xbb\xcc\xdd"), None, None, 3500),
+        (3, "video", bytearray(b"\x10"), None, None, 999),   # < 1 frame
+        (4, "audio", bytearray(b"\x00"), None, None, 2000),  # filtered out
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    resized = {r.media_id: r for r in M.resize_images(df, 4, 4).collect()}
+    assert set(resized) == {1}  # only images
+    # geometry contract: exactly width*height*3 bytes, deterministic bytes
+    assert len(resized[1].payload) == 4 * 4 * 3
+    assert bytes(resized[1].payload[:6]) == b"\x01\x02\x03\x01\x02\x03"
+
+    frames = M.sample_frames(df, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {2}          # only videos with >= 1 whole interval
+    assert [r.frame_idx for r in sorted(by_id[2], key=lambda r: r.frame_idx)] == [0, 1, 2]
+    assert [r.t_ms for r in sorted(by_id[2], key=lambda r: r.t_ms)] == [0, 1000, 2000]
+    # deterministic frame content (payload rotated by t_ms mod len)
+    f1 = sorted(by_id[2], key=lambda r: r.frame_idx)[1]
+    assert bytes(f1.frame)[:4] == b"\xaa\xbb\xcc\xdd"
+
+
 def test_salted_rollup_equals_plain_groupby(spark):
     from dataval_spark.fixtures import transcripts
     from dataval_spark.operators.rollup import conversation_rollup

@@ -162,3 +162,39 @@ def test_drift_against_persisted_baseline(spark):
     # and a clean current period does NOT fire against the baseline
     clean_again = Suite([Drift(expr=text_len, bins=bins, name="d", baseline=baseline)]).run(base)
     assert not any(m["drifted"] for m in clean_again.partition_metrics)
+
+
+def test_clean_quarantine_split(data, result):
+    """Suite.clean: immutable cleanup (reference cleanup.py:48) —
+    approved/rejected split is exact, quarantine carries the bitmask, and
+    re-validating the cleaned table rejects (almost) nothing: only
+    sequence gaps CREATED by removing bad turns may remain."""
+    suite = transcript_suite()
+    df = data.drop("defects")
+    cleaned, quarantine = suite.clean(df)
+
+    n_total = df.count()
+    n_clean, n_quar = cleaned.count(), quarantine.count()
+    assert n_clean + n_quar == n_total
+    assert n_clean == result.summary()["n_approved"]
+    assert cleaned.columns == df.columns
+    # every quarantined row carries a rejection reason (mask bit or forced
+    # status), never a zero mask with OK status
+    bad = quarantine.where(
+        (quarantine.dataval.bitwiseAND(DEFAULT_BITMASK) == 0)
+        & quarantine.status.isin(1, 3)
+    ).count()
+    assert bad == 0
+
+    # corrected-stage re-validation: rejections drop sharply, and the
+    # ONLY rejection reasons left are sequence effects CREATED by the row
+    # removal itself (a removed turn leaves a gap / exposes a masked ts
+    # regression) — no original defect class survives cleaning
+    r2 = transcript_suite().run(cleaned)
+    n_rej_raw = result.summary()["n_rows"] - result.summary()["n_approved"]
+    n_rej_clean = r2.summary()["n_rows"] - r2.summary()["n_approved"]
+    # every removed defective turn can leave at most one gap flag on its
+    # surviving successor, so residual < raw is the tight guarantee
+    assert n_rej_clean < n_rej_raw
+    residual = {r.constraint for r in r2.violations.select("constraint").distinct().collect()}
+    assert residual <= {"SequenceGap", "NonMonotonicTs"}, residual
