@@ -117,7 +117,15 @@ def cosine_near_dup_pairs(
     df: DataFrame, dim: int, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed."""
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Scale sizing: candidate pairs ~ N^2 / 2^n_planes for a corpus of N
+    (pairs are quadratic WITHIN a bucket), so pick n_planes ~
+    log2(N^2 / candidate_budget) — e.g. N=10^9 with a 10^12-pair budget
+    needs ~20 planes, not the default 4 (which is sized for the test
+    corpora). Recall of one plane table falls with n_planes; production
+    near-dup runs union several independent tables (as in minhash
+    banding) — caveat documented, single-table here."""
     coded = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),

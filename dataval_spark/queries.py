@@ -1415,10 +1415,15 @@ def q48(spark, sf_dir):
         .groupBy("grp", "bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = h.groupBy("grp").agg(F.sum("n").alias("t"))
-    p = h.join(tot, "grp").select(
+    # normalize with a window over the ALREADY-AGGREGATED O(groups*bins)
+    # frame (a join back to a groupBy total would re-shuffle the base
+    # relation; this touches only the tiny histogram)
+    wt = Window.partitionBy("grp")
+    p = h.select(
         "grp", "bin",
-        F.greatest(F.col("n") / F.col("t").cast("double"), F.lit(1e-6)).alias("frac"),
+        F.greatest(
+            F.col("n") / F.sum("n").over(wt).cast("double"), F.lit(1e-6)
+        ).alias("frac"),
     )
     base = p.where(F.col("grp") == "A").select("bin", F.col("frac").alias("bfrac"))
     contrib = F.round(
