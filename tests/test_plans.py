@@ -77,3 +77,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     joined.collect()
     assert E.shuffle_count(joined) == 0, E.physical_plan(joined)
     assert joined.count() == left.count()
+
+
+def test_single_pass_aggregation_queries(spark, sf_dir):
+    """Scan -> one shuffle -> result: the per-group noise-model and
+    BPE-token queries must stay single-aggregation plans (an accidental
+    join/window would add exchanges that scale with the base table)."""
+    for name in ("q46_noise_model", "q49_bpe_ish_tokens"):
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        assert E.shuffle_count(df) == 1, f"{name}: {E.physical_plan(df)}"
+
+
+def test_ivf_assignment_adds_no_shuffle(spark):
+    """mapInPandas centroid assignment is a narrow transformation: the
+    index build must add ZERO exchanges over the scan."""
+    from dataval_spark.operators.ivf import assign_clusters
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(100)], "vec_id long, embedding array<double>"
+    )
+    out = assign_clusters(df, [[0.0, 0.0], [50.0, 0.0]])
+    out.collect()
+    assert E.shuffle_count(out) == 0, E.physical_plan(out)

@@ -72,3 +72,42 @@ def test_median_of_uniform_hist_is_midpoint():
     row = {f"hist_t_{i}": 25 for i in range(4)}
     (q50,) = d.quantiles_from_hist(row, probs=(0.5,))
     assert abs(q50 - 20.0) < 1e-6
+
+
+def _chunks(code: int, bits: int, max_hamming: int) -> list[int]:
+    """Python mirror of dedup.simhash_chunk_keys widths/offsets."""
+    m = max_hamming + 1
+    base, rem = divmod(bits, m)
+    out, lo = [], 0
+    for i in range(m):
+        width = base + (1 if i < rem else 0)
+        out.append((code >> lo) & ((1 << width) - 1))
+        lo += width
+    return out
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 63) - 1),
+    st.integers(min_value=1, max_value=4),
+    st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=4),
+)
+@settings(max_examples=300)
+def test_pigeonhole_recall_guarantee(code, max_hamming, flip_bits):
+    """Two codes within Hamming distance max_hamming MUST agree on at
+    least one of the max_hamming+1 disjoint chunks — the recall guarantee
+    simhash_near_pairs' candidate join relies on."""
+    flips = list(flip_bits)[:max_hamming]  # at most max_hamming bit flips
+    other = code
+    for b in flips:
+        other ^= 1 << b
+    a = _chunks(code, 64, max_hamming)
+    b = _chunks(other, 64, max_hamming)
+    assert any(x == y for x, y in zip(a, b))
+    # and the chunks are a PARTITION of the code (lossless, disjoint)
+    m = max_hamming + 1
+    base, rem = divmod(64, m)
+    rebuilt, lo = 0, 0
+    for i, c in enumerate(a):
+        rebuilt |= c << lo
+        lo += base + (1 if i < rem else 0)
+    assert rebuilt == code
