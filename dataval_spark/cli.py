@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="partition FAIL threshold on rejected-row ratio "
                         "(default: suite's own)")
     p.add_argument("--run-id", default=None)
+    p.add_argument("--clean-output", default=None,
+                   help="write <dir>/cleaned (approved rows, original "
+                        "schema) and <dir>/quarantine (+dataval) — the "
+                        "corrected-stage input (reference cleanup.py)")
+    p.add_argument("--compare", default=None, metavar="RUN_A,RUN_B",
+                   help="with --manifest: print the per-partition "
+                        "verdict/metric diff between two runs and exit")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -92,9 +99,30 @@ def main(argv: list[str] | None = None) -> int:
 
     master = args.master or (f"local[{args.cpus}]" if args.cpus else None)
     spark = get_spark(app_name="dataval_spark_cli", master=master)
+
+    if args.compare:
+        from dataval_spark.manifest import compare_runs
+
+        if not args.manifest:
+            print("--compare requires --manifest", file=sys.stderr)
+            return 2
+        run_a, run_b = args.compare.split(",", 1)
+        for row in compare_runs(spark, args.manifest, run_a, run_b).orderBy("part").collect():
+            print(json.dumps(row.asDict()))
+        return 0
+
     df = spark.read.parquet(args.input)
 
     suite = build_suite(args.method, args.reject_ratio)
+
+    if args.clean_output:
+        cleaned, quarantine = suite.clean(df)
+        cleaned.write.mode("overwrite").partitionBy(suite.part_col).parquet(
+            f"{args.clean_output}/cleaned"
+        )
+        quarantine.write.mode("overwrite").partitionBy(suite.part_col).parquet(
+            f"{args.clean_output}/quarantine"
+        )
 
     if args.manifest:
         run_id = args.run_id or uuid.uuid4().hex[:12]
@@ -114,6 +142,9 @@ def main(argv: list[str] | None = None) -> int:
             )
             result.partition_verdicts.coalesce(1).write.mode("overwrite").parquet(
                 f"{args.output}/partition_verdicts"
+            )
+            result.violations.write.mode("overwrite").partitionBy("part").parquet(
+                f"{args.output}/violations"
             )
 
     summary = result.summary()

@@ -183,7 +183,8 @@ def compare_runs(
             deltas = {
                 k: mb[k] - ma[k]
                 for k in sorted(set(ma) & set(mb))
-                if isinstance(ma[k], (int, float)) and not isinstance(ma[k], bool)
+                if k != "part"  # the key itself, not a metric
+                and isinstance(ma[k], (int, float)) and not isinstance(ma[k], bool)
                 and isinstance(mb[k], (int, float)) and not isinstance(mb[k], bool)
             }
             out.append({

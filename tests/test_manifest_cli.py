@@ -172,3 +172,36 @@ def test_cli_writes_output(input_dir, tmp_path, spark, capsys):
     assert rc in (0, 3, 4)
     verdicts = spark.read.parquet(f"{out}/verdicts")
     assert verdicts.count() == spark.read.parquet(input_dir).count()
+
+
+def test_cli_clean_compare_workflow(input_dir, tmp_path, spark, capsys):
+    """Full two-stage CLI workflow: validate raw -> clean -> validate
+    cleaned -> --compare prints per-partition transitions."""
+    import json as _json
+
+    mp = str(tmp_path / "m")
+    co = str(tmp_path / "c")
+    rc1 = cli_main(["--input", input_dir, "--manifest", mp, "--run-id", "raw",
+                    "--clean-output", co, "--validate", "--cpus", "8"])
+    assert rc1 in (0, 3, 4)
+    cleaned = spark.read.parquet(f"{co}/cleaned")
+    quarantined = spark.read.parquet(f"{co}/quarantine")
+    n_in = spark.read.parquet(input_dir).count()
+    assert cleaned.count() + quarantined.count() == n_in
+    assert "dataval" in quarantined.columns
+
+    rc2 = cli_main(["--input", f"{co}/cleaned", "--manifest", mp,
+                    "--run-id", "corrected", "--validate", "--cpus", "8"])
+    assert rc2 in (0, 3, 4)
+    capsys.readouterr()
+
+    rc3 = cli_main(["--input", input_dir, "--manifest", mp,
+                    "--compare", "raw,corrected", "--cpus", "8"])
+    assert rc3 == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [_json.loads(l) for l in lines]
+    assert {r["part"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["transition"] in
+               {"FIXED", "BROKE", "STILL_PASS", "STILL_FAIL"} for r in rows)
+    # cleaning never increases rejections
+    assert all(r["delta_rejected"] <= 0 for r in rows)
