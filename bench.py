@@ -36,6 +36,10 @@ HEADLINE = [
     "q30_simhash",
     "q32_cosine_topk",
     "q33_lsh_buckets",
+    "q45_simhash_near_pairs",
+    "q46_noise_model",
+    "q48_psi_drift",
+    "q49_bpe_ish_tokens",
 ]
 
 

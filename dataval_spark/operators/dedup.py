@@ -21,6 +21,8 @@ All hashing is md5-based so DuckDB reproduces it bit-for-bit.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,25 +96,38 @@ def minhash_candidates(
 
 
 # --------------------------------------------------------------- simhash
+def hashed_tokens(text: Column) -> Column:
+    """16-bit md5-derived hash per distinct token. Project this ONCE
+    (its own select) before simhash_from_hashed: Catalyst does not CSE
+    across the per-bit filters, so inlining it re-computes md5 per token
+    PER BIT (16x the hashing work — measured ~5x on the near-pair op)."""
+    toks = F.array_distinct(tokens(normalize(text)))
+    return F.transform(
+        toks, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int")
+    )
+
+
+def simhash_from_hashed(ht: Column, bits: int = 16) -> Column:
+    """SimHash from pre-hashed tokens: code bit b = majority of token
+    hash bits b (+1 when set, -1 when not)."""
+    n = F.size(ht)
+    code = F.lit(0)
+    for b in range(bits):
+        ones = F.size(F.filter(ht, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0))
+        code = code.bitwiseOR(F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+    return code
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """Per-row SimHash: token t contributes +1 to bit b when bit b of
     md5(t) is set, else -1; code bit b = majority sign. Uses the first 4
     hex chars of md5 (16 bits) mapped to int — portable via
-    conv/('0x'||h)::int in both engines."""
-    toks = F.array_distinct(tokens(normalize(text)))
-    n = F.size(toks)
+    conv/('0x'||h)::int in both engines.
 
-    def _h(x: Column) -> Column:
-        return F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int")
-
-    def _ones(bit_mask: int) -> Column:
-        return F.size(F.filter(toks, lambda x: _h(x).bitwiseAND(F.lit(bit_mask)) != 0))
-
-    code = F.lit(0)
-    for b in range(bits):
-        ones = _ones(1 << b)
-        code = code.bitwiseOR(F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
-    return code
+    NOTE: single-Column convenience form — the hash array is inlined per
+    bit. For hot paths, project hashed_tokens() in its own select and
+    apply simhash_from_hashed on the column (see simhash_near_pairs)."""
+    return simhash_from_hashed(hashed_tokens(text), bits)
 
 
 def simhash_chunk_keys(code: Column, bits: int, max_hamming: int) -> list[Column]:
@@ -141,12 +156,19 @@ def simhash_chunk_keys(code: Column, bits: int, max_hamming: int) -> list[Column
     return keys
 
 
-def code_candidates(coded: DataFrame, bits: int, max_hamming: int) -> DataFrame:
-    """Candidate pairs from a (doc, code) frame BEFORE the exact-Hamming
-    filter (one row per agreeing chunk, so a pair can appear up to
-    max_hamming+1 times). Exposed so tests can assert the candidate
-    volume stays O(docs) — not O(docs^2) — on realistic code
-    distributions."""
+def _chunk_layout(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per chunk — shared by key building and ownership."""
+    m = max_hamming + 1
+    base, rem = divmod(bits, m)
+    out, lo = [], 0
+    for i in range(m):
+        width = base + (1 if i < rem else 0)
+        out.append((lo, width))
+        lo += width
+    return out
+
+
+def _pair_join(coded: DataFrame, bits: int, max_hamming: int) -> DataFrame:
     keys = simhash_chunk_keys(F.col("code"), bits, max_hamming)
     keyed = coded.select("doc", "code", F.explode(F.array(*keys)).alias("k"))
     a = keyed.alias("a")
@@ -156,18 +178,53 @@ def code_candidates(coded: DataFrame, bits: int, max_hamming: int) -> DataFrame:
     ).select(
         F.col("a.doc").alias("doc_a"),
         F.col("b.doc").alias("doc_b"),
+        F.col("a.k.ci").alias("ci"),
+        F.col("a.code").alias("code_a"),
+        F.col("b.code").alias("code_b"),
         F.bit_count(F.col("a.code").bitwiseXOR(F.col("b.code"))).alias("hamming"),
     )
+
+
+def code_candidates(coded: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """Candidate pairs from a (doc, code) frame BEFORE the exact-Hamming
+    filter (one row per agreeing chunk, so a pair can appear up to
+    max_hamming+1 times). Exposed so tests can assert the candidate
+    volume stays O(docs) — not O(docs^2) — on realistic code
+    distributions."""
+    return _pair_join(coded, bits, max_hamming).select("doc_a", "doc_b", "hamming")
 
 
 def code_near_pairs(coded: DataFrame, bits: int, max_hamming: int) -> DataFrame:
     """Exact near-pair set at Hamming <= max_hamming from (doc, code):
     recall guaranteed by the pigeonhole multi-index, precision by the
-    bit_count(xor) filter."""
+    bit_count(xor) filter.
+
+    Dedup WITHOUT a shuffle: a pair appearing under several agreeing
+    chunks is emitted only by its OWNER chunk (the lowest agreeing
+    index) — a per-row predicate over the two codes, replacing a
+    distinct() that would shuffle every matched pair (measured: the
+    distinct dominated the whole operator on a dense-near-dup corpus)."""
+    cand = _pair_join(coded, bits, max_hamming)
+    layout = _chunk_layout(bits, max_hamming)
+
+    def chunk_eq(i: int) -> Column:
+        lo, width = layout[i]
+        mask = F.lit((1 << width) - 1)
+        return (
+            F.shiftright(F.col("code_a"), lo).bitwiseAND(mask)
+            == F.shiftright(F.col("code_b"), lo).bitwiseAND(mask)
+        )
+
+    owner = F.lit(True)  # ci == 0 owns unconditionally
+    for i in range(1, len(layout)):
+        no_earlier_match = reduce(
+            lambda acc, j: acc & ~chunk_eq(j), range(i), F.lit(True)
+        )
+        owner = F.when(F.col("ci") == i, no_earlier_match).otherwise(owner)
+
     return (
-        code_candidates(coded, bits, max_hamming)
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+        cand.where((F.col("hamming") <= max_hamming) & owner)
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
@@ -178,8 +235,8 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash Hamming distance via the pigeonhole
     multi-index (see simhash_chunk_keys)."""
     coded = df.select(
-        F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("code")
-    )
+        F.col(id_col).alias("doc"), hashed_tokens(F.col(text_col)).alias("_ht")
+    ).select("doc", simhash_from_hashed(F.col("_ht"), bits).alias("code"))
     return code_near_pairs(coded, bits, max_hamming)
 
 

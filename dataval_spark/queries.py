@@ -816,13 +816,16 @@ def _simhash_sql(bits: int = 16) -> str:
     """,
 )
 def q30(spark, sf_dir):
-    """16-bit SimHash codes per document (token bit-majority)."""
+    """16-bit SimHash codes per document (token bit-majority). Hash array
+    projected once, code once (see dedup.hashed_tokens plan note)."""
     d = t(spark, sf_dir, "documents")
-    code = D.simhash(F.col("text"), 16)
-    return d.agg(
+    coded = d.select(D.hashed_tokens(F.col("text")).alias("_ht")).select(
+        D.simhash_from_hashed(F.col("_ht"), 16).alias("code")
+    )
+    return coded.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(code).alias("n_codes"),
-        F.round(F.avg(F.bit_count(code.cast("bigint"))), 4).alias("avg_popcount"),
+        F.countDistinct("code").alias("n_codes"),
+        F.round(F.avg(F.bit_count(F.col("code").cast("bigint"))), 4).alias("avg_popcount"),
     )
 
 
