@@ -35,6 +35,72 @@ def stateless_flags(suite: Suite, stream: DataFrame) -> DataFrame:
     return sub.flag_rows(stream)
 
 
+def stream_to_manifest(
+    stream: DataFrame,
+    suite: Suite,
+    manifest_path: str,
+    run_id: str,
+    checkpoint_dir: str,
+    verdicts_path: str | None = None,
+):
+    """Resumable streaming validation: every micro-batch runs the FULL
+    suite (batch semantics within the batch, including the sequence
+    window over the turns that arrived together) and appends one manifest
+    row per (partition, batch) — the streaming face of the north rule's
+    checkpointed lineage. Structured Streaming's checkpoint guarantees a
+    restarted query skips already-committed batches, so input files are
+    validated exactly once across restarts (asserted in
+    tests/test_streaming.py); batch scoping in the run id keeps a
+    re-executed batch's rows distinguishable (latest committed_at wins).
+
+    Returns the started StreamingQuery; caller owns awaitTermination/stop.
+    """
+    import json as _json
+    import time as _time
+
+    from dataval_spark.manifest import MANIFEST_SCHEMA, suite_hash
+
+    shash = suite_hash(suite)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        result = suite.run(batch_df, persist=bool(verdicts_path))
+        if not result.partition_metrics:
+            return
+        rows = [
+            {
+                "run_id": f"{run_id}/batch={batch_id}",
+                "suite_hash": shash,
+                "part": int(m["part"]),
+                "n_rows": int(m["n_rows"]),
+                "n_approved": int(m["n_approved"]),
+                "n_rejected": int(m["n_rejected"]),
+                "passed": bool(m["passed"]),
+                "metrics_json": _json.dumps(
+                    {k: v for k, v in m.items() if isinstance(v, (int, float, bool, str))},
+                    default=str,
+                ),
+                "input_fp": "",
+                "committed_at": _time.time(),
+            }
+            for m in result.partition_metrics
+        ]
+        spark = batch_df.sparkSession
+        if verdicts_path:
+            result.row_verdicts.write.mode("append").partitionBy(
+                suite.part_col
+            ).parquet(verdicts_path)
+        spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(manifest_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_partition_verdicts(
     flagged: DataFrame,
     window: str = "10 minutes",

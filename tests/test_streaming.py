@@ -134,3 +134,43 @@ def test_stateful_sequence_validation(spark, tmp_path):
     # gap-fillers are NOT misflagged as duplicates
     assert by_key[("c1", 2)] == [0]
     assert by_key[("c1", 3)] == [0]
+
+
+def test_stream_to_manifest_exactly_once(spark, tmp_path):
+    """Checkpointed streaming validation: across restarts every input
+    file is validated exactly once (the streaming face of the resumable
+    manifest), and the manifest accumulates per-(batch, partition) rows."""
+    from dataval_spark.streaming.validate_stream import stream_to_manifest
+
+    d = str(tmp_path / "in")
+    mp = str(tmp_path / "manifest")
+    ck = str(tmp_path / "ckpt")
+    batch = transcripts(spark, n_convs=80, seed=2187, n_parts=4)
+    n1 = batch.count()
+    batch.coalesce(2).write.mode("append").parquet(d)
+    schema = batch.schema
+    suite = transcript_suite()
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(d)
+        q = stream_to_manifest(stream, suite, mp, "s1", ck)
+        q.awaitTermination(300)
+        q.stop()
+
+    run_once()
+    m1 = spark.read.parquet(mp)
+    assert m1.groupBy().sum("n_rows").collect()[0][0] == n1
+
+    # restart with NO new data: checkpoint skips everything
+    run_once()
+    assert spark.read.parquet(mp).groupBy().sum("n_rows").collect()[0][0] == n1
+
+    # new files arrive; restart processes ONLY them
+    batch2 = transcripts(spark, n_convs=40, seed=42, n_parts=4)
+    n2 = batch2.count()
+    batch2.coalesce(1).write.mode("append").parquet(d)
+    run_once()
+    m3 = spark.read.parquet(mp)
+    assert m3.groupBy().sum("n_rows").collect()[0][0] == n1 + n2
+    # batch-scoped run ids keep increments distinguishable
+    assert m3.where("run_id LIKE 's1/batch=%'").count() == m3.count()
