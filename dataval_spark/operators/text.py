@@ -107,6 +107,42 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+# PII surface patterns (RE2-compatible so the DuckDB oracle matches the
+# JVM regex engine bit-for-bit): the redaction pre-pass every
+# training-data pipeline runs before release.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9() -]{7,}[0-9]",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Match count per PII class — JVM-side regexp_extract_all."""
+    return {
+        name: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_flag(col: Column) -> Column:
+    """True when the text contains ANY PII-class match."""
+    counts = list(pii_counts(col).values())
+    out = F.lit(False)
+    for c in counts:
+        out = out | (c > 0)
+    return out
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with a class tag — the mutation-free
+    redaction transform (pairs with Suite.clean for release prep)."""
+    out = col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return out
+
+
 def normalize(col: Column) -> Column:
     """Canonical text form for fingerprinting: lower, trim, collapse ws."""
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")

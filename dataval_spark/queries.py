@@ -1464,3 +1464,36 @@ def q49(spark, sf_dir):
         F.sum(n.cast("long")).alias("total_tokens"),
         F.round(F.avg(n), 4).alias("avg_tokens"),
     )
+
+
+def _pii_sql() -> str:
+    from dataval_spark.operators.text import PII_PATTERNS
+
+    cnt = {
+        name: f"len(regexp_extract_all(text, '{pat}'))"
+        for name, pat in PII_PATTERNS.items()
+    }
+    any_pii = " OR ".join(f"{c} > 0" for c in cnt.values())
+    return (
+        "SELECT source, "
+        + ", ".join(
+            f"CAST(sum({c}) AS BIGINT) AS n_{name}" for name, c in cnt.items()
+        )
+        + f", CAST(sum(CASE WHEN {any_pii} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii"
+        + ", count(*) AS n_docs FROM documents GROUP BY source"
+    )
+
+
+@query("q50_pii_scan", _pii_sql())
+def q50(spark, sf_dir):
+    """PII surface scan per source (emails / phones / IPv4) — the
+    redaction pre-pass counts; operators/text.py::pii_counts, JVM-side
+    regexp (RE2-compatible patterns so DuckDB matches exactly)."""
+    d = t(spark, sf_dir, "documents")
+    counts = X.pii_counts(F.col("text"))
+    aggs = [F.sum(c.cast("long")).alias(f"n_{name}") for name, c in counts.items()]
+    return d.groupBy("source").agg(
+        *aggs,
+        F.sum(X.pii_flag(F.col("text")).cast("long")).alias("n_docs_with_pii"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

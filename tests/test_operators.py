@@ -401,3 +401,32 @@ def test_similarity_null_and_zero_vectors(spark):
     )
     top = S.brute_force_topk(corpus, queries, k=2).collect()
     assert [r.vec_id for r in top] == [1, 3]
+
+
+def test_pii_counts_flag_and_redaction(spark):
+    rows = [
+        (1, "contact me at jane.doe+x@example.org or bob@sub.domain.co"),
+        (2, "call +1 (555) 123-4567 tomorrow"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "clean text with no identifiers"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            X.pii_counts(F.col("text"))["email"].alias("email"),
+            X.pii_counts(F.col("text"))["phone"].alias("phone"),
+            X.pii_counts(F.col("text"))["ipv4"].alias("ipv4"),
+            X.pii_flag(F.col("text")).alias("flag"),
+            X.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1].email == 2 and out[1].flag
+    assert out[2].phone == 1 and out[2].flag
+    assert out[3].ipv4 == 1 and out[3].flag
+    assert not out[4].flag and not out[5].flag
+    assert "<email>" in out[1].red and "@" not in out[1].red
+    assert "<phone>" in out[2].red and "555" not in out[2].red
+    assert "<ipv4>" in out[3].red and "192" not in out[3].red
