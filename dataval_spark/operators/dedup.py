@@ -240,6 +240,49 @@ def simhash_near_pairs(
     return code_near_pairs(coded, bits, max_hamming)
 
 
+# ------------------------------------------------- dedup cluster assembly
+def connected_components(
+    ids: DataFrame, pairs: DataFrame, id_col: str = "doc", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc, cluster) where
+    cluster = the minimum doc id in the component (the canonical
+    survivor). Min-label propagation: each round every node takes the
+    min of its own and its neighbors' labels; converges in O(graph
+    diameter) rounds — near-dup clusters are shallow (dups of dups), so
+    a handful of rounds suffice. Each round is one join + one groupBy
+    with map-side combine; ``localCheckpoint`` cuts the lineage so the
+    plan does not grow with iterations. For adversarially long chains at
+    10^9 nodes, swap in large-star/small-star (O(log n) rounds) — same
+    loop shape.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = ids.select(F.col(id_col).alias("doc"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["doc"])
+            .select(F.col("a").alias("doc"), F.col("label"))
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster"))
+
+
 # --------------------------------------------------------- n-gram jaccard
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text."""

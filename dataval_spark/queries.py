@@ -1497,3 +1497,88 @@ def q50(spark, sf_dir):
         F.sum(X.pii_flag(F.col("text")).cast("long")).alias("n_docs_with_pii"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@query(
+    "q51_dedup_clusters",
+    f"""
+    WITH RECURSIVE codes AS (
+      SELECT doc_id AS doc, ({_simhash_sql(16)})::BIGINT AS code FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b
+      FROM codes a JOIN codes b ON a.doc < b.doc
+      WHERE bit_count(xor(a.code, b.code)) <= 1
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT doc, doc FROM codes
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc
+    ),
+    labels AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(max(csz) AS BIGINT) AS max_cluster_size
+    FROM labels JOIN (SELECT cluster AS c2, count(*) AS csz
+                      FROM labels GROUP BY cluster) ON cluster = c2
+    """,
+)
+def q51(spark, sf_dir):
+    """Near-dup CLUSTER assembly: SimHash pairs at Hamming<=1 ->
+    connected components (min-label propagation, operators/dedup.py) ->
+    cluster census. The oracle walks the same graph with a recursive
+    CTE."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(docs, "doc_id", "text", bits=16, max_hamming=1)
+    ids = docs.select(F.col("doc_id").alias("doc"))
+    labels = D.connected_components(ids, pairs)
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))
+    return labels.join(sizes, "cluster").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+        F.max("csz").alias("max_cluster_size"),
+    )
+
+
+@query(
+    "q52_context_packing",
+    f"""
+    WITH toks AS (
+      SELECT lang, doc_id, {_TOKN_SQL} AS n_tok FROM documents WHERE text IS NOT NULL
+    ),
+    packed AS (
+      SELECT lang, n_tok,
+             CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS INT)
+               AS bin
+      FROM toks
+    ),
+    per_bin AS (
+      SELECT lang, bin, CAST(sum(n_tok) AS BIGINT) AS bin_tokens, count(*) AS n_docs
+      FROM packed GROUP BY lang, bin
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens,
+           round(avg(bin_tokens), 4) AS avg_bin_tokens
+    FROM per_bin GROUP BY lang
+    """,
+)
+def q52(spark, sf_dir):
+    """Context-window packing (operators/packing.py): documents packed
+    into 2048-token bins per language by cumulative offset; summary =
+    bins used + fill distribution."""
+    from dataval_spark.operators.packing import pack_greedy, packing_stats
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("lang", "doc_id", X.token_count(F.col("text")).alias("n_tok"))
+    )
+    packed = pack_greedy(d, "n_tok", 2048, "lang", "doc_id")
+    return packing_stats(packed, "n_tok", "lang")

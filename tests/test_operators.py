@@ -430,3 +430,18 @@ def test_pii_counts_flag_and_redaction(spark):
     assert "<email>" in out[1].red and "@" not in out[1].red
     assert "<phone>" in out[2].red and "555" not in out[2].red
     assert "<ipv4>" in out[3].red and "192" not in out[3].red
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """Min-label propagation: a 6-node chain collapses to its min id
+    (worst-case diameter), isolated nodes keep their own label, two
+    separate components stay separate."""
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc long")
+    # chain 0-1-2-3-4-5, pair 7-8; 6 and 9 isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "doc_a long, doc_b long"
+    )
+    labels = {r.doc: r.cluster for r in D.connected_components(ids, pairs).collect()}
+    assert all(labels[i] == 0 for i in range(6))
+    assert labels[7] == labels[8] == 7
+    assert labels[6] == 6 and labels[9] == 9
