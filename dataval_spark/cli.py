@@ -36,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="partition FAIL threshold on rejected-row ratio "
                         "(default: suite's own)")
     p.add_argument("--run-id", default=None)
+    p.add_argument("--suite", default=None, metavar="SPEC.json",
+                   help="declarative suite spec (JSON; see dataval_spark.spec) "
+                        "instead of the built-in transcript suite")
     p.add_argument("--clean-output", default=None,
                    help="write <dir>/cleaned (approved rows, original "
                         "schema) and <dir>/quarantine (+dataval) — the "
@@ -60,16 +63,26 @@ _METHOD_FILTER = {
 }
 
 
-def build_suite(method: str = "all", reject_ratio: float | None = None):
-    """The suite the CLI runs: transcript_suite, optionally restricted to
-    one check family and/or with an overridden partition-FAIL threshold.
-    Every Suite config knob is propagated through the --method
-    reconstruction (a rebuilt Suite(keep, part_col=...) used to drop
+def build_suite(
+    method: str = "all",
+    reject_ratio: float | None = None,
+    spec_path: str | None = None,
+):
+    """The suite the CLI runs: the declarative spec when --suite is
+    given, else transcript_suite; optionally restricted to one check
+    family and/or with an overridden partition-FAIL threshold. Every
+    Suite config knob is propagated through the --method reconstruction
+    (a rebuilt Suite(keep, part_col=...) used to drop
     reject_ratio/conv/order/ts overrides)."""
     from dataval_spark.constraints.core import Stats
     from dataval_spark.suite import Suite, transcript_suite
 
-    suite = transcript_suite()
+    if spec_path:
+        from dataval_spark.spec import suite_from_spec
+
+        suite = suite_from_spec(spec_path)
+    else:
+        suite = transcript_suite()
     if reject_ratio is not None:
         suite.reject_ratio_fail = reject_ratio
     if method != "all":
@@ -113,7 +126,7 @@ def main(argv: list[str] | None = None) -> int:
 
     df = spark.read.parquet(args.input)
 
-    suite = build_suite(args.method, args.reject_ratio)
+    suite = build_suite(args.method, args.reject_ratio, args.suite)
 
     if args.clean_output:
         cleaned, quarantine = suite.clean(df)

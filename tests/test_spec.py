@@ -1,0 +1,82 @@
+"""Declarative suite spec: a JSON document must reproduce the
+hand-built transcript_suite exactly (same verdicts on the fixture), and
+the spec's SQL text must flow into the manifest settings guard."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dataval_spark.fixtures import transcripts
+from dataval_spark.manifest import suite_hash
+from dataval_spark.spec import suite_from_spec
+from dataval_spark.suite import CHAR_BOUNDS, ROLE_DOMAIN, TOOL_DOMAIN, transcript_suite
+
+
+def transcript_spec() -> dict:
+    tools = ", ".join(f"'{t}'" for t in TOOL_DOMAIN)
+    return {
+        "part_col": "part",
+        "reject_ratio_fail": 0.10,
+        "constraints": [
+            {"type": "not_null", "col": "text", "flag": "InvalidText", "max_rate": 0.05},
+            {"type": "not_null", "col": "ts", "flag": "InvalidTimestamp",
+             "empty_is_null": False},
+            {"type": "cross_field", "name": "conv_id_format",
+             "when": "conv_id IS NULL OR NOT regexp_like(conv_id, '^conv-[0-9]{12}$')",
+             "flag": "InvalidConvId"},
+            {"type": "unique", "keys": ["conv_id", "turn_idx"]},
+            {"type": "sequence"},
+            {"type": "monotonic_ts"},
+            {"type": "domain", "col": "role", "values": ROLE_DOMAIN,
+             "flag": "InvalidRole"},
+            {"type": "cross_field", "name": "tool_consistency",
+             "when": ("(role = 'tool' AND tool IS NULL) OR "
+                      "(role <> 'tool' AND role IS NOT NULL AND tool IS NOT NULL) OR "
+                      f"(tool IS NOT NULL AND tool NOT IN ({tools}))"),
+             "flag": "InvalidTool"},
+            {"type": "envelope", "expr": "CAST(length(text) AS DOUBLE)",
+             "group_col": "role",
+             "bounds": {k: list(v) for k, v in CHAR_BOUNDS.items()},
+             "name": "text_len"},
+            {"type": "status_gate", "ok_values": [1, 3]},
+            {"type": "stats", "col": "text"},
+            {"type": "stats", "col": "role"},
+            {"type": "drift", "expr": "CAST(length(text) AS DOUBLE)",
+             "bins": [float(x) for x in range(0, 901, 60)],
+             "name": "drift_text_len"},
+        ],
+    }
+
+
+def test_spec_suite_matches_handbuilt(spark):
+    df = transcripts(spark, n_convs=200, seed=2187, n_parts=4).cache()
+    hand = transcript_suite().run(df)
+    spec = suite_from_spec(transcript_spec())
+    got = spec.run(df)
+    assert got.summary() == hand.summary()
+    hv = {m["part"]: (m["passed"], m["n_rejected"]) for m in hand.partition_metrics}
+    gv = {m["part"]: (m["passed"], m["n_rejected"]) for m in got.partition_metrics}
+    assert gv == hv
+    df.unpersist()
+
+
+def test_spec_roundtrips_through_json(tmp_path):
+    p = tmp_path / "suite.json"
+    p.write_text(json.dumps(transcript_spec()))
+    s1 = suite_from_spec(str(p))
+    s2 = suite_from_spec(transcript_spec())
+    assert suite_hash(s1) == suite_hash(s2)
+
+
+def test_spec_sql_text_changes_suite_hash():
+    a = transcript_spec()
+    b = transcript_spec()
+    b["constraints"][2]["when"] = "conv_id IS NULL"  # different SQL
+    assert suite_hash(suite_from_spec(a)) != suite_hash(suite_from_spec(b))
+
+
+def test_spec_unknown_type_rejected():
+    with pytest.raises(ValueError, match="unknown constraint type"):
+        suite_from_spec({"constraints": [{"type": "telepathy"}]})
