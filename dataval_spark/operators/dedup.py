@@ -246,13 +246,14 @@ def connected_components(
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc, cluster) where
     cluster = the minimum doc id in the component (the canonical
-    survivor). Min-label propagation: each round every node takes the
-    min of its own and its neighbors' labels; converges in O(graph
-    diameter) rounds — near-dup clusters are shallow (dups of dups), so
+    survivor). Min-label propagation with PATH HALVING: each round a
+    node takes the min over its own label, its neighbors' labels, and
+    its label's label (one pointer hop) - pointer jumping turns
+    O(diameter) convergence into O(log diameter) rounds — near-dup clusters are shallow (dups of dups), so
     a handful of rounds suffice. Each round is one join + one groupBy
     with map-side combine; ``localCheckpoint`` cuts the lineage so the
-    plan does not grow with iterations. For adversarially long chains at
-    10^9 nodes, swap in large-star/small-star (O(log n) rounds) — same
+    plan does not grow with iterations. The same loop shape scales to the published
+    large-star/small-star algorithm at adversarial graph sizes — same
     loop shape.
     """
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -269,15 +270,29 @@ def connected_components(
             labels.union(nbr)
             .groupBy("doc")
             .agg(F.min("label").alias("label"))
+        )
+        # path halving: label <- min(label, label's label). Labels are
+        # always existing doc ids so the self-join resolves; left join
+        # keeps rows whose label row is themselves.
+        halved = (
+            new.alias("x")
+            .join(new.alias("y"), F.col("x.label") == F.col("y.doc"), "left")
+            .select(
+                F.col("x.doc").alias("doc"),
+                F.least(
+                    F.col("x.label"),
+                    F.coalesce(F.col("y.label"), F.col("x.label")),
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
-            new.alias("n")
+            halved.alias("n")
             .join(labels.alias("o"), "doc")
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new
+        labels = halved
         if changed == 0:
             break
     return labels.select("doc", F.col("label").alias("cluster"))
