@@ -133,6 +133,29 @@ def completed_parts(
     }
 
 
+def baseline_from_manifest(
+    spark: SparkSession, manifest_path: str, run_id: str, drift_name: str, nbins: int
+) -> list[float]:
+    """Pooled drift histogram from a previous (trusted) run's manifest —
+    the production baseline for Drift(baseline=...). Pooled-rest
+    comparison is blind to WHOLE-dataset drift (every partition shifts
+    together); validating against a stored baseline from a known-good
+    run catches it. Bin counts come from the metrics_json the suite
+    already writes, so building a baseline costs zero extra scans."""
+    m = read_manifest(spark, manifest_path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {manifest_path}")
+    rows = _latest_per_part(m.where(F.col("run_id") == run_id).collect())
+    if not rows:
+        raise ValueError(f"run_id {run_id!r} not in manifest {manifest_path}")
+    pooled = [0.0] * nbins
+    for r in rows.values():
+        metrics = json.loads(r["metrics_json"] or "{}")
+        for i in range(nbins):
+            pooled[i] += float(metrics.get(f"hist_{drift_name}_{i}") or 0.0)
+    return pooled
+
+
 def _latest_per_part(rows: list) -> dict[int, dict]:
     """Latest manifest row per partition (re-validated parts append a
     fresh row; committed_at orders them)."""

@@ -430,3 +430,17 @@ def transcript_suite(
         Drift(expr=text_len, bins=bins, name="drift_text_len"),
     ]
     return Suite(constraints)
+
+
+def sample_violations(violations: DataFrame, n_per_constraint: int = 5) -> DataFrame:
+    """Deterministic triage sample: the first n violating rows per
+    constraint under a total column ordering (the reference logs example
+    violations per check). A window top-k — never a global sort of every
+    violation, which would be an unbounded extra shuffle at scale."""
+    order_cols = [c for c in violations.columns if c != "constraint"]
+    w = Window.partitionBy("constraint").orderBy(*order_cols)
+    return (
+        violations.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_constraint)
+        .drop("_rn")
+    )

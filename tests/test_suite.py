@@ -198,3 +198,53 @@ def test_clean_quarantine_split(data, result):
     assert n_rej_clean < n_rej_raw
     residual = {r.constraint for r in r2.violations.select("constraint").distinct().collect()}
     assert residual <= {"SequenceGap", "NonMonotonicTs"}, residual
+
+
+def test_sample_violations_deterministic(data, result):
+    from dataval_spark.suite import sample_violations
+
+    s1 = sample_violations(result.violations, 3).collect()
+    s2 = sample_violations(result.violations, 3).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    by_c = {}
+    for r in s1:
+        by_c.setdefault(r.constraint, []).append(r)
+    assert by_c and all(len(v) <= 3 for v in by_c.values())
+
+
+def test_baseline_from_manifest_catches_global_drift(spark, tmp_path):
+    """Whole-dataset drift: every partition shifts together, so
+    pooled-rest comparison sees nothing — a baseline from a trusted
+    previous run's manifest catches it (north rule: drift checks per
+    partition with persisted lineage)."""
+    from pyspark.sql import functions as F
+
+    from dataval_spark.constraints.drift import Drift
+    from dataval_spark.manifest import baseline_from_manifest, run_resumable
+    from dataval_spark.suite import Suite
+
+    good = transcripts(spark, n_convs=150, seed=2187, n_parts=4, with_defects=False)
+    suite = transcript_suite()
+    mp = str(tmp_path / "m")
+    run_resumable(spark, good, suite, mp, "trusted")
+
+    drift = next(c for c in suite.constraints if isinstance(c, Drift))
+    base = baseline_from_manifest(spark, mp, "trusted", drift.name, drift.nbins)
+    assert sum(base) == good.count()
+
+    # globally drifted corpus: every text doubled -> all partitions shift
+    drifted = good.withColumn("text", F.concat("text", F.lit(" "), "text"))
+
+    # pooled-rest drift (the default) is blind: partitions look alike
+    r_pooled = transcript_suite().run(drifted)
+    assert not any(m["drifted"] for m in r_pooled.partition_metrics)
+
+    # baseline drift flags every partition
+    cons = [
+        Drift(expr=c.expr, bins=c.bins, psi_threshold=c.psi_threshold,
+              ks_threshold=c.ks_threshold, name=c.name, baseline=base)
+        if isinstance(c, Drift) else c
+        for c in suite.constraints
+    ]
+    r_base = Suite(cons).run(drifted)
+    assert all(m["drifted"] for m in r_base.partition_metrics)
