@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compare", default=None, metavar="RUN_A,RUN_B",
                    help="with --manifest: print the per-partition "
                         "verdict/metric diff between two runs and exit")
+    p.add_argument("--baseline-run", default=None, metavar="RUN_ID",
+                   help="with --manifest: pull drift baselines from this "
+                        "trusted run's stored histograms (catches "
+                        "whole-dataset drift)")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -127,6 +131,22 @@ def main(argv: list[str] | None = None) -> int:
     df = spark.read.parquet(args.input)
 
     suite = build_suite(args.method, args.reject_ratio, args.suite)
+
+    if args.baseline_run:
+        from dataval_spark.constraints.drift import Drift
+        from dataval_spark.manifest import baseline_from_manifest
+
+        if not args.manifest:
+            print("--baseline-run requires --manifest", file=sys.stderr)
+            return 2
+        suite.constraints = [
+            Drift(expr=c.expr, bins=c.bins, psi_threshold=c.psi_threshold,
+                  ks_threshold=c.ks_threshold, name=c.name,
+                  baseline=baseline_from_manifest(
+                      spark, args.manifest, args.baseline_run, c.name, c.nbins))
+            if isinstance(c, Drift) else c
+            for c in suite.constraints
+        ]
 
     if args.clean_output:
         cleaned, quarantine = suite.clean(df)

@@ -292,9 +292,14 @@ def run_resumable(
     # what marks partitions done; writing it first would let a crash
     # between the two writes permanently skip the verdicts on re-run.
     if verdicts_path:
-        result.row_verdicts.write.mode("append").partitionBy(suite.part_col).parquet(
-            verdicts_path
-        )
+        # dynamic partition overwrite: ONLY the partitions present in
+        # this result are replaced. A re-validated partition (changed
+        # input) would otherwise append a second copy of its verdicts;
+        # untouched partitions' files are never rewritten, so resumes
+        # stay incremental.
+        result.row_verdicts.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy(suite.part_col).parquet(verdicts_path)
     spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(manifest_path)

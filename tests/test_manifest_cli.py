@@ -78,6 +78,58 @@ def test_resume_revalidates_changed_input(spark, tmp_path):
     assert run_resumable(spark, spark.read.parquet(d), suite, mp, "run1", input_path=d) is None
 
 
+def test_revalidation_overwrites_stale_verdicts(spark, tmp_path):
+    """A re-validated partition must REPLACE its verdict rows (dynamic
+    partition overwrite), never append a second copy; untouched
+    partitions keep their original verdicts."""
+    d = str(tmp_path / "input")
+    transcripts(spark, n_convs=100, seed=2187, n_parts=4).write.partitionBy(
+        "part"
+    ).mode("overwrite").parquet(d)
+    suite = transcript_suite()
+    mp = str(tmp_path / "manifest")
+    vp = str(tmp_path / "verdicts")
+
+    run_resumable(spark, spark.read.parquet(d), suite, mp, "r", vp, input_path=d)
+    before = spark.read.parquet(vp)
+    # materialize everything from `before` NOW: the dynamic-partition
+    # overwrite below deletes the files this lazy frame points at
+    n_before = before.count()
+    base_dup = (
+        before.groupBy("conv_id", "turn_idx", "part").count().where("count > 1").count()
+    )
+    part0_before = before.where("part = 0").count()
+    assert n_before == spark.read.parquet(d).count()
+
+    # mutate partition 1's input: extra rows appended, with conv ids
+    # remapped into a disjoint range so no CROSS-dataset key collisions
+    # masquerade as engine-duplicated verdicts
+    late = (
+        transcripts(spark, n_convs=160, seed=7, n_parts=4)
+        .where(F.col("part") == 1)
+        .withColumn("conv_id", F.concat(F.lit("conv-9"), F.substring("conv_id", 7, 11)))
+    )
+    late.drop("part").write.mode("append").parquet(f"{d}/part=1")
+    n_late_dup = late.groupBy("conv_id", "turn_idx").count().where("count > 1").count()
+    run_resumable(spark, spark.read.parquet(d), suite, mp, "r", vp, input_path=d)
+
+    after = spark.read.parquet(vp)
+    # verdicts == input rows: the re-validated partition REPLACED its
+    # rows instead of appending a second copy
+    assert after.count() == spark.read.parquet(d).count()
+    dup = (
+        after.groupBy("conv_id", "turn_idx", "part")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    # the fixture itself injects duplicate turns; assert no INCREASE
+    # beyond genuine new duplicates from the late data
+    assert dup <= base_dup + n_late_dup + 1
+    # untouched partitions unchanged
+    assert after.where("part = 0").count() == part0_before
+
+
 def test_compare_runs_raw_vs_corrected(spark, tmp_path):
     """Two-stage validation diff (reference corr-vs-raw semantics,
     /root/reference/dataval/dataval.py:325-326): cleaning the table flips
