@@ -63,3 +63,31 @@ def test_orphans_and_missing(spark, tree):
 
     missing_rows = FS.missing(table, files, "target", "tid").collect()
     assert [r.target for r in missing_rows] == [99]  # row with no file
+
+
+def test_jsonl_ingest_with_corrupt_lines(spark, tmp_path):
+    """Malformed JSONL lines must be captured, not crash or vanish; the
+    good side must be suite-ready."""
+    from dataval_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "t.jsonl"
+    p.write_text(
+        '{"conv_id": "conv-000000000001", "turn_idx": 0, "role": "system", '
+        '"text": "hello", "tool": null, "ts": "2024-01-01T00:00:00Z", "part": 0}\n'
+        '{"conv_id": "conv-000000000001", "turn_idx": 1, "role": "user", '
+        '"text": "hi", "tool": null, "ts": "2024-01-01T00:01:00Z", "part": 0}\n'
+        "{this is not json at all\n"
+        '{"conv_id": "conv-000000000002", "turn_idx": "NOT_AN_INT", "role": "user", '
+        '"text": "x", "tool": null, "ts": "2024-01-01T00:00:00Z", "part": 1}\n'
+    )
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, part int")
+    good, bad = split_corrupt(read_jsonl(spark, str(p), ddl))
+    assert good.count() == 2
+    assert bad.count() == 2  # syntax error + type violation
+    raws = [r.raw_line for r in bad.collect()]
+    assert any("not json" in r for r in raws)
+    assert any("NOT_AN_INT" in r for r in raws)
+    # good side is directly suite-consumable
+    assert dict(good.dtypes)["ts"] == "timestamp"
+    assert good.where("turn_idx = 1").count() == 1
