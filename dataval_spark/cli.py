@@ -91,6 +91,15 @@ def build_suite(
         suite.reject_ratio_fail = reject_ratio
     if method != "all":
         names = _METHOD_FILTER[method]
+        if not any(c.name in names for c in suite.constraints):
+            # the method filter names are transcript-suite constraint
+            # names; a custom --suite whose constraints match none of
+            # them would otherwise run a Stats-only suite that approves
+            # everything and exits 0 — a vacuous pass
+            raise ValueError(
+                f"--method {method} matched no constraint in this suite "
+                f"(suite has: {sorted(c.name for c in suite.constraints)})"
+            )
         # keep the selected family plus pure metrics contributors (Stats)
         # ONLY — "not c.flag" also matched Envelope (it carries
         # low_flag/high_flag instead of flag) and silently re-applied
@@ -130,7 +139,11 @@ def main(argv: list[str] | None = None) -> int:
 
     df = spark.read.parquet(args.input)
 
-    suite = build_suite(args.method, args.reject_ratio, args.suite)
+    try:
+        suite = build_suite(args.method, args.reject_ratio, args.suite)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
 
     if args.baseline_run:
         from dataval_spark.constraints.drift import Drift
@@ -149,13 +162,15 @@ def main(argv: list[str] | None = None) -> int:
         ]
 
     if args.clean_output:
-        cleaned, quarantine = suite.clean(df)
+        # persist=True: both writes share ONE scan+window compute
+        cleaned, quarantine = suite.clean(df, persist=True)
         cleaned.write.mode("overwrite").partitionBy(suite.part_col).parquet(
             f"{args.clean_output}/cleaned"
         )
         quarantine.write.mode("overwrite").partitionBy(suite.part_col).parquet(
             f"{args.clean_output}/quarantine"
         )
+        spark.catalog.clearCache()  # CLI is single-purpose: drop the persist
 
     if args.manifest:
         run_id = args.run_id or uuid.uuid4().hex[:12]
@@ -168,8 +183,11 @@ def main(argv: list[str] | None = None) -> int:
             print("Nothing to process", file=sys.stderr)
             return 0
     else:
-        result = suite.run(df)
-        if not args.validate and args.output:
+        writing = bool(not args.validate and args.output)
+        # persist: the three output tables below all derive from the same
+        # scan+window plan — without it each write recomputes the scan
+        result = suite.run(df, persist=writing)
+        if writing:
             result.row_verdicts.write.mode("overwrite").partitionBy("part").parquet(
                 f"{args.output}/verdicts"
             )
@@ -179,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
             result.violations.write.mode("overwrite").partitionBy("part").parquet(
                 f"{args.output}/violations"
             )
+            result.unpersist()
 
     summary = result.summary()
     print(json.dumps(summary))

@@ -149,10 +149,22 @@ def baseline_from_manifest(
     if not rows:
         raise ValueError(f"run_id {run_id!r} not in manifest {manifest_path}")
     pooled = [0.0] * nbins
+    found = False
     for r in rows.values():
         metrics = json.loads(r["metrics_json"] or "{}")
         for i in range(nbins):
-            pooled[i] += float(metrics.get(f"hist_{drift_name}_{i}") or 0.0)
+            v = metrics.get(f"hist_{drift_name}_{i}")
+            if v is not None:
+                found = True
+                pooled[i] += float(v)
+    if not found or sum(pooled) == 0:
+        # an all-zero baseline would make Drift.evaluate's thresholds
+        # astronomically lax — drift would silently pass everything
+        raise ValueError(
+            f"run {run_id!r} in {manifest_path} has no hist_{drift_name}_* "
+            f"metrics (different drift name or bin count?) — refusing a "
+            f"vacuous baseline"
+        )
     return pooled
 
 
@@ -296,11 +308,12 @@ def run_resumable(
         # this result are replaced. A re-validated partition (changed
         # input) would otherwise append a second copy of its verdicts;
         # untouched partitions' files are never rewritten, so resumes
-        # stay incremental.
+        # stay incremental. (row_verdicts exposes the canonical "part".)
         result.row_verdicts.write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
-        ).partitionBy(suite.part_col).parquet(verdicts_path)
+        ).partitionBy("part").parquet(verdicts_path)
     spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(manifest_path)
+    result.unpersist()  # writes done; drop the cached flagged frame
     return result

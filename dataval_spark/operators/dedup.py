@@ -140,20 +140,13 @@ def simhash_chunk_keys(code: Column, bits: int, max_hamming: int) -> list[Column
     64-bit codes: chunks of 16 bits give 65536 buckets per index; a
     single high-byte band (the old scheme) had only 2^(bits/2) buckets
     total and went quadratic per bucket at 10^9 docs."""
-    m = max_hamming + 1
-    base, rem = divmod(bits, m)
-    keys, lo = [], 0
-    for i in range(m):
-        width = base + (1 if i < rem else 0)
-        mask = (1 << width) - 1
-        keys.append(
-            F.struct(
-                F.lit(i).alias("ci"),
-                F.shiftright(code, lo).bitwiseAND(F.lit(mask)).alias("cv"),
-            )
+    return [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright(code, lo).bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
         )
-        lo += width
-    return keys
+        for i, (lo, width) in enumerate(_chunk_layout(bits, max_hamming))
+    ]
 
 
 def _chunk_layout(bits: int, max_hamming: int) -> list[tuple[int, int]]:

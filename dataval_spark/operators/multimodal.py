@@ -139,7 +139,13 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, decoder=None) -> DataFram
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                n = int(dur or 0) // every_ms
+                # Arrow hands a nullable int column to pandas as float:
+                # a missing duration arrives as NaN, and int(NaN) raises.
+                # Missing/invalid duration -> zero frames, never a crash
+                # (dirty metadata is exactly what this engine validates).
+                if dur is None or dur != dur:
+                    continue
+                n = int(dur) // every_ms
                 for i in range(n):
                     ids.append(mid)
                     idxs.append(i)

@@ -65,6 +65,7 @@ def stream_to_manifest(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         result = suite.run(batch_df, persist=bool(verdicts_path))
         if not result.partition_metrics:
+            result.unpersist()
             return
         rows = [
             {
@@ -86,12 +87,17 @@ def stream_to_manifest(
         ]
         spark = batch_df.sparkSession
         if verdicts_path:
-            result.row_verdicts.write.mode("append").partitionBy(
-                suite.part_col
-            ).parquet(verdicts_path)
+            # batch-scoped directory, full overwrite: a re-executed
+            # micro-batch (crash between this write and the checkpoint
+            # commit) REPLACES its own verdicts instead of appending a
+            # duplicate copy — idempotent without touching other batches
+            result.row_verdicts.write.mode("overwrite").partitionBy("part").parquet(
+                f"{verdicts_path}/batch={batch_id}"
+            )
         spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(manifest_path)
+        result.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_process)

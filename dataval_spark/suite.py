@@ -65,6 +65,15 @@ class ValidationResult:
     partition_verdicts: DataFrame # part, n_rows, n_approved, ..., passed
     violations: DataFrame         # constraint, part, conv_id, turn_idx, detail
     partition_metrics: list[dict] # collected per-partition metric rows (small)
+    flagged: DataFrame | None = None  # the persisted frame when run(persist=True)
+
+    def unpersist(self) -> None:
+        """Release the cached flagged frame (no-op when not persisted).
+        Callers that persist MUST call this once they are done writing —
+        a long-lived session (streaming foreachBatch) would otherwise
+        accumulate one dead cache entry per run."""
+        if self.flagged is not None:
+            self.flagged.unpersist()
 
     def summary(self) -> dict:
         rows = self.partition_metrics
@@ -266,9 +275,13 @@ class Suite:
                     continue
                 seen.add(alias)
                 aggs.append(expr.alias(alias))
-        return flagged.groupBy(self.part_col).agg(*aggs)
+        # metric rows and verdict tables always expose the partition key
+        # under the canonical name "part", whatever the suite's part_col:
+        # every downstream consumer (drift loop, manifest, compare_runs,
+        # report) keys on "part"
+        return flagged.groupBy(F.col(self.part_col).alias("part")).agg(*aggs)
 
-    def clean(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    def clean(self, df: DataFrame, persist: bool = False) -> tuple[DataFrame, DataFrame]:
         """The reference's cleanup mutation
         (/root/reference/dataval/cleanup.py:48 — UPDATE nulling bad rows)
         re-expressed immutably: returns ``(cleaned, quarantine)``.
@@ -281,6 +294,13 @@ class Suite:
         flagged = self.flag_rows(
             self.enrich(self.project(df, keep_extra=tuple(df.columns)))
         )
+        if persist:
+            # both outputs derive from the same scan+window plan; persist
+            # it once so writing cleaned AND quarantine costs one compute
+            # (caller owns unpersist; a CLI process just exits)
+            from pyspark.storagelevel import StorageLevel
+
+            flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
         keep = list(df.columns)
         cleaned = flagged.where(F.col("approved")).select(*keep)
         quarantine = flagged.where(~F.col("approved")).select(*keep, "dataval")
@@ -365,7 +385,11 @@ class Suite:
             )
 
         row_verdicts = flagged.select(
-            self.conv_col, self.order_col, self.part_col, "dataval", "approved"
+            self.conv_col,
+            self.order_col,
+            F.col(self.part_col).alias("part"),
+            "dataval",
+            "approved",
         )
         # no global orderBy here: a full sort of every violating row is an
         # unbounded extra shuffle at scale, purely cosmetic — consumers
@@ -377,7 +401,10 @@ class Suite:
             self.order_col,
             F.col("dataval"),
         )
-        return ValidationResult(row_verdicts, pv, violations, metric_rows)
+        return ValidationResult(
+            row_verdicts, pv, violations, metric_rows,
+            flagged=flagged if persist else None,
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -80,3 +80,22 @@ def test_spec_sql_text_changes_suite_hash():
 def test_spec_unknown_type_rejected():
     with pytest.raises(ValueError, match="unknown constraint type"):
         suite_from_spec({"constraints": [{"type": "telepathy"}]})
+
+
+def test_custom_part_col_end_to_end(spark):
+    """part_col is advertised as configurable: a suite keyed on a column
+    NOT named 'part' must run end-to-end, with metric rows exposing the
+    canonical 'part' key every consumer (manifest, compare_runs, report)
+    relies on."""
+    spec = transcript_spec()
+    spec["part_col"] = "pid"
+    suite = suite_from_spec(spec)
+    df = transcripts(spark, n_convs=80, seed=2187, n_parts=4).withColumnRenamed(
+        "part", "pid"
+    )
+    res = suite.run(df)
+    assert {m["part"] for m in res.partition_metrics} == {0, 1, 2, 3}
+    assert "part" in res.row_verdicts.columns
+    assert "part" in res.partition_verdicts.columns
+    assert res.summary()["n_rows"] == df.count()
+    assert "TOTAL" in res.report()
