@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --manifest: pull drift baselines from this "
                         "trusted run's stored histograms (catches "
                         "whole-dataset drift)")
+    p.add_argument("--report", action="store_true",
+                   help="print the human-readable per-partition report "
+                        "(reference's printed verdict grid) to stderr")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -199,6 +202,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             result.unpersist()
 
+    if args.report:
+        print(result.report(), file=sys.stderr)
     summary = result.summary()
     print(json.dumps(summary))
     n_failed_parts = summary["n_partitions"] - summary["n_partitions_passed"]

@@ -143,6 +143,12 @@ def suite_from_spec(spec: dict | str) -> Suite:
         else:
             with open(spec) as f:
                 spec = json.load(f)
+    mask = spec.get("default_mask")
+    if isinstance(mask, list):  # flag names -> bitmask
+        mask = 0
+        for name in spec["default_mask"]:
+            mask |= int(QualityFlag[name])
+    kwargs = {} if mask is None else {"default_mask": mask}
     return Suite(
         [_build_constraint(c) for c in spec["constraints"]],
         part_col=spec.get("part_col", "part"),
@@ -150,4 +156,5 @@ def suite_from_spec(spec: dict | str) -> Suite:
         conv_col=spec.get("conv_col", "conv_id"),
         order_col=spec.get("order_col", "turn_idx"),
         ts_col=spec.get("ts_col", "ts"),
+        **kwargs,
     )

@@ -99,3 +99,29 @@ def test_custom_part_col_end_to_end(spark):
     assert "part" in res.partition_verdicts.columns
     assert res.summary()["n_rows"] == df.count()
     assert "TOTAL" in res.report()
+
+
+def test_spec_default_mask_by_flag_names(spark):
+    """default_mask as flag names: masking DOWN to one flag approves rows
+    that only carry other flags."""
+    spec = transcript_spec()
+    spec["default_mask"] = ["DuplicateTurn"]
+    narrow = suite_from_spec(spec)
+    full = suite_from_spec(transcript_spec())
+    df = transcripts(spark, n_convs=120, seed=2187, n_parts=4)
+    n_narrow = narrow.run(df).summary()["n_approved"]
+    n_full = full.run(df).summary()["n_approved"]
+    assert n_narrow > n_full  # fewer rejection reasons -> more approvals
+    assert suite_hash(narrow) != suite_hash(full)
+
+
+def test_suite_on_empty_input(spark):
+    """Empty input: schema-stable empty result, no crash (verify probe)."""
+    df = transcripts(spark, n_convs=20, seed=2187, n_parts=2).limit(0)
+    res = transcript_suite().run(df)
+    assert res.partition_metrics == []
+    assert res.summary() == {
+        "n_rows": 0, "n_approved": 0, "n_partitions": 0, "n_partitions_passed": 0
+    }
+    assert res.row_verdicts.count() == 0
+    assert "part" in res.partition_verdicts.columns
