@@ -1582,3 +1582,46 @@ def q52(spark, sf_dir):
     )
     packed = pack_greedy(d, "n_tok", 2048, "lang", "doc_id")
     return packing_stats(packed, "n_tok", "lang")
+
+
+def _minhash_band_sql(n_hashes: int = 4, band_size: int = 2) -> str:
+    """One band-key expression per band: 'b|min_i|min_{i+1}' — exact twin
+    of dedup.minhash_bands."""
+    mins = [
+        f"list_min(list_transform({_TOKS_SQL}, t -> md5('{i}:' || t)))"
+        for i in range(n_hashes)
+    ]
+    bands = []
+    for b in range(n_hashes // band_size):
+        parts = ", ".join(mins[b * band_size : (b + 1) * band_size])
+        bands.append(f"concat_ws('|', '{b}', {parts})")
+    return ", ".join(bands)
+
+
+@query(
+    "q53_minhash_candidates",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id AS doc, unnest([{_minhash_band_sql(4, 2)}]) AS band_key
+      FROM documents
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM keyed a JOIN keyed b ON a.band_key = b.band_key AND a.doc < b.doc
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(count(DISTINCT doc_a) AS BIGINT) AS n_docs_as_a
+    FROM pairs
+    """,
+)
+def q53(spark, sf_dir):
+    """MinHash-LSH candidate pairs (banded, deduped) — the pair stage of
+    dedup.minhash_candidates; the oracle reproduces the same band keys so
+    candidate sets match exactly."""
+    pairs = D.minhash_candidates(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=4, band_size=2
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.countDistinct("doc_a").alias("n_docs_as_a"),
+    )
