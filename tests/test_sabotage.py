@@ -104,3 +104,30 @@ def test_report_renders(clean):
     text = res.report()
     assert "TOTAL" in text and "PASS" in text
     assert str(sum(m["n_rows"] for m in res.partition_metrics)) in text
+
+
+def test_corrupt_manifest_refuses_not_resumes_blind(spark, tmp_path):
+    """A corrupted manifest must ERROR, never be treated as absent — a
+    swallowed read failure would silently restart validation from
+    scratch AND disable the settings guard (manifest.read_manifest
+    docstring contract)."""
+    import pytest as _pytest
+
+    from dataval_spark.fixtures import transcripts
+    from dataval_spark.manifest import completed_parts, run_resumable, suite_hash
+    from dataval_spark.suite import transcript_suite
+
+    mp = str(tmp_path / "manifest")
+    suite = transcript_suite()
+    df = transcripts(spark, n_convs=60, seed=2187, n_parts=2)
+    run_resumable(spark, df, suite, mp, "r1")
+    assert completed_parts(spark, mp, "r1", suite_hash(suite)) == {0, 1}
+
+    # sabotage: clobber a manifest data file with garbage bytes
+    import glob
+    victim = sorted(glob.glob(f"{mp}/*.parquet"))[0]
+    with open(victim, "wb") as f:
+        f.write(b"NOT A PARQUET FILE")
+
+    with _pytest.raises(Exception):
+        completed_parts(spark, mp, "r1", suite_hash(suite))
