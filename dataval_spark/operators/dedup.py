@@ -291,6 +291,41 @@ def connected_components(
     return labels.select("doc", F.col("label").alias("cluster"))
 
 
+def keep_cluster_canonical(
+    df: DataFrame, labels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the dedup: keep only each cluster's canonical (min-id)
+    member. ``labels`` is connected_components' output (doc, cluster);
+    docs absent from labels are kept (no near-dup evidence). One
+    semi-join on the id."""
+    canonical = labels.where(F.col("doc") == F.col("cluster")).select("doc")
+    dropped = labels.where(F.col("doc") != F.col("cluster")).select("doc")
+    return df.join(dropped, df[id_col] == dropped["doc"], "left_anti")
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test decontamination probe: corpus documents whose
+    normalized-text fingerprint appears in the benchmark set — the exact
+    layer of the standard decontamination pass (n-gram overlap comes from
+    jaccard_pairs on the union when fuzzier matching is needed).
+    The benchmark side is aggregated to distinct fingerprints and
+    broadcast: benchmarks are small next to a training corpus, so the
+    scan stays shuffle-free on the corpus side."""
+    bench_fp = (
+        benchmark.select(F.md5(normalize(F.col(text_col))).alias("fp")).distinct()
+    )
+    return (
+        corpus.withColumn("fp", F.md5(normalize(F.col(text_col))))
+        .join(F.broadcast(bench_fp), "fp", "left_semi")
+        .select(id_col, "fp")
+    )
+
+
 # --------------------------------------------------------- n-gram jaccard
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text."""

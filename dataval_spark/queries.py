@@ -1625,3 +1625,31 @@ def q53(spark, sf_dir):
         F.count(F.lit(1)).alias("n_candidate_pairs"),
         F.countDistinct("doc_a").alias("n_docs_as_a"),
     )
+
+
+@query(
+    "q54_decontamination",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id % 10 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents WHERE doc_id % 10 <> 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_contaminated,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+    FROM corpus WHERE fp IN (SELECT fp FROM bench)
+    """,
+)
+def q54(spark, sf_dir):
+    """Train/test decontamination: corpus docs whose normalized
+    fingerprint appears in a benchmark slice (exact layer of the standard
+    decontamination pass; dedup.contamination)."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    hits = D.contamination(corpus, bench)
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+    )

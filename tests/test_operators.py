@@ -445,3 +445,28 @@ def test_connected_components_chain_and_isolates(spark):
     assert all(labels[i] == 0 for i in range(6))
     assert labels[7] == labels[8] == 7
     assert labels[6] == 6 and labels[9] == 9
+
+
+def test_keep_cluster_canonical(spark, docs):
+    # near-dup evidence: 1-2 and 2-6 (transitively one cluster)
+    pairs = spark.createDataFrame([(1, 2), (2, 6)], "doc_a long, doc_b long")
+    ids = docs.select(F.col("doc_id").alias("doc"))
+    labels = D.connected_components(ids, pairs)
+    kept = D.keep_cluster_canonical(docs, labels)
+    kept_ids = sorted(r.doc_id for r in kept.collect())
+    # cluster {1,2,6} -> only canonical 1 survives; 3,4,5 untouched
+    assert kept_ids == [1, 3, 4, 5]
+
+
+def test_contamination_probe(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "unique training text"),
+         (3, "  The   QUICK brown fox ")],  # dup of benchmark modulo norm
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "benchmark only text")],
+        "doc_id long, text string",
+    )
+    hits = sorted(r.doc_id for r in D.contamination(corpus, bench).collect())
+    assert hits == [1, 3]
