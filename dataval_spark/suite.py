@@ -278,8 +278,12 @@ class Suite:
         # metric rows and verdict tables always expose the partition key
         # under the canonical name "part", whatever the suite's part_col:
         # every downstream consumer (drift loop, manifest, compare_runs,
-        # report) keys on "part"
-        return flagged.groupBy(F.col(self.part_col).alias("part")).agg(*aggs)
+        # report) keys on "part". A NULL partition value (dirty metadata)
+        # lands in quarantine partition -1 rather than producing a
+        # None-keyed metric row that crashes the manifest's int(part)
+        # and the report's sort.
+        part = F.coalesce(F.col(self.part_col), F.lit(-1)).alias("part")
+        return flagged.groupBy(part).agg(*aggs)
 
     def clean(self, df: DataFrame, persist: bool = False) -> tuple[DataFrame, DataFrame]:
         """The reference's cleanup mutation
@@ -387,7 +391,7 @@ class Suite:
         row_verdicts = flagged.select(
             self.conv_col,
             self.order_col,
-            F.col(self.part_col).alias("part"),
+            F.coalesce(F.col(self.part_col), F.lit(-1)).alias("part"),
             "dataval",
             "approved",
         )
@@ -396,7 +400,7 @@ class Suite:
         # (and tests) sort the slice they look at
         violations = flagged.where(F.col("dataval") != 0).select(
             F.explode(decompose(F.col("dataval"))).alias("constraint"),
-            F.col(self.part_col).alias("part"),
+            F.coalesce(F.col(self.part_col), F.lit(-1)).alias("part"),
             self.conv_col,
             self.order_col,
             F.col("dataval"),

@@ -248,3 +248,21 @@ def test_baseline_from_manifest_catches_global_drift(spark, tmp_path):
     ]
     r_base = Suite(cons).run(drifted)
     assert all(m["drifted"] for m in r_base.partition_metrics)
+
+
+def test_null_part_lands_in_quarantine_partition(spark):
+    """Rows with NULL partition metadata (dirty data) must aggregate into
+    quarantine partition -1, not crash the manifest/report with a
+    None-keyed metric row."""
+    from pyspark.sql import functions as F
+
+    df = transcripts(spark, n_convs=40, seed=2187, n_parts=2).withColumn(
+        "part", F.when(F.col("turn_idx") % 17 == 3, None).otherwise(F.col("part"))
+    )
+    res = transcript_suite().run(df)
+    parts = {m["part"] for m in res.partition_metrics}
+    assert -1 in parts and parts == {-1, 0, 1}
+    assert res.summary()["n_rows"] == df.count()
+    assert "  -1" in res.report()
+    rv_parts = {r.part for r in res.row_verdicts.select("part").distinct().collect()}
+    assert rv_parts == {-1, 0, 1}
