@@ -107,6 +107,23 @@ def stream_to_manifest(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """In-stream exact dedup: drop replayed turns whose key was already
+    seen within the watermark horizon — the streaming face of the batch
+    Unique constraint / dedup_keep_first. State is bounded by the
+    watermark (keys older than it are evicted), which is what makes this
+    safe on an unbounded 10^12-turn stream; replays arriving later than
+    the watermark are the batch suite's job."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def windowed_partition_verdicts(
     flagged: DataFrame,
     window: str = "10 minutes",

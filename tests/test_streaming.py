@@ -174,3 +174,43 @@ def test_stream_to_manifest_exactly_once(spark, tmp_path):
     assert m3.groupBy().sum("n_rows").collect()[0][0] == n1 + n2
     # batch-scoped run ids keep increments distinguishable
     assert m3.where("run_id LIKE 's1/batch=%'").count() == m3.count()
+
+
+def test_dedup_stream_drops_replays_within_watermark(spark, tmp_path):
+    """Cross-micro-batch replay of (conv_id, turn_idx) within the
+    watermark horizon must be dropped; distinct keys all pass."""
+    import time as _t
+
+    from dataval_spark.streaming.validate_stream import dedup_stream
+
+    d = str(tmp_path / "in")
+    schema = "conv_id string, turn_idx int, ts string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema).selectExpr(
+            "conv_id", "turn_idx", "cast(ts as timestamp) AS ts"
+        )
+
+    mk([("c1", 0, "2024-01-01 00:00:00"),
+        ("c1", 1, "2024-01-01 00:01:00")]).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema("conv_id string, turn_idx int, ts timestamp").parquet(d)
+    q = (
+        dedup_stream(stream, watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one replay (same key, later ts) + one new turn
+        mk([("c1", 1, "2024-01-01 00:02:00"),
+            ("c1", 2, "2024-01-01 00:03:00")]).coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        _t.sleep(1)
+        rows = spark.sql("SELECT conv_id, turn_idx FROM dedup_out").collect()
+    finally:
+        q.stop()
+    keys = sorted((r.conv_id, r.turn_idx) for r in rows)
+    assert keys == [("c1", 0), ("c1", 1), ("c1", 2)]  # replay dropped
