@@ -267,11 +267,25 @@ def run_resumable(
     marked done (the re-run appends a fresh manifest row with the new
     fingerprint; consumers key on the current input_fp).
     """
+    dt = dict(df.dtypes).get(suite.part_col, "")
+    if dt not in ("int", "bigint", "smallint", "tinyint"):
+        # the manifest schema stores part as int; a string part column
+        # must be mapped to an integer key upstream — fail loudly here
+        # instead of deep inside int(m["part"])
+        raise ValueError(
+            f"run_resumable requires an integer partition column; "
+            f"{suite.part_col!r} is {dt!r}"
+        )
     shash = suite_hash(suite)
     fps = input_fingerprints(spark, input_path, suite.part_col) if input_path else {}
     done = completed_parts(spark, manifest_path, run_id, shash, fps)
     if done:
-        df = df.where(~F.col(suite.part_col).isin(*done))
+        # NULL-safe: NULL part aggregates into quarantine partition -1
+        # (suite.part_expr), so the resume filter must compare the SAME
+        # coalesced key — a bare ~isin evaluates to NULL for NULL part
+        # and silently drops the quarantine rows from re-validation
+        key = F.coalesce(F.col(suite.part_col), F.lit(-1))
+        df = df.where(~key.isin(*done))
         if df.limit(1).count() == 0:
             return None
 

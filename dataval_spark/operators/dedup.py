@@ -297,8 +297,7 @@ def keep_cluster_canonical(
     """Materialize the dedup: keep only each cluster's canonical (min-id)
     member. ``labels`` is connected_components' output (doc, cluster);
     docs absent from labels are kept (no near-dup evidence). One
-    semi-join on the id."""
-    canonical = labels.where(F.col("doc") == F.col("cluster")).select("doc")
+    anti-join on the dropped (non-canonical) ids."""
     dropped = labels.where(F.col("doc") != F.col("cluster")).select("doc")
     return df.join(dropped, df[id_col] == dropped["doc"], "left_anti")
 

@@ -71,6 +71,8 @@ def oracle_row_verdicts(pdf: pd.DataFrame, mask: int = DEFAULT_BITMASK) -> pd.Da
 
     df["dataval"] = flags
     df["approved"] = ((flags & mask) == 0) & ~bad_status.to_numpy(dtype=bool)
+    # NULL part -> quarantine partition -1 (engine parity: Suite.part_expr)
+    df["part"] = df["part"].fillna(-1).astype("int64")
     return df.sort_values("_ord")[["conv_id", "turn_idx", "part", "dataval", "approved"]].reset_index(drop=True)
 
 

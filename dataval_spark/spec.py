@@ -145,9 +145,19 @@ def suite_from_spec(spec: dict | str) -> Suite:
                 spec = json.load(f)
     mask = spec.get("default_mask")
     if isinstance(mask, list):  # flag names -> bitmask
-        mask = 0
-        for name in spec["default_mask"]:
+        if not mask:
+            raise ValueError(
+                "default_mask: empty list would approve EVERY row "
+                "(mask 0) — a vacuous suite; omit the key for the default"
+            )
+        names, mask = mask, 0
+        for name in names:
             mask |= int(QualityFlag[name])
+    elif mask is not None and not isinstance(mask, int):
+        raise ValueError(
+            f"default_mask must be an int bitmask or a list of flag "
+            f"names, got {type(mask).__name__}"
+        )
     kwargs = {} if mask is None else {"default_mask": mask}
     return Suite(
         [_build_constraint(c) for c in spec["constraints"]],

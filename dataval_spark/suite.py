@@ -154,6 +154,18 @@ class Suite:
             if isinstance(c, MonotonicTs) and c.ts_col != ts_col:
                 raise ValueError("MonotonicTs.ts_col must match suite.ts_col")
 
+    def part_expr(self, df: DataFrame) -> Column:
+        """Canonical partition key: NULL partition metadata lands in the
+        quarantine partition (-1 for numeric part columns, '__null_part__'
+        for string ones — coalescing a string column with an int literal
+        would CAST the column to BIGINT under ANSI mode and crash on any
+        non-numeric value). Caveat, documented: a LEGITIMATE partition
+        with the sentinel value merges with quarantined rows; pick a
+        different part_col encoding if -1 is a real partition id."""
+        dt = dict(df.dtypes).get(self.part_col)
+        sentinel = F.lit("__null_part__") if dt == "string" else F.lit(-1)
+        return F.coalesce(F.col(self.part_col), sentinel)
+
     # ------------------------------------------------------------------
     def project(self, df: DataFrame, keep_extra: tuple[str, ...] = ()) -> DataFrame:
         """Pre-shuffle narrow projection.
@@ -282,8 +294,7 @@ class Suite:
         # lands in quarantine partition -1 rather than producing a
         # None-keyed metric row that crashes the manifest's int(part)
         # and the report's sort.
-        part = F.coalesce(F.col(self.part_col), F.lit(-1)).alias("part")
-        return flagged.groupBy(part).agg(*aggs)
+        return flagged.groupBy(self.part_expr(flagged).alias("part")).agg(*aggs)
 
     def clean(self, df: DataFrame, persist: bool = False) -> tuple[DataFrame, DataFrame]:
         """The reference's cleanup mutation
@@ -391,7 +402,7 @@ class Suite:
         row_verdicts = flagged.select(
             self.conv_col,
             self.order_col,
-            F.coalesce(F.col(self.part_col), F.lit(-1)).alias("part"),
+            self.part_expr(flagged).alias("part"),
             "dataval",
             "approved",
         )
@@ -400,7 +411,7 @@ class Suite:
         # (and tests) sort the slice they look at
         violations = flagged.where(F.col("dataval") != 0).select(
             F.explode(decompose(F.col("dataval"))).alias("constraint"),
-            F.coalesce(F.col(self.part_col), F.lit(-1)).alias("part"),
+            self.part_expr(flagged).alias("part"),
             self.conv_col,
             self.order_col,
             F.col("dataval"),

@@ -125,3 +125,48 @@ def test_suite_on_empty_input(spark):
     }
     assert res.row_verdicts.count() == 0
     assert "part" in res.partition_verdicts.columns
+
+
+def test_string_part_col_with_nulls(spark):
+    """String-typed partition columns must work (coalescing with an int
+    literal would cast the column to BIGINT under ANSI and crash), and
+    NULL string parts land in the string quarantine sentinel."""
+    from pyspark.sql import functions as F
+
+    spec = transcript_spec()
+    spec["part_col"] = "source"
+    suite = suite_from_spec(spec)
+    df = transcripts(spark, n_convs=60, seed=2187, n_parts=2).withColumn(
+        "source",
+        F.when(F.col("turn_idx") % 13 == 5, None).otherwise(
+            F.concat(F.lit("src-"), F.col("part").cast("string"))
+        ),
+    ).drop("part")
+    res = suite.run(df)
+    parts = {m["part"] for m in res.partition_metrics}
+    assert parts == {"src-0", "src-1", "__null_part__"}
+    assert res.summary()["n_rows"] == df.count()
+
+
+def test_spec_default_mask_rejected_forms():
+    with pytest.raises(ValueError, match="empty list"):
+        suite_from_spec({"default_mask": [], "constraints": [{"type": "sequence"}]})
+    with pytest.raises(ValueError, match="int bitmask or a list"):
+        suite_from_spec({"default_mask": "DuplicateTurn", "constraints": [{"type": "sequence"}]})
+
+
+def test_run_resumable_rejects_string_part_col(spark, tmp_path):
+    """The manifest stores part as int — a string part column must fail
+    loudly up front, not deep inside int(m['part'])."""
+    from pyspark.sql import functions as F
+
+    from dataval_spark.manifest import run_resumable
+
+    spec = transcript_spec()
+    spec["part_col"] = "source"
+    suite = suite_from_spec(spec)
+    df = transcripts(spark, n_convs=20, seed=2187, n_parts=2).withColumn(
+        "source", F.concat(F.lit("s"), F.col("part").cast("string"))
+    ).drop("part")
+    with pytest.raises(ValueError, match="integer partition column"):
+        run_resumable(spark, df, suite, str(tmp_path / "m"), "r")
