@@ -155,6 +155,15 @@ def main(argv: list[str] | None = None) -> int:
         if not args.manifest:
             print("--baseline-run requires --manifest", file=sys.stderr)
             return 2
+        if not any(isinstance(c, Drift) for c in suite.constraints):
+            # silently running zero baseline comparisons would report a
+            # vacuous drift pass against the trusted run
+            print(
+                "--baseline-run: the effective suite has no drift "
+                "constraint (dropped by --method, or missing from the "
+                "--suite spec) — nothing to compare", file=sys.stderr,
+            )
+            return 2
         suite.constraints = [
             Drift(expr=c.expr, bins=c.bins, psi_threshold=c.psi_threshold,
                   ks_threshold=c.ks_threshold, name=c.name,
@@ -164,16 +173,29 @@ def main(argv: list[str] | None = None) -> int:
             for c in suite.constraints
         ]
 
+    shared_result = None
     if args.clean_output:
-        # persist=True: both writes share ONE scan+window compute
-        cleaned, quarantine = suite.clean(df, persist=True)
+        if args.manifest:
+            # resumable validation runs on a SUBSET (resume filter), so
+            # clean must keep its own full-input pass; share within it
+            cleaned, quarantine = suite.clean(df, persist=True)
+        else:
+            # ONE wide pass: validation metrics AND both clean outputs
+            # derive from the same persisted flagged frame
+            from pyspark.sql import functions as F
+
+            shared_result = suite.run(df, persist=True, keep_extra=tuple(df.columns))
+            flagged = shared_result.flagged
+            cleaned = flagged.where(F.col("approved")).select(*df.columns)
+            quarantine = flagged.where(~F.col("approved")).select(*df.columns, "dataval")
         cleaned.write.mode("overwrite").partitionBy(suite.part_col).parquet(
             f"{args.clean_output}/cleaned"
         )
         quarantine.write.mode("overwrite").partitionBy(suite.part_col).parquet(
             f"{args.clean_output}/quarantine"
         )
-        spark.catalog.clearCache()  # CLI is single-purpose: drop the persist
+        if args.manifest:
+            spark.catalog.clearCache()  # drop clean's own persist
 
     if args.manifest:
         run_id = args.run_id or uuid.uuid4().hex[:12]
@@ -189,7 +211,7 @@ def main(argv: list[str] | None = None) -> int:
         writing = bool(not args.validate and args.output)
         # persist: the three output tables below all derive from the same
         # scan+window plan — without it each write recomputes the scan
-        result = suite.run(df, persist=writing)
+        result = shared_result or suite.run(df, persist=writing)
         if writing:
             result.row_verdicts.write.mode("overwrite").partitionBy("part").parquet(
                 f"{args.output}/verdicts"
@@ -200,7 +222,7 @@ def main(argv: list[str] | None = None) -> int:
             result.violations.write.mode("overwrite").partitionBy("part").parquet(
                 f"{args.output}/violations"
             )
-            result.unpersist()
+        result.unpersist()
 
     if args.report:
         print(result.report(), file=sys.stderr)

@@ -56,10 +56,18 @@ def input_fingerprints(spark: SparkSession, input_path: str, part_col: str) -> d
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(part_col + "=")):
             continue
-        try:
-            part = int(name.split("=", 1)[1])
-        except ValueError:
-            continue
+        value = name.split("=", 1)[1]
+        if value == "__HIVE_DEFAULT_PARTITION__":
+            # partitionBy writes NULL-part rows here; the suite
+            # aggregates them as quarantine partition -1 — fingerprint
+            # them under the same key so changed NULL-part input is
+            # re-validated like any other partition
+            part = -1
+        else:
+            try:
+                part = int(value)
+            except ValueError:
+                continue
         entries = []
         it = fs.listFiles(st.getPath(), True)
         while it.hasNext():
@@ -280,12 +288,11 @@ def run_resumable(
     fps = input_fingerprints(spark, input_path, suite.part_col) if input_path else {}
     done = completed_parts(spark, manifest_path, run_id, shash, fps)
     if done:
-        # NULL-safe: NULL part aggregates into quarantine partition -1
-        # (suite.part_expr), so the resume filter must compare the SAME
-        # coalesced key — a bare ~isin evaluates to NULL for NULL part
-        # and silently drops the quarantine rows from re-validation
-        key = F.coalesce(F.col(suite.part_col), F.lit(-1))
-        df = df.where(~key.isin(*done))
+        # NULL-safe: the resume filter compares the SAME key the suite
+        # aggregates on (part_expr: NULL -> quarantine sentinel) — a bare
+        # ~isin evaluates to NULL for NULL part and silently drops the
+        # quarantine rows from re-validation
+        df = df.where(~suite.part_expr(df).isin(*done))
         if df.limit(1).count() == 0:
             return None
 

@@ -44,6 +44,21 @@ def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return xn - 2.0 * (X @ C.T) + cn
 
 
+def _valid_mask(vals: np.ndarray, dim: int) -> np.ndarray:
+    """Row validity for a batch of raw Arrow list values: present, the
+    right length, and finite. One dirty vector (NULL embedding, ragged
+    array, NaN element) must degrade to cluster -1 / empty probes, never
+    crash the task — dirty data is exactly what this engine validates."""
+    out = np.zeros(len(vals), dtype=bool)
+    for i, v in enumerate(vals):
+        if v is None or len(v) != dim:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if np.isfinite(a).all():
+            out[i] = True
+    return out
+
+
 def assign_clusters(
     df: DataFrame, centroids: list[list[float]],
     vec_col: str = "embedding", out_col: str = "_cluster",
@@ -57,14 +72,21 @@ def assign_clusters(
     C = _matrix(centroids)
     schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
 
+    dim = C.shape[1]
+
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 pdf[out_col] = np.array([], dtype="int32")
                 yield pdf
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            pdf[out_col] = np.argmin(_sq_dists(X, C), axis=1).astype("int32")
+            vals = pdf[vec_col].to_numpy()
+            ok = _valid_mask(vals, dim)
+            out = np.full(len(pdf), -1, dtype="int32")  # -1 = unassignable
+            if ok.any():
+                X = np.stack(vals[ok]).astype(np.float64)
+                out[ok] = np.argmin(_sq_dists(X, C), axis=1).astype("int32")
+            pdf[out_col] = out
             yield pdf
 
     return df.mapInPandas(_fn, schema)
@@ -82,15 +104,23 @@ def probe_clusters(
         list(queries.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
     )
 
+    dim = C.shape[1]
+
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 pdf[out_col] = pd.Series([], dtype=object)
                 yield pdf
                 continue
-            X = np.stack(pdf[query_vec_col].to_numpy()).astype(np.float64)
-            order = np.argsort(_sq_dists(X, C), axis=1, kind="stable")[:, :n_take]
-            pdf[out_col] = list(order.astype("int32"))
+            vals = pdf[query_vec_col].to_numpy()
+            ok = _valid_mask(vals, dim)
+            probes: list = [np.array([], dtype="int32")] * len(pdf)
+            if ok.any():
+                X = np.stack(vals[ok]).astype(np.float64)
+                order = np.argsort(_sq_dists(X, C), axis=1, kind="stable")[:, :n_take]
+                for j, i in enumerate(np.nonzero(ok)[0]):
+                    probes[i] = order[j].astype("int32")
+            pdf[out_col] = probes
             yield pdf
 
     return queries.mapInPandas(_fn, schema)
@@ -120,6 +150,8 @@ def train_centroids(
         )
         new = list(centroids)
         for r in means:
+            if r["_c"] < 0:  # unassignable (dirty) vectors: no centroid
+                continue
             new[r["_c"]] = [float(r[f"m{i}"]) for i in range(dim)]
         centroids = new
     return centroids

@@ -158,6 +158,11 @@ def suite_from_spec(spec: dict | str) -> Suite:
             f"default_mask must be an int bitmask or a list of flag "
             f"names, got {type(mask).__name__}"
         )
+    if mask == 0:
+        raise ValueError(
+            "default_mask 0 would approve EVERY row — a vacuous suite; "
+            "omit the key for the default mask"
+        )
     kwargs = {} if mask is None else {"default_mask": mask}
     return Suite(
         [_build_constraint(c) for c in spec["constraints"]],

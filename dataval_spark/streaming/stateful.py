@@ -21,9 +21,11 @@ Semantics on a stream are arrival-order based, with healing:
 State size: 4 scalars + a pending set bounded at MAX_PENDING indexes per
 live conversation (the pending set only holds indexes above the
 contiguous prefix, so for a healthy stream it is empty). On overflow the
-lowest pending index is evicted: healing and replay detection degrade
-for that index only — documented lossy bound, O(live convs) state
-total, with ProcessingTimeTimeout eviction for idle conversations.
+HIGHEST pending index is evicted — bounding how far ahead of the prefix
+the operator tracks while keeping prefix advancement intact (healing and
+replay detection degrade only for the farthest-ahead index) — documented
+lossy bound, O(live convs) state total, with ProcessingTimeTimeout
+eviction for idle conversations.
 """
 
 from __future__ import annotations
@@ -97,7 +99,13 @@ def validate_conversation(key, pdf_iter: Iterator[pd.DataFrame], state) -> Itera
                     contig += 1
                     pending.pop(contig)
                 if len(pending) > MAX_PENDING:
-                    pending.pop(min(pending))  # documented lossy bound
+                    # evict the HIGHEST pending index: it bounds how far
+                    # ahead of the contiguous prefix we track, and keeps
+                    # prefix advancement intact. Evicting the lowest
+                    # would strand a hole the prefix can never cross
+                    # (that index already arrived and will not re-arrive),
+                    # pinning the set at the cap forever.
+                    pending.pop(max(pending))
             max_idx = max(max_idx, idx)
             last_ts = max(last_ts, ts_s)
             n_seen += 1

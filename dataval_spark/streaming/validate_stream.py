@@ -60,6 +60,16 @@ def stream_to_manifest(
 
     from dataval_spark.manifest import MANIFEST_SCHEMA, suite_hash
 
+    dt = dict(stream.dtypes).get(suite.part_col, "")
+    if dt not in ("int", "bigint", "smallint", "tinyint"):
+        # same fail-fast contract as run_resumable: the manifest stores
+        # part as int — crashing inside foreachBatch after a batch's work
+        # is done would be the worst place to discover it
+        raise ValueError(
+            f"stream_to_manifest requires an integer partition column; "
+            f"{suite.part_col!r} is {dt!r}"
+        )
+
     shash = suite_hash(suite)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:

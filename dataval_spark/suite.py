@@ -322,13 +322,16 @@ class Suite:
         return cleaned, quarantine
 
     # ------------------------------------------------------------------
-    def run(self, df: DataFrame, persist: bool = False) -> ValidationResult:
+    def run(
+        self, df: DataFrame, persist: bool = False,
+        keep_extra: tuple[str, ...] = (),
+    ) -> ValidationResult:
         """Run the suite. ``persist=True`` caches the flagged frame
         (memory+disk) so callers that consume row_verdicts/violations
         after the metrics action do not recompute the scan+window —
         worth it when the verdicts are written out (run_resumable);
         callers own unpersist via result.row_verdicts.sparkSession."""
-        enriched = self.enrich(self.project(df))
+        enriched = self.enrich(self.project(df, keep_extra=keep_extra))
         flagged = self.flag_rows(enriched)
         if persist:
             from pyspark.storagelevel import StorageLevel
