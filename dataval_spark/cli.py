@@ -182,12 +182,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             # ONE wide pass: validation metrics AND both clean outputs
             # derive from the same persisted flagged frame
-            from pyspark.sql import functions as F
-
             shared_result = suite.run(df, persist=True, keep_extra=tuple(df.columns))
-            flagged = shared_result.flagged
-            cleaned = flagged.where(F.col("approved")).select(*df.columns)
-            quarantine = flagged.where(~F.col("approved")).select(*df.columns, "dataval")
+            cleaned, quarantine = suite.split_flagged(shared_result.flagged, df.columns)
         cleaned.write.mode("overwrite").partitionBy(suite.part_col).parquet(
             f"{args.clean_output}/cleaned"
         )

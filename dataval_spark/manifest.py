@@ -51,7 +51,7 @@ def input_fingerprints(spark: SparkSession, input_path: str, part_col: str) -> d
     fs = root.getFileSystem(hconf)
     if not fs.exists(root):
         return {}
-    out: dict[int, str] = {}
+    by_part: dict[int, list] = {}
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith(part_col + "=")):
@@ -68,17 +68,21 @@ def input_fingerprints(spark: SparkSession, input_path: str, part_col: str) -> d
                 part = int(value)
             except ValueError:
                 continue
-        entries = []
+        # accumulate per part: a real part=-1 dir AND the HIVE default
+        # dir both map to key -1; their file lists must COMBINE into one
+        # fingerprint, not overwrite each other
+        entries = by_part.setdefault(part, [])
         it = fs.listFiles(st.getPath(), True)
         while it.hasNext():
             f = it.next()
             fname = f.getPath().getName()
             if fname.startswith("_") or fname.startswith("."):
                 continue  # _SUCCESS, checksums — not data
-            entries.append([fname, int(f.getLen())])
-        fp = hashlib.sha1(json.dumps(sorted(entries)).encode()).hexdigest()[:16]
-        out[part] = fp
-    return out
+            entries.append([value + "/" + fname, int(f.getLen())])
+    return {
+        part: hashlib.sha1(json.dumps(sorted(entries)).encode()).hexdigest()[:16]
+        for part, entries in by_part.items()
+    }
 
 
 def suite_hash(suite: Suite) -> str:

@@ -56,6 +56,17 @@ def _valid_mask(vals: np.ndarray, dim: int) -> np.ndarray:
         a = np.asarray(v, dtype=np.float64)
         if np.isfinite(a).all():
             out[i] = True
+    if len(vals) and not out.any():
+        # every non-null vector at the wrong length is a CONFIG error
+        # (index dim != embedding dim), not dirty data — failing loudly
+        # beats an index where every row is silently cluster -1
+        nonnull = [v for v in vals if v is not None]
+        if nonnull and all(len(v) != dim for v in nonnull):
+            raise ValueError(
+                f"every embedding in this batch has dim {len(nonnull[0])} "
+                f"but the centroids have dim {dim} — dimension mismatch, "
+                f"not dirty data"
+            )
     return out
 
 
@@ -134,13 +145,32 @@ def train_centroids(
     xxhash64(id) (a seedless deterministic sample), then ``iters`` Lloyd
     steps where each step is one distributed assignment + one groupBy of
     per-dimension means."""
+    import math
+
+    # over-sample 4x then keep the first k VALID vectors: one dirty row
+    # (NULL/ragged/NaN embedding) must not crash init or poison a
+    # centroid with NaN (a NaN centroid wins every argmin)
     init = (
         df.orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
+        .limit(4 * k)
         .select(vec_col)
         .collect()
     )
-    centroids = [[float(x) for x in r[0]] for r in init]
+    centroids = []
+    for r in init:
+        v = r[0]
+        if v is None or len(v) != dim:
+            continue
+        vec = [float(x) for x in v]
+        if all(math.isfinite(x) for x in vec):
+            centroids.append(vec)
+        if len(centroids) == k:
+            break
+    if len(centroids) < k:
+        raise ValueError(
+            f"only {len(centroids)} valid {dim}-dim vectors among the "
+            f"first {4 * k} sampled — not enough to seed k={k} centroids"
+        )
     for _ in range(iters):
         assigned = assign_clusters(df, centroids, vec_col, "_c")
         means = (

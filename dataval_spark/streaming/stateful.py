@@ -20,12 +20,12 @@ Semantics on a stream are arrival-order based, with healing:
 
 State size: 4 scalars + a pending set bounded at MAX_PENDING indexes per
 live conversation (the pending set only holds indexes above the
-contiguous prefix, so for a healthy stream it is empty). On overflow the
-HIGHEST pending index is evicted — bounding how far ahead of the prefix
-the operator tracks while keeping prefix advancement intact (healing and
-replay detection degrade only for the farthest-ahead index) — documented
-lossy bound, O(live convs) state total, with ProcessingTimeTimeout
-eviction for idle conversations.
+contiguous prefix, so for a healthy stream it is empty). Overflow uses
+WATERMARK eviction: the lowest pending index is evicted and the prefix
+advances past it, so state stays a sliding window over the most recent
+indexes — replays below the window degrade to DuplicateTurn flags (the
+conservative direction) rather than spurious gaps. O(live convs) state
+total, with ProcessingTimeTimeout eviction for idle conversations.
 """
 
 from __future__ import annotations
@@ -99,13 +99,22 @@ def validate_conversation(key, pdf_iter: Iterator[pd.DataFrame], state) -> Itera
                     contig += 1
                     pending.pop(contig)
                 if len(pending) > MAX_PENDING:
-                    # evict the HIGHEST pending index: it bounds how far
-                    # ahead of the contiguous prefix we track, and keeps
-                    # prefix advancement intact. Evicting the lowest
-                    # would strand a hole the prefix can never cross
-                    # (that index already arrived and will not re-arrive),
-                    # pinning the set at the cap forever.
-                    pending.pop(max(pending))
+                    # WATERMARK eviction: evict the lowest pending index
+                    # and advance the prefix past it — "everything at or
+                    # below the watermark is assumed seen". Evicting the
+                    # highest would evict the just-inserted index on an
+                    # in-order stream (every new turn misflagged); plain
+                    # evict-lowest would strand a hole the prefix can
+                    # never cross. With the watermark, a mid-conversation
+                    # attach drains pending after the first eviction, and
+                    # replays below the window flag as duplicates (the
+                    # conservative degradation) instead of gaps.
+                    evicted = min(pending)
+                    pending.pop(evicted)
+                    contig = max(contig, evicted)
+                    while (contig + 1) in pending:
+                        contig += 1
+                        pending.pop(contig)
             max_idx = max(max_idx, idx)
             last_ts = max(last_ts, ts_s)
             n_seen += 1

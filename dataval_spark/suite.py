@@ -316,7 +316,16 @@ class Suite:
             from pyspark.storagelevel import StorageLevel
 
             flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
-        keep = list(df.columns)
+        return self.split_flagged(flagged, df.columns)
+
+    @staticmethod
+    def split_flagged(
+        flagged: DataFrame, columns: list[str]
+    ) -> tuple[DataFrame, DataFrame]:
+        """(cleaned, quarantine) from an already-flagged frame. A source
+        column named 'dataval' is excluded: flag_rows overwrote it, so
+        keeping it would produce a duplicate column in quarantine."""
+        keep = [c for c in columns if c != "dataval"]
         cleaned = flagged.where(F.col("approved")).select(*keep)
         quarantine = flagged.where(~F.col("approved")).select(*keep, "dataval")
         return cleaned, quarantine

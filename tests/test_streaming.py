@@ -214,3 +214,51 @@ def test_dedup_stream_drops_replays_within_watermark(spark, tmp_path):
         q.stop()
     keys = sorted((r.conv_id, r.turn_idx) for r in rows)
     assert keys == [("c1", 0), ("c1", 1), ("c1", 2)]  # replay dropped
+
+
+class _FakeState:
+    def __init__(self):
+        self.hasTimedOut = False
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def remove(self):
+        self.exists = False
+
+
+def test_pending_overflow_watermark_keeps_flags_correct():
+    """Mid-conversation attach (turns start at 5000, in order, far past
+    MAX_PENDING): after overflow the watermark advances the prefix, so
+    only the FIRST turn carries a gap flag — the old evict-highest would
+    misflag every turn past the cap, evict-lowest would pin the set."""
+    import pandas as pd
+
+    from dataval_spark.quality import QualityFlag
+    from dataval_spark.streaming.stateful import MAX_PENDING, validate_conversation
+
+    n = MAX_PENDING + 200
+    pdf = pd.DataFrame({
+        "turn_idx": range(5000, 5000 + n),
+        "ts": [float(i) for i in range(n)],
+    })
+    state = _FakeState()
+    out = pd.concat(validate_conversation(("c1",), iter([pdf]), state))
+    gap = int(QualityFlag.SequenceGap)
+    flagged = out[out["dataval"] & gap != 0]
+    assert list(flagged["turn_idx"]) == [5000]  # only the attach point
+    assert (out["dataval"].iloc[1:] == 0).all()
+    # state stayed bounded
+    contig, max_idx, n_seen, last_ts, pend_idx, pend_flags = state.get
+    assert len(pend_idx) <= MAX_PENDING
+    assert n_seen == n
