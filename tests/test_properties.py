@@ -111,3 +111,56 @@ def test_pigeonhole_recall_guarantee(code, max_hamming, flip_bits):
         rebuilt |= c << lo
         lo += base + (1 if i < rem else 0)
     assert rebuilt == code
+
+
+def test_randomized_differential_vs_pandas_oracle(spark):
+    """Randomized differential check: arbitrary small transcript frames
+    (dups, gaps, nulls, ts regressions, random statuses) must produce
+    IDENTICAL row verdicts from the Spark engine and the independent
+    pandas oracle. Deterministic seeds — reproducible, not flaky."""
+    import random
+
+    import pandas as pd
+
+    from dataval_spark.oracle import oracle_row_verdicts
+    from dataval_spark.suite import transcript_suite
+
+    for seed in (7, 99, 2187):
+        rng = random.Random(seed)
+        rows = []
+        for conv in range(rng.randint(3, 8)):
+            conv_id = f"conv-{conv:012d}"
+            n = rng.randint(1, 12)
+            idxs = list(range(n))
+            # random mutations: drop (gap), duplicate, shuffle a little
+            if n > 3 and rng.random() < 0.5:
+                idxs.remove(rng.randrange(1, n))
+            if rng.random() < 0.5:
+                idxs.append(rng.choice(idxs))
+            status = rng.choice([1, 1, 3, 2, 4, None])
+            t0 = 1_600_000_000 + conv * 10_000
+            for j, idx in enumerate(idxs):
+                role = rng.choice(["system", "user", "assistant", "tool", "alien", None])
+                text = rng.choice([
+                    "w " * rng.randint(1, 120), "", None, "short",
+                ])
+                ts = t0 + idx * 300 + (-500 if rng.random() < 0.1 else 0)
+                rows.append((
+                    conv_id, idx, role, text,
+                    "search" if role == "tool" and rng.random() < 0.8 else None,
+                    ts, conv % 3, status,
+                ))
+        pdf = pd.DataFrame(rows, columns=[
+            "conv_id", "turn_idx", "role", "text", "tool", "ts", "part", "status",
+        ])
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+        sdf = spark.createDataFrame(pdf)
+
+        got = transcript_suite().run(sdf).row_verdicts.toPandas()
+        exp = oracle_row_verdicts(pdf)
+        key = ["conv_id", "turn_idx", "dataval", "approved"]
+        g = got[key].sort_values(key).reset_index(drop=True)
+        e = exp[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            e, g.astype({"dataval": "int64"}), check_dtype=False,
+        ), f"seed {seed} diverged"
