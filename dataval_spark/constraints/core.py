@@ -117,7 +117,16 @@ class NotNull(Constraint):
         return cond
 
     def helper_columns(self) -> dict[str, Column]:
-        return {f"_nul_{self.col}": F.col(self.col).isNull().cast("double")}
+        c = F.col(self.col)
+        cond = c.isNull()
+        if self.empty_is_null:
+            # mirror row_condition: the partition gate must count the
+            # same dirt the row flag counts, or empty-string dirt passes
+            # a partition that NULL dirt would fail. cast('string') makes
+            # the length probe type-safe for non-string columns (any
+            # non-null value stringifies to length >= 1).
+            cond = cond | (F.length(c.cast("string")) == 0)
+        return {f"_nul_{self.col}": cond.cast("double")}
 
     def agg_metrics(self) -> dict[str, Column]:
         return {f"null_rate_{self.col}": F.avg(F.col(f"_nul_{self.col}"))}
@@ -179,8 +188,10 @@ class SequenceIntegrity(Constraint):
 
 @dataclass
 class MonotonicTs(Constraint):
-    """ts strictly increasing within a conversation (ties allowed only on
-    duplicate turn_idx). Analog of the cadence-vs-TIME consistency check
+    """ts must not REGRESS within a conversation (flags strictly
+    decreasing ts; equal consecutive timestamps are allowed — sub-second
+    turns legitimately share a ts at second granularity). Analog of the
+    cadence-vs-TIME consistency check
     (/root/reference/dataval/release.py:398-411)."""
 
     ts_col: str = "ts"

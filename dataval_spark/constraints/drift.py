@@ -45,6 +45,15 @@ class Drift(Constraint):
     # whole-dataset drift that pooled-rest comparison is blind to.
     baseline: list[float] | None = None
 
+    def __post_init__(self):
+        if self.baseline is not None and len(self.baseline) != self.nbins:
+            # zip() in the comparison would silently TRUNCATE, hiding
+            # drift concentrated in the dropped tail bins
+            raise ValueError(
+                f"baseline has {len(self.baseline)} bins, constraint has "
+                f"{self.nbins} — refusing a silently-truncating comparison"
+            )
+
     @property
     def nbins(self) -> int:
         return len(self.bins) - 1

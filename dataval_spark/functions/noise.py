@@ -86,7 +86,11 @@ def pixels_in_aperture(tmag: Column, cadence: int = 1800) -> Column:
     kx = [p[0] for p in table]
     ky = [math.log10(p[1]) for p in table]
     pix = F.round(F.pow(F.lit(10.0), piecewise_linear_extrap(tmag, kx, ky)), 13)
-    return F.greatest(F.round(pix).cast("int"), F.lit(4))
+    # NULL magnitude must stay NULL: greatest() SKIPS nulls, so without
+    # the guard a missing tmag fabricated a confident 4-pixel aperture
+    return F.when(
+        tmag.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.greatest(F.round(pix).cast("int"), F.lit(4)))
 
 
 def noise_components(
@@ -124,8 +128,7 @@ def phot_noise_total(
 ) -> Column:
     """Total noise: quadrature sum of the four components
     (noise_model.py:160-162)."""
+    from dataval_spark.functions.scalar import quadrature_total
+
     comps = noise_components(tmag, gal_lat, timescale, sysnoise, cadence)
-    total = None
-    for c in comps.values():
-        total = c * c if total is None else total + c * c
-    return F.sqrt(total)
+    return quadrature_total(*comps.values())

@@ -69,13 +69,20 @@ def sphere_distance(ra1: Column, dec1: Column, ra2: Column, dec2: Column) -> Col
 
 def bitmask_pass(flags: Column, mask: int) -> Column:
     """(flags & mask) == 0 — reference CheckQuality filter
-    (/root/reference/dataval/quality.py:16-29)."""
-    return flags.bitwiseAND(F.lit(mask)) == 0
+    (/root/reference/dataval/quality.py:16-29). Single implementation
+    lives in quality.filter_flags; re-exported here for the scalar
+    function namespace."""
+    from dataval_spark.quality import filter_flags
+
+    return filter_flags(flags, mask)
 
 
 def binary_repr(flags: Column, width: int = 32) -> Column:
-    """Pretty-printed bitmask (/root/reference/dataval/quality.py:31-33)."""
-    return F.lpad(F.bin(flags.cast("long")), width, "0")
+    """Pretty-printed bitmask — delegates to quality.binary_repr (one
+    copy of the negative-value truncation fix)."""
+    from dataval_spark.quality import binary_repr as _br
+
+    return _br(flags, width)
 
 
 def rolling_hash(text: Column, base: int = 31, mod: int = 1_000_003) -> Column:
@@ -102,10 +109,17 @@ def quadrature_total(*components: Column) -> Column:
     return F.sqrt(total)
 
 
-def zodiacal_rms(gal_lat: Column, a: float = 16.0, b: float = -0.26, c: float = 0.002) -> Column:
-    """Quadratic background-RMS curve in |galactic latitude| — the shape
-    of the reference's ZLnoise (/root/reference/dataval/noise_model.py:16-23):
-    a second-order polynomial evaluated per row, constants folded."""
+def zodiacal_rms(
+    gal_lat: Column,
+    a: float = 16.0,
+    b: float = -6.0 * 2.0 / 90.0,
+    c: float = 6.0 / 8100.0,
+) -> Column:
+    """Quadratic background-RMS curve in |galactic latitude|. The default
+    coefficients are the exact expansion of the reference's ZLnoise
+    (6*(lat/90 - 1)^2 + 10 = 16 - (12/90)*lat + (6/8100)*lat^2,
+    /root/reference/dataval/noise_model.py:16-23); functions/noise.py's
+    zl_noise is the factored form, this is the generic quadratic."""
     x = F.abs(gal_lat)
     return F.lit(a) + F.lit(b) * x + F.lit(c) * x * x
 

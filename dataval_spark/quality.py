@@ -29,7 +29,7 @@ class QualityFlag(enum.IntFlag):
     InvalidText = 1            # text NULL or empty
     DuplicateTurn = 2          # (conv_id, turn_idx) not unique
     SequenceGap = 4            # predecessor turn_idx missing in conversation
-    NonMonotonicTs = 8         # ts <= previous turn's ts within conversation
+    NonMonotonicTs = 8         # ts REGRESSED (< previous turn's ts); equal ts allowed
     InvalidRole = 16           # role NULL or outside domain
     InvalidTool = 32           # tool presence inconsistent with role, or bad value
     TextTooShort = 64          # length(text) below role-conditional envelope
@@ -74,8 +74,12 @@ def filter_flags(dataval: Column, mask: int = DEFAULT_BITMASK) -> Column:
 
 def binary_repr(dataval: Column, width: int = 32) -> Column:
     """Zero-padded binary string of the bitmask — analog of
-    ``np.binary_repr(flag, 32)`` (/root/reference/dataval/quality.py:31-33)."""
-    return F.lpad(F.bin(dataval.cast("long")), width, "0")
+    ``np.binary_repr(flag, 32)`` (/root/reference/dataval/quality.py:31-33).
+    The low ``width`` bits are kept explicitly: F.lpad TRUNCATES from the
+    right when the input is longer, so a negative long's 64-char
+    two's-complement form would otherwise collapse to its top (sign)
+    bits and lose every flag."""
+    return F.lpad(F.substring(F.bin(dataval.cast("long")), -width, width), width, "0")
 
 
 def flag_set(dataval: Column, flag: QualityFlag) -> Column:

@@ -34,7 +34,12 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, bad): good rows with the corrupt column dropped; bad rows
     as (raw_line). Spark refuses to filter on the corrupt column of a
     lazily-parsed json relation (internal-column restriction), so the
-    split goes through one cache — priced once, both sides reuse it."""
+    split MUST go through one cache — priced once, both sides reuse it.
+
+    Cache ownership: cache() marks the caller's own ``df`` handle, so
+    long-lived callers (foreachBatch loops, multi-file drivers) release
+    the entry with ``df.unpersist()`` once both sides are consumed; a
+    one-shot driver just exits."""
     cached = df.cache()
     good = cached.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = cached.where(F.col(CORRUPT_COL).isNotNull()).select(

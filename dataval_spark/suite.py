@@ -153,6 +153,16 @@ class Suite:
                 raise ValueError("SequenceIntegrity.order_col must match suite.order_col")
             if isinstance(c, MonotonicTs) and c.ts_col != ts_col:
                 raise ValueError("MonotonicTs.ts_col must match suite.ts_col")
+        names = [c.name for c in constraints]
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        if dupes:
+            # two constraints sharing a name silently corrupt each other:
+            # helper columns are last-writer-wins and aggregated metric
+            # aliases dedup, so both would evaluate the SAME data
+            raise ValueError(
+                f"duplicate constraint names {dupes} — give each a unique "
+                f"name= (defaults collide when a type is used twice)"
+            )
 
     def part_expr(self, df: DataFrame) -> Column:
         """Canonical partition key: NULL partition metadata lands in the
@@ -202,14 +212,16 @@ class Suite:
                     bits.append(F.when(c.high_condition(df), F.lit(int(c.high_flag))).otherwise(0))
                 continue
             cond = c.row_condition(df)
+            if isinstance(c, StatusGate) and cond is not None:
+                # forced rejection overrides bitmask approval — the final
+                # UPDATE in the reference's chain wins
+                # (/root/reference/dataval/dataval.py:404-413). Recorded
+                # BEFORE the flag check: a StatusGate(flag=None) must
+                # still force-reject ("regardless of flag bits").
+                forced_reject = cond
             if cond is None or c.flag is None:
                 continue
             bits.append(F.when(cond, F.lit(int(c.flag))).otherwise(0))
-            if isinstance(c, StatusGate):
-                # forced rejection overrides bitmask approval — the final
-                # UPDATE in the reference's chain wins
-                # (/root/reference/dataval/dataval.py:404-413)
-                forced_reject = cond
 
         pre = reduce(lambda a, b: a.bitwiseOR(b), bits, F.lit(0)).cast("int")
         keep = [

@@ -45,8 +45,19 @@ def combine_verdicts(
     status_col: str | None = "status",
     ok_status: Sequence[int] = (1, 3),
 ) -> DataFrame:
-    """Add/overwrite ``approved`` on a DataFrame that carries ``dataval``."""
+    """Add/overwrite ``approved`` on a DataFrame that carries ``dataval``.
+
+    Without a status column (e.g. recombining persisted row_verdicts,
+    which carry only the bitmask), a set BadStatus BIT stands in for the
+    status override: the suite set that bit exactly when it force-
+    rejected the row, so recombination must not silently re-approve it
+    (BadStatus is deliberately outside DEFAULT_BITMASK)."""
+    from dataval_spark.quality import QualityFlag
+
     status = F.col(status_col) if status_col and status_col in df.columns else None
-    return df.withColumn(
-        "approved", approved_expr(F.col("dataval"), mask, status, ok_status)
-    )
+    ok = approved_expr(F.col("dataval"), mask, status, ok_status)
+    if status is None:
+        ok = ok & (
+            F.col("dataval").bitwiseAND(F.lit(int(QualityFlag.BadStatus))) == 0
+        )
+    return df.withColumn("approved", ok)

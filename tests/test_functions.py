@@ -107,9 +107,12 @@ def test_combine_verdicts_and_decompose(spark):
     assert list(names[1].n) == ["DuplicateTurn"]
     assert list(names[0].n) == []
 
-    # graceful degradation without status column
+    # without a status column the BadStatus BIT stands in for the
+    # override: the suite set it exactly when it force-rejected, so
+    # recombination keeps that row rejected (row 3); row 4's status=4
+    # information is genuinely gone (no bit, no column)
     out2 = combine_verdicts(df.drop("status")).collect()
-    assert [r.approved for r in out2] == [True, False, True, True]
+    assert [r.approved for r in out2] == [True, False, False, True]
 
 
 def test_noise_model_components(spark):
@@ -191,3 +194,38 @@ def test_combine_verdicts_null_status_rejects(spark):
     out = combine_verdicts(df).collect()
     assert [r.approved for r in out] == [False, True]
     assert all(r.approved is not None for r in out)
+
+
+def test_binary_repr_negative_keeps_low_bits(spark):
+    """A negative/long bitmask must render its LOW bits, not collapse to
+    sign bits (lpad truncates from the right on over-long input)."""
+    from dataval_spark.quality import binary_repr
+
+    df = spark.createDataFrame([(5,), (-1,), (3,)], "v long")
+    out = [r.b for r in df.select(binary_repr(F.col("v")).alias("b")).collect()]
+    assert out[0] == "0" * 29 + "101"
+    assert out[1] == "1" * 32  # low 32 bits of -1, not 64-bit overflow
+    assert out[2].endswith("11") and len(out[2]) == 32
+
+
+def test_pixels_in_aperture_null_stays_null(spark):
+    from dataval_spark.functions.noise import pixels_in_aperture
+
+    df = spark.createDataFrame([(None,), (10.0,)], "tmag double")
+    out = [r.p for r in df.select(pixels_in_aperture(F.col("tmag")).alias("p")).collect()]
+    assert out[0] is None and out[1] >= 4
+
+
+def test_combine_verdicts_badstatus_bit_without_status_col(spark):
+    """Recombining persisted row_verdicts (no status column): a set
+    BadStatus bit must keep the row rejected — the suite set that bit
+    exactly when it force-rejected."""
+    from dataval_spark.quality import QualityFlag
+    from dataval_spark.verdict import combine_verdicts
+
+    df = spark.createDataFrame(
+        [(0,), (int(QualityFlag.BadStatus),), (int(QualityFlag.DuplicateTurn),)],
+        "dataval int",
+    )
+    out = [r.approved for r in combine_verdicts(df).collect()]
+    assert out == [True, False, False]

@@ -266,3 +266,49 @@ def test_null_part_lands_in_quarantine_partition(spark):
     assert "  -1" in res.report()
     rv_parts = {r.part for r in res.row_verdicts.select("part").distinct().collect()}
     assert rv_parts == {-1, 0, 1}
+
+
+def test_duplicate_constraint_names_rejected(spark):
+    from dataval_spark.constraints.drift import Drift
+    from dataval_spark.suite import Suite
+    from pyspark.sql import functions as F
+
+    e = lambda: F.length(F.col("text")).cast("double")  # noqa: E731
+    with pytest.raises(ValueError, match="duplicate constraint names"):
+        Suite([Drift(expr=e, bins=[0.0, 1.0, 2.0]), Drift(expr=e, bins=[0.0, 5.0, 9.0])])
+
+
+def test_status_gate_without_flag_still_forces_rejection(spark):
+    from dataval_spark.constraints.core import StatusGate
+    from dataval_spark.suite import Suite
+
+    from pyspark.sql import functions as F
+
+    df = transcripts(spark, n_convs=30, seed=2187, n_parts=2).withColumn(
+        "status",
+        F.when(F.col("turn_idx") % 7 == 3, 4).otherwise(F.col("status")),
+    )
+    suite = Suite([StatusGate(flag=None)])
+    res = suite.run(df)
+    n_bad = df.where("status NOT IN (1, 3) OR status IS NULL").count()
+    assert n_bad > 0
+    assert res.summary()["n_rows"] - res.summary()["n_approved"] == n_bad
+
+
+def test_notnull_gate_counts_empty_strings(spark):
+    """Empty-string dirt must trip the max_rate partition gate exactly
+    like NULL dirt (row flag and partition gate share one definition)."""
+    from dataval_spark.constraints.core import NotNull
+    from dataval_spark.quality import QualityFlag
+    from dataval_spark.suite import Suite
+    from pyspark.sql import functions as F
+
+    base = transcripts(spark, n_convs=40, seed=2187, n_parts=1, with_defects=False)
+    dirty = base.withColumn(
+        "text", F.when(F.col("turn_idx") % 10 < 2, "").otherwise(F.col("text"))
+    )
+    suite = Suite([NotNull("text", flag=QualityFlag.InvalidText, max_rate=0.05)])
+    res = suite.run(dirty)
+    (m,) = res.partition_metrics
+    assert m["null_rate_text"] > 0.05
+    assert not m["passed"]
