@@ -81,8 +81,14 @@ def minhash_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH: explode band keys,
     self-join per band, dedupe pairs. Shuffle volume = docs × bands."""
+    from dataval_spark.operators.text import token_count
+
     bands = minhash_bands(F.col(text_col), n_hashes, band_size)
-    keyed = df.select(
+    # degenerate docs (NULL/blank text) all hash to IDENTICAL band keys —
+    # at 10^6 such docs that is one bucket of O(m^2) candidate pairs and
+    # "near-duplicates" with no content to compare. Content-free docs are
+    # exact-dedup territory, not MinHash's.
+    keyed = df.where(token_count(F.col(text_col)) > 0).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array(*bands)).alias("band_key"),
     )
@@ -227,7 +233,11 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance via the pigeonhole
     multi-index (see simhash_chunk_keys)."""
-    coded = df.select(
+    from dataval_spark.operators.text import token_count
+
+    # content-free docs (NULL/blank text) all code to 0 and would pair
+    # with each other quadratically; they belong to exact dedup
+    coded = df.where(token_count(F.col(text_col)) > 0).select(
         F.col(id_col).alias("doc"), hashed_tokens(F.col(text_col)).alias("_ht")
     ).select("doc", simhash_from_hashed(F.col("_ht"), bits).alias("code"))
     return code_near_pairs(coded, bits, max_hamming)
@@ -327,14 +337,21 @@ def contamination(
 
 # --------------------------------------------------------- n-gram jaccard
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text. Documents
+    with fewer than n tokens (or NULL text) yield an EMPTY set:
+    F.sequence(1, 0) produces the DESCENDING [1, 0] (auto step -1), so
+    the unguarded transform evaluated element_at out of bounds and threw
+    INVALID_ARRAY_INDEX for any short document; the when-guard keeps the
+    sequence branch unevaluated for those rows."""
     toks = tokens(normalize(text))
     k = F.size(toks) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+        F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
     )
-    return F.array_distinct(grams)
+    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def jaccard_pairs(

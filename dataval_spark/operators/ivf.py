@@ -159,7 +159,7 @@ def train_centroids(
     centroids = []
     for r in init:
         v = r[0]
-        if v is None or len(v) != dim:
+        if v is None or len(v) != dim or any(x is None for x in v):
             continue
         vec = [float(x) for x in v]
         if all(math.isfinite(x) for x in vec):

@@ -166,11 +166,18 @@ def media_integrity_flags(df: DataFrame) -> DataFrame:
     """JVM-side structural checks on media rows (no decode needed):
     payload present, kind in domain, dims consistent with kind."""
     bad_payload = F.col("payload").isNull() | (F.length("payload") == 0)
-    bad_kind = ~F.col("kind").isin("image", "audio", "video")
-    bad_dims = (
-        (F.col("kind") == "image") & (F.col("width").isNull() | F.col("height").isNull())
-    ) | (
-        (F.col("kind") != "image") & F.col("duration_ms").isNull()
+    # NULL-safe: a NULL kind must flag, not sail through — bare ~isin is
+    # SQL NULL for NULL input and F.when(NULL, flag) takes otherwise(0)
+    bad_kind = F.col("kind").isNull() | ~F.col("kind").isin(
+        "image", "audio", "video"
+    )
+    bad_dims = F.coalesce(
+        (
+            (F.col("kind") == "image")
+            & (F.col("width").isNull() | F.col("height").isNull())
+        )
+        | ((F.col("kind") != "image") & F.col("duration_ms").isNull()),
+        F.lit(True),  # NULL kind: dims unjudgeable -> structurally bad
     )
     dataval = (
         F.when(bad_payload, 1).otherwise(0)

@@ -873,6 +873,7 @@ def q31(spark, sf_dir):
     f"""
     WITH codes AS (
       SELECT doc_id AS doc, ({_simhash_sql(16)})::BIGINT AS code FROM documents
+      WHERE {_TOKN_SQL} > 0
     ),
     pairs AS (
       SELECT bit_count(xor(a.code, b.code)) AS h
@@ -1504,6 +1505,7 @@ def q50(spark, sf_dir):
     f"""
     WITH RECURSIVE codes AS (
       SELECT doc_id AS doc, ({_simhash_sql(16)})::BIGINT AS code FROM documents
+      WHERE {_TOKN_SQL} > 0
     ),
     pairs AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b
@@ -1603,7 +1605,7 @@ def _minhash_band_sql(n_hashes: int = 4, band_size: int = 2) -> str:
     f"""
     WITH keyed AS (
       SELECT doc_id AS doc, unnest([{_minhash_band_sql(4, 2)}]) AS band_key
-      FROM documents
+      FROM documents WHERE {_TOKN_SQL} > 0
     ),
     pairs AS (
       SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b

@@ -74,8 +74,18 @@ def validate_conversation(key, pdf_iter: Iterator[pd.DataFrame], state) -> Itera
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
         for turn_idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
+            # dirty rows must not kill the query: a NULL turn_idx arrives
+            # as NaN (Arrow nullable int -> pandas float) and cannot be
+            # sequenced — skip it (NotNull in the batch suite owns it);
+            # a NULL/NaT ts keeps index sequencing but neither flags OOO
+            # nor advances the ts watermark.
+            if turn_idx is None or turn_idx != turn_idx:
+                continue
             idx = int(turn_idx)
-            ts_s = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+            if ts is None or ts != ts:
+                ts_s = last_ts
+            else:
+                ts_s = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
             flags = 0
             if ts_s < last_ts:
                 flags |= _OOO

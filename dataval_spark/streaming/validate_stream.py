@@ -31,6 +31,9 @@ def stateless_flags(suite: Suite, stream: DataFrame) -> DataFrame:
         default_mask=suite.default_mask,
         part_col=suite.part_col,
         reject_ratio_fail=suite.reject_ratio_fail,
+        conv_col=suite.conv_col,
+        order_col=suite.order_col,
+        ts_col=suite.ts_col,
     )
     return sub.flag_rows(stream)
 

@@ -470,3 +470,41 @@ def test_contamination_probe(spark):
     )
     hits = sorted(r.doc_id for r in D.contamination(corpus, bench).collect())
     assert hits == [1, 3]
+
+
+def test_shingles_short_docs_empty_not_crash(spark):
+    """Documents shorter than n tokens yield EMPTY shingle sets —
+    F.sequence(1, 0) is DESCENDING and the unguarded transform threw
+    INVALID_ARRAY_INDEX for any short doc."""
+    rows = [(1, "hello world"), (2, "one"), (3, ""), (4, None),
+            (5, "three whole tokens here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.s for r in df.select(
+        "doc_id", D.shingles(F.col("text"), 3).alias("s")).collect()}
+    assert out[1] == [] and out[2] == [] and out[3] == []
+    assert len(out[5]) == 2  # 4 tokens -> 2 trigrams
+    # and the jaccard pipeline over the same corpus must not crash
+    pairs = D.jaccard_pairs(df, "doc_id", n=3, threshold=0.1).collect()
+    assert pairs == []
+
+
+def test_dedup_skips_content_free_docs(spark):
+    """NULL/blank docs must NOT pair with each other (they all hash
+    identically — one degenerate bucket of O(m^2) pairs at scale)."""
+    rows = [(1, None), (2, None), (3, ""), (4, "   "),
+            (5, "real content here"), (6, "real content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = {(r.doc_a, r.doc_b) for r in D.minhash_candidates(df, "doc_id").collect()}
+    sh = {(r.doc_a, r.doc_b) for r in
+          D.simhash_near_pairs(df, "doc_id", max_hamming=3).collect()}
+    assert mh == {(5, 6)}
+    assert sh == {(5, 6)}
+
+
+def test_media_integrity_null_kind_flagged(spark):
+    df = spark.createDataFrame(
+        [(1, None, bytearray(b"xx"), None, None, 100)], M.MEDIA_SCHEMA
+    )
+    (r,) = M.media_integrity_flags(df).collect()
+    assert not r.approved
+    assert r.dataval & 2  # bad kind

@@ -262,3 +262,22 @@ def test_pending_overflow_watermark_keeps_flags_correct():
     contig, max_idx, n_seen, last_ts, pend_idx, pend_flags = state.get
     assert len(pend_idx) <= MAX_PENDING
     assert n_seen == n
+
+
+def test_stateful_kernel_tolerates_null_idx_and_ts():
+    """A NULL turn_idx (NaN via Arrow) or NULL ts (NaT) must not kill the
+    streaming query: NULL idx rows are skipped (NotNull owns them),
+    NULL ts neither flags OOO nor advances the watermark."""
+    import numpy as np
+    import pandas as pd
+
+    from dataval_spark.streaming.stateful import validate_conversation
+
+    pdf = pd.DataFrame({
+        "turn_idx": [0.0, np.nan, 1.0, 2.0],
+        "ts": pd.to_datetime(["2024-01-01", None, "2024-01-02", "2024-01-03"]),
+    })
+    state = _FakeState()
+    out = pd.concat(validate_conversation(("c1",), iter([pdf]), state))
+    assert list(out["turn_idx"]) == [0, 1, 2]  # NaN row skipped
+    assert (out["dataval"] == 0).all()
