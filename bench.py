@@ -40,6 +40,10 @@ HEADLINE = [
     "q46_noise_model",
     "q48_psi_drift",
     "q49_bpe_ish_tokens",
+    "q51_dedup_clusters",
+    "q52_context_packing",
+    "q53_minhash_candidates",
+    "q54_decontamination",
 ]
 
 

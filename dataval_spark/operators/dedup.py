@@ -245,7 +245,8 @@ def simhash_near_pairs(
 
 # ------------------------------------------------- dedup cluster assembly
 def connected_components(
-    ids: DataFrame, pairs: DataFrame, id_col: str = "doc", max_iter: int = 25
+    ids: DataFrame, pairs: DataFrame, id_col: str = "doc", max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc, cluster) where
     cluster = the minimum doc id in the component (the canonical
@@ -254,25 +255,59 @@ def connected_components(
     its label's label (one pointer hop) - pointer jumping turns
     O(diameter) convergence into O(log diameter) rounds — near-dup clusters are shallow (dups of dups), so
     a handful of rounds suffice. Each round is one join + one groupBy
-    with map-side combine; ``localCheckpoint`` cuts the lineage so the
+    with map-side combine; checkpointing cuts the lineage so the
     plan does not grow with iterations. The same loop shape scales to the published
     large-star/small-star algorithm at adversarial graph sizes — same
     loop shape.
+
+    ``checkpoint_dir``: when given, rounds use RELIABLE ``checkpoint()``
+    (blocks written to the dir, survives executor loss — required on a
+    real cluster, where losing one executor's localCheckpoint blocks
+    fails the whole iteration lineage); default ``localCheckpoint`` is
+    the right call in local mode (no HDFS round-trip per iteration).
+
+    The round is formulated WITHOUT a labels-union-neighbors step: the
+    neighbor labels are pre-aggregated to a per-node min (map-side
+    combine) and LEFT-JOINED back onto labels. Equivalent to the
+    union+groupBy textbook form, but (a) the big shuffle carries one row
+    per node instead of labels+neighbor-copies, and (b) it sidesteps a
+    Spark 4.1 Catalyst bug: Union.rewriteConstraints throws
+    NoSuchElementException when a filter-derived alias-equivalence
+    constraint from ``ids``' lineage crosses the union (checkpointing
+    does not help — LogicalRDD propagates constraints). Consequence:
+    the output universe is exactly ``ids`` — pair endpoints absent from
+    the seed set get no label row (callers own seed consistency).
     """
+    if checkpoint_dir is not None:
+        sc = ids.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint()  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    labels = ids.select(F.col(id_col).alias("doc"), F.col(id_col).alias("label"))
+    edges = _ckpt(
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    )
+    labels = _ckpt(
+        ids.select(F.col(id_col).alias("doc"), F.col(id_col).alias("label"))
+    )
     for _ in range(max_iter):
-        nbr = (
+        nbr_min = (
             edges.join(labels, edges["b"] == labels["doc"])
-            .select(F.col("a").alias("doc"), F.col("label"))
+            .select(F.col("a").alias("doc"), F.col("label").alias("nlbl"))
+            .groupBy("doc")
+            .agg(F.min("nlbl").alias("nlbl"))
         )
         new = (
-            labels.union(nbr)
-            .groupBy("doc")
-            .agg(F.min("label").alias("label"))
+            labels.alias("l")
+            .join(nbr_min.alias("m"), "doc", "left")
+            .select(
+                F.col("doc"),
+                F.least(
+                    F.col("l.label"),
+                    F.coalesce(F.col("m.nlbl"), F.col("l.label")),
+                ).alias("label"),
+            )
         )
         # path halving: label <- min(label, label's label). Labels are
         # always existing doc ids so the self-join resolves; left join
@@ -287,8 +322,8 @@ def connected_components(
                     F.coalesce(F.col("y.label"), F.col("x.label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        halved = _ckpt(halved)
         changed = (
             halved.alias("n")
             .join(labels.alias("o"), "doc")
