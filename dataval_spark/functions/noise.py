@@ -73,8 +73,11 @@ def fold_gal_lat(gal_lat_deg: Column) -> Column:
 
 def pixels_in_aperture(tmag: Column, cadence: int = 1800) -> Column:
     """Number of aperture pixels for a magnitude: log10-space linear
-    interpolation over the cadence's knot table, rounded, floor of 4
-    (noise_model.py:26-81)."""
+    interpolation over the cadence's knot table, clipped at 4, then
+    TRUNCATED to int (noise_model.py:26-81: np.clip(pix, 4, None)
+    followed by astype('int32') — round-to-nearest here was a round-2
+    deviation of +1 pixel for ~half of all magnitudes, shifting
+    zodiacal/read noise 1-2%)."""
     if cadence in (1800, 600, 200):
         table = MASKSIZE_LONG_CADENCE
     elif cadence in (120, 20):
@@ -90,7 +93,7 @@ def pixels_in_aperture(tmag: Column, cadence: int = 1800) -> Column:
     # the guard a missing tmag fabricated a confident 4-pixel aperture
     return F.when(
         tmag.isNull(), F.lit(None).cast("int")
-    ).otherwise(F.greatest(F.round(pix).cast("int"), F.lit(4)))
+    ).otherwise(F.greatest(F.floor(pix).cast("int"), F.lit(4)))
 
 
 def noise_components(

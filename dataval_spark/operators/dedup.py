@@ -102,38 +102,63 @@ def minhash_candidates(
 
 
 # --------------------------------------------------------------- simhash
-def hashed_tokens(text: Column) -> Column:
-    """16-bit md5-derived hash per distinct token. Project this ONCE
-    (its own select) before simhash_from_hashed: Catalyst does not CSE
-    across the per-bit filters, so inlining it re-computes md5 per token
-    PER BIT (16x the hashing work — measured ~5x on the near-pair op)."""
-    toks = F.array_distinct(tokens(normalize(text)))
-    return F.transform(
-        toks, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int")
-    )
+def hashed_tokens(text: Column, bits: int = 16) -> Column:
+    """``bits``-bit md5-derived hash per distinct token (bits in 4..64,
+    multiple of 4). Project this ONCE (its own select) before
+    simhash_from_hashed: Catalyst does not CSE across the per-bit
+    filters, so inlining it re-computes md5 per token PER BIT.
+
+    The width MUST match the simhash_from_hashed bits: round 2 shipped
+    this hard-coded to 16, so bits=64 codes had their top 48 bits always
+    zero — 3 of the 4 pigeonhole chunk indexes were total-degenerate
+    (every doc in one bucket: quadratic candidates again). conv() of all
+    16 hex chars overflows SIGNED bigint, so 64-bit hashes are assembled
+    from two 32-bit halves."""
+    if bits < 4 or bits > 64 or bits % 4:
+        raise ValueError(f"bits must be a multiple of 4 in 4..64, got {bits}")
+    nhex = bits // 4
+
+    def h(x: Column) -> Column:
+        hx = F.md5(x)
+        if nhex <= 15:  # < 60 bits: single conv stays within signed range
+            return F.conv(F.substring(hx, 1, nhex), 16, 10).cast("bigint")
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    return F.transform(F.array_distinct(tokens(normalize(text))), h)
+
+
+def _bit_mask(b: int) -> int:
+    # bit 63 of a signed bigint is the sign bit: 1 << 63 overflows the
+    # long literal, but -(1 << 63) is the same two's-complement pattern
+    return (1 << b) if b < 63 else -(1 << 63)
 
 
 def simhash_from_hashed(ht: Column, bits: int = 16) -> Column:
     """SimHash from pre-hashed tokens: code bit b = majority of token
-    hash bits b (+1 when set, -1 when not)."""
+    hash bits b (+1 when set, -1 when not). ``bits`` must equal the
+    hashed_tokens width (enforced statistically by
+    test_simhash_64bit_high_bits_populated)."""
     n = F.size(ht)
-    code = F.lit(0)
+    code = F.lit(0).cast("bigint")
     for b in range(bits):
-        ones = F.size(F.filter(ht, lambda h: h.bitwiseAND(F.lit(1 << b)) != 0))
-        code = code.bitwiseOR(F.when(ones * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+        mask = F.lit(_bit_mask(b))
+        ones = F.size(F.filter(ht, lambda h: h.bitwiseAND(mask) != 0))
+        code = code.bitwiseOR(F.when(ones * 2 > n, mask).otherwise(F.lit(0)))
     return code
 
 
 def simhash(text: Column, bits: int = 16) -> Column:
     """Per-row SimHash: token t contributes +1 to bit b when bit b of
-    md5(t) is set, else -1; code bit b = majority sign. Uses the first 4
-    hex chars of md5 (16 bits) mapped to int — portable via
-    conv/('0x'||h)::int in both engines.
+    md5(t) is set, else -1; code bit b = majority sign. Uses the first
+    bits/4 hex chars of md5 mapped to bigint — portable via
+    conv/('0x'||h)::int in both engines (oracle twin: _simhash_sql).
 
     NOTE: single-Column convenience form — the hash array is inlined per
     bit. For hot paths, project hashed_tokens() in its own select and
     apply simhash_from_hashed on the column (see simhash_near_pairs)."""
-    return simhash_from_hashed(hashed_tokens(text), bits)
+    return simhash_from_hashed(hashed_tokens(text, bits), bits)
 
 
 def simhash_chunk_keys(code: Column, bits: int, max_hamming: int) -> list[Column]:
@@ -238,7 +263,7 @@ def simhash_near_pairs(
     # content-free docs (NULL/blank text) all code to 0 and would pair
     # with each other quadratically; they belong to exact dedup
     coded = df.where(token_count(F.col(text_col)) > 0).select(
-        F.col(id_col).alias("doc"), hashed_tokens(F.col(text_col)).alias("_ht")
+        F.col(id_col).alias("doc"), hashed_tokens(F.col(text_col), bits).alias("_ht")
     ).select("doc", simhash_from_hashed(F.col("_ht"), bits).alias("code"))
     return code_near_pairs(coded, bits, max_hamming)
 

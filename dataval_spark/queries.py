@@ -795,14 +795,23 @@ def q29(spark, sf_dir):
 
 
 def _simhash_sql(bits: int = 16) -> str:
+    """DuckDB twin of dedup.simhash. bits <= 60 only: the token hash is a
+    single ('0x'||hex)::BIGINT, and 15 hex chars keep every hash and
+    bit mask inside POSITIVE signed-64 range — DuckDB raises on << /
+    ::BIGINT overflow, so the engine's two-half 64-bit assembly has no
+    clean SQL twin (full 64-bit parity is pytest-covered against an
+    independent python mirror instead)."""
+    if bits > 60:
+        raise ValueError("oracle simhash is capped at 60 bits (signed-safe)")
+    nhex = (bits + 3) // 4
     n = f"len({_TOKS_SQL})"
     parts = []
     for b in range(bits):
         ones = (
             f"len(list_filter({_TOKS_SQL}, "
-            f"t -> (('0x' || substr(md5(t), 1, 4))::INT & {1 << b}) != 0))"
+            f"t -> (('0x' || substr(md5(t), 1, {nhex}))::BIGINT & {1 << b}) != 0))"
         )
-        parts.append(f"(CASE WHEN {ones} * 2 > {n} THEN {1 << b} ELSE 0 END)")
+        parts.append(f"(CASE WHEN {ones} * 2 > {n} THEN {1 << b}::BIGINT ELSE 0 END)")
     return "(" + " | ".join(parts) + ")"
 
 
@@ -844,7 +853,9 @@ def q30(spark, sf_dir):
                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
       FROM sh0
     ),
-    ex AS (SELECT doc, grp, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+    ex0 AS (SELECT doc, grp, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+    stop AS (SELECT shingle FROM ex0 GROUP BY shingle HAVING count(*) > 20),
+    ex AS (SELECT * FROM ex0 WHERE shingle NOT IN (SELECT shingle FROM stop)),
     pairs AS (
       SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
              count(*) AS common
@@ -857,10 +868,14 @@ def q30(spark, sf_dir):
     """,
 )
 def q31(spark, sf_dir):
-    """Word-3-gram Jaccard near-dup pairs within the same source."""
+    """Word-3-gram Jaccard near-dup pairs within the same source, WITH
+    the stop-shingle cap on (dropped shingles reduce `common` but not
+    the |A|+|B| denominators — the oracle's stop CTE mirrors exactly
+    that). Cap=20 actually fires at the driver's sf0.1 (max shingle
+    freq 25) so the quadratic-guardrail path is what gets gated."""
     pairs = D.jaccard_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.08, within="source", max_shingle_freq=0,
+        n=3, threshold=0.08, within="source", max_shingle_freq=20,
     )
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
@@ -1299,7 +1314,7 @@ def _noise_sql() -> str:
         expr = f"CASE WHEN {xcol} >= {x0!r} AND {xcol} < {x1!r} THEN {seg(x0, y0, x1, y1)} ELSE {expr} END"
     expr = f"CASE WHEN {xcol} >= {pairs[-1][0]!r} THEN {seg(*pairs[-2], *pairs[-1])} ELSE {expr} END"
 
-    pix = f"greatest(CAST(round(round(pow(10.0, {expr}), 13)) AS INT), 4)"
+    pix = f"greatest(CAST(floor(round(pow(10.0, {expr}), 13)) AS INT), 4)"
     mean_level = f"(greatest(0.0, pow(10.0, -0.4 * ({xcol} - 20.451))) * 3600.0)"
     ff = f"sqrt(1800.0 * {pix})"
     shot = f"round(greatest(0.0, 1e6 / sqrt({mean_level})), 6)"
@@ -1666,4 +1681,38 @@ def q54(spark, sf_dir):
     return hits.agg(
         F.count(F.lit(1)).alias("n_contaminated"),
         F.countDistinct("fp").alias("n_distinct_fp"),
+    )
+
+
+@query(
+    "q55_simhash60_census",
+    f"""
+    WITH codes AS (
+      SELECT ({_simhash_sql(60)}) AS code FROM documents WHERE {_TOKN_SQL} > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+           round(avg(bit_count(code)), 4) AS avg_popcount,
+           CAST(max(code >> 32) AS BIGINT) AS max_high_bits
+    FROM codes
+    """,
+)
+def q55(spark, sf_dir):
+    """Wide-code (60-bit) SimHash census — the production-width path the
+    round-2 audit found unreachable (token hashes were hard-coded to 16
+    bits, zeroing bits 16+ of every code). max_high_bits > 0 is the
+    driver-checked witness that high bits are populated; 60 bits is the
+    widest signed-safe width DuckDB can mirror (full 64-bit parity is
+    pytest-covered against an independent python mirror)."""
+    d = t(spark, sf_dir, "documents")
+    coded = (
+        d.where(X.token_count(F.col("text")) > 0)
+        .select(D.hashed_tokens(F.col("text"), 60).alias("_ht"))
+        .select(D.simhash_from_hashed(F.col("_ht"), 60).alias("code"))
+    )
+    return coded.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("code").alias("n_codes"),
+        F.round(F.avg(F.bit_count(F.col("code"))), 4).alias("avg_popcount"),
+        F.max(F.shiftright(F.col("code"), 32)).alias("max_high_bits"),
     )

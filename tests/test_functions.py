@@ -161,7 +161,8 @@ def test_noise_model_components(spark):
     for r in out:
         if not (kx[0] <= r.tmag <= kx[-1]):
             continue
-        pixels = max(4, round(round(10 ** np.interp(r.tmag, kx, ky), 13)))
+        # reference semantics: round to 13 decimals, clip at 4, int-truncate
+        pixels = max(4, math.floor(round(10 ** np.interp(r.tmag, kx, ky), 13)))
         mean_level = max(0.0, 10 ** (-0.4 * (r.tmag - 20.451))) * 3600.0
         ff = math.sqrt(1800.0 * pixels)
         shot = 1e6 / math.sqrt(mean_level)

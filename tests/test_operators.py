@@ -111,6 +111,65 @@ def test_simhash_candidates_stay_linear(spark):
     assert n_cand < 5 * n, f"candidate blow-up: {n_cand} for {n} docs"
 
 
+def _py_simhash(text: str, bits: int) -> int:
+    """Independent python mirror of normalize->tokens->md5-prefix->bit
+    majority (signed two's complement, matching Spark's bigint)."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    toks = set(norm.split(" "))
+    hashes = [int(hashlib.md5(t.encode()).hexdigest()[: bits // 4], 16) for t in toks]
+    code = 0
+    for b in range(bits):
+        if sum(1 for h in hashes if h & (1 << b)) * 2 > len(hashes):
+            code |= 1 << b
+    return code - (1 << 64) if bits == 64 and code >= (1 << 63) else code
+
+
+@pytest.mark.parametrize("bits", [16, 32, 60, 64])
+def test_simhash_matches_python_mirror(docs, bits):
+    # round 2 regression: hashed_tokens was hard-coded to 16-bit, so
+    # bits=64 codes had bits 16..63 always zero and the pigeonhole index
+    # silently went quadratic. The mirror would catch that (high bits set).
+    got = {
+        r.doc_id: r.code
+        for r in docs.select("doc_id", D.simhash(F.col("text"), bits).alias("code")).collect()
+    }
+    rows = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for doc_id, text in rows.items():
+        assert got[doc_id] == _py_simhash(text, bits), (doc_id, bits)
+
+
+def test_simhash_64bit_high_bits_populated(spark):
+    texts = [
+        (i, f"document {i} covers topic {i % 7} with detail level {i * i % 101}")
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    codes = [r.code for r in df.select(D.simhash(F.col("text"), 64).alias("code")).collect()]
+    # any bit of a healthy 64-bit simhash varies across diverse docs;
+    # with the round-2 bug the top 48 bits were constant-zero
+    assert len({(c >> 16) & ((1 << 48) - 1) for c in codes}) > 16
+
+
+def test_simhash_near_pairs_64bit_bounded_on_skewed_corpus(spark):
+    # 300 diverse docs + 30 copies of one template: the 30 identical
+    # codes legitimately pair (C(30,2)=435 true dups); the pigeonhole
+    # index must not add cross-bucket noise on top. With degenerate
+    # chunk indexes (the round-2 bug) candidates explode toward n^2/2.
+    rows = [
+        (i, f"unique doc {i} about subject {i % 13} rating {(i * 7) % 29} stars")
+        for i in range(300)
+    ] + [(1000 + j, "the very same template text repeated verbatim") for j in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.simhash_near_pairs(df, "doc_id", bits=64, max_hamming=3)
+    n_pairs = pairs.count()
+    true_dups = 30 * 29 // 2
+    assert n_pairs >= true_dups  # recall on the planted clique
+    assert n_pairs < true_dups + 5 * 330, f"cross-bucket noise: {n_pairs}"
+
+
 def test_simhash_near_pairs_text_surface(docs):
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
