@@ -178,7 +178,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.manifest:
             # resumable validation runs on a SUBSET (resume filter), so
             # clean must keep its own full-input pass; share within it
-            cleaned, quarantine = suite.clean(df, persist=True)
+            cleaned, quarantine, clean_flagged = suite.clean(df, persist=True)
         else:
             # ONE wide pass: validation metrics AND both clean outputs
             # derive from the same persisted flagged frame
@@ -190,8 +190,11 @@ def main(argv: list[str] | None = None) -> int:
         quarantine.write.mode("overwrite").partitionBy(suite.part_col).parquet(
             f"{args.clean_output}/quarantine"
         )
-        if args.manifest:
-            spark.catalog.clearCache()  # drop clean's own persist
+        if args.manifest and clean_flagged is not None:
+            # drop ONLY clean's persist — clearCache() here would evict
+            # every cached frame of an embedding session (tests, library
+            # callers running cli_main in-process)
+            clean_flagged.unpersist()
 
     if args.manifest:
         run_id = args.run_id or uuid.uuid4().hex[:12]

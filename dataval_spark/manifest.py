@@ -108,7 +108,15 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
     swallowed error here would silently disable resume AND the
     settings guard."""
     try:
-        return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+        # recursiveFileLookup: batch runs append flat files; the
+        # streaming writer overwrites per-batch SUBDIRECTORIES
+        # (batch_<id>/) so re-executed micro-batches replace rather than
+        # re-append their rows — one read path covers both layouts
+        return (
+            spark.read.schema(MANIFEST_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
     except Exception as e:
         msg = str(e)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:

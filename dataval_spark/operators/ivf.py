@@ -56,18 +56,33 @@ def _valid_mask(vals: np.ndarray, dim: int) -> np.ndarray:
         a = np.asarray(v, dtype=np.float64)
         if np.isfinite(a).all():
             out[i] = True
-    if len(vals) and not out.any():
-        # every non-null vector at the wrong length is a CONFIG error
-        # (index dim != embedding dim), not dirty data — failing loudly
-        # beats an index where every row is silently cluster -1
-        nonnull = [v for v in vals if v is not None]
-        if nonnull and all(len(v) != dim for v in nonnull):
-            raise ValueError(
-                f"every embedding in this batch has dim {len(nonnull[0])} "
-                f"but the centroids have dim {dim} — dimension mismatch, "
-                f"not dirty data"
-            )
     return out
+
+
+def _preflight_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """Driver-side config check BEFORE launching the job: if no vector in
+    a small sample matches the centroid dim, the index dim is wrong for
+    this table — fail loudly up front. Per-BATCH inference of the same
+    (round 2) let one uniformly-truncated input file kill the whole job,
+    violating the 'dirty vectors degrade to cluster -1, never crash'
+    contract; a sample-level check keeps the loud config error without
+    letting any single corrupt file or row decide."""
+    sizes = [
+        r.d
+        for r in df.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .limit(100)
+        .collect()
+    ]
+    if sizes and dim not in sizes:
+        from collections import Counter
+
+        common = Counter(sizes).most_common(1)[0][0]
+        raise ValueError(
+            f"no sampled embedding in '{vec_col}' has dim {dim} "
+            f"(sample of {len(sizes)}, most common dim {common}) — "
+            f"dimension mismatch between index and table, not dirty data"
+        )
 
 
 def assign_clusters(
@@ -84,6 +99,7 @@ def assign_clusters(
     schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
 
     dim = C.shape[1]
+    _preflight_dim(df, vec_col, dim)
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,6 +132,7 @@ def probe_clusters(
     )
 
     dim = C.shape[1]
+    _preflight_dim(queries, query_vec_col, dim)
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

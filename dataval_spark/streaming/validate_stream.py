@@ -53,16 +53,13 @@ def stream_to_manifest(
     checkpointed lineage. Structured Streaming's checkpoint guarantees a
     restarted query skips already-committed batches, so input files are
     validated exactly once across restarts (asserted in
-    tests/test_streaming.py); batch scoping in the run id keeps a
-    re-executed batch's rows distinguishable (latest committed_at wins).
+    tests/test_streaming.py); manifest rows are idempotent under
+    micro-batch RE-execution too (crash after the write, before the
+    checkpoint commit): each batch overwrites its own batch_<id>/ subdir,
+    so even sum-style manifest consumers never double-count.
 
     Returns the started StreamingQuery; caller owns awaitTermination/stop.
     """
-    import json as _json
-    import time as _time
-
-    from dataval_spark.manifest import MANIFEST_SCHEMA, suite_hash
-
     dt = dict(stream.dtypes).get(suite.part_col, "")
     if dt not in ("int", "bigint", "smallint", "tinyint"):
         # same fail-fast contract as run_resumable: the manifest stores
@@ -72,6 +69,32 @@ def stream_to_manifest(
             f"stream_to_manifest requires an integer partition column; "
             f"{suite.part_col!r} is {dt!r}"
         )
+
+    _process = manifest_batch_writer(suite, manifest_path, run_id, verdicts_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def manifest_batch_writer(
+    suite: Suite,
+    manifest_path: str,
+    run_id: str,
+    verdicts_path: str | None = None,
+):
+    """The foreachBatch callable behind stream_to_manifest, exposed so
+    the crash-replay contract is testable at its own seam: Structured
+    Streaming re-invokes this with the SAME batch_id when a crash lands
+    between the write and the checkpoint commit, and the writer must be
+    idempotent under that re-invocation."""
+    import json as _json
+    import time as _time
+
+    from dataval_spark.manifest import MANIFEST_SCHEMA, suite_hash
 
     shash = suite_hash(suite)
 
@@ -107,17 +130,18 @@ def stream_to_manifest(
             result.row_verdicts.write.mode("overwrite").partitionBy("part").parquet(
                 f"{verdicts_path}/batch={batch_id}"
             )
+        # batch-scoped subdir + overwrite (NOT append to the root): a
+        # crash between this write and the checkpoint commit re-executes
+        # the batch on restart, and an append would double-count n_rows
+        # for any consumer that sums manifest rows; overwrite makes the
+        # re-execution replace its own rows. read_manifest reads the
+        # root recursively, so flat batch layouts and these subdirs mix.
         spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
-            "append"
-        ).parquet(manifest_path)
+            "overwrite"
+        ).parquet(f"{manifest_path}/batch_{batch_id}")
         result.unpersist()
 
-    return (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _process
 
 
 def dedup_stream(

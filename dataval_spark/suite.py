@@ -317,18 +317,24 @@ class Suite:
         manifest.compare_runs); ``quarantine`` carries the rejected rows
         plus their dataval bitmask for triage. One plan, no mutation of
         the source table (Spark-native: tables are immutable; the
-        'mutation' is a new snapshot)."""
+        'mutation' is a new snapshot).
+
+        With ``persist=True`` the shared flagged frame is cached and
+        returned as the third element so the caller can unpersist THAT
+        frame when done — a session-wide catalog.clearCache() here would
+        evict every cached DataFrame of library embedders sharing the
+        session. Returns ``(cleaned, quarantine, flagged_or_None)``."""
         flagged = self.flag_rows(
             self.enrich(self.project(df, keep_extra=tuple(df.columns)))
         )
         if persist:
             # both outputs derive from the same scan+window plan; persist
             # it once so writing cleaned AND quarantine costs one compute
-            # (caller owns unpersist; a CLI process just exits)
             from pyspark.storagelevel import StorageLevel
 
             flagged = flagged.persist(StorageLevel.MEMORY_AND_DISK)
-        return self.split_flagged(flagged, df.columns)
+        cleaned, quarantine = self.split_flagged(flagged, df.columns)
+        return cleaned, quarantine, (flagged if persist else None)
 
     @staticmethod
     def split_flagged(

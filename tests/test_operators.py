@@ -421,6 +421,38 @@ def test_ivf_assignment_constant_plan_size_at_large_k(spark):
     assert got[5] == 5 and got[100] == 100 and got[199] == 199
 
 
+def test_ivf_truncated_file_degrades_not_crashes(spark):
+    """A uniformly-short run of vectors (one corrupt/truncated input
+    file) must degrade those rows to cluster -1, not kill the job: the
+    old per-BATCH dim inference raised when a whole Arrow batch happened
+    to be short, contradicting the dirty-data contract."""
+    from dataval_spark.operators.ivf import assign_clusters
+
+    dim = 8
+    cents = [[1.0 if d == j else 0.0 for d in range(dim)] for j in range(4)]
+    good = [(i, [1.0 if d == i % 4 else 0.0 for d in range(dim)]) for i in range(20)]
+    short = [(100 + i, [0.5] * 3) for i in range(20)]  # truncated file's rows
+    df = spark.createDataFrame(
+        good + short, "vec_id long, embedding array<double>"
+    ).repartition(4)  # some partitions (whole Arrow batches) are all-short
+    got = {r.vec_id: r["_cluster"] for r in assign_clusters(df, cents).collect()}
+    assert all(got[i] == i % 4 for i in range(20))
+    assert all(got[100 + i] == -1 for i in range(20))
+
+
+def test_ivf_global_dim_mismatch_fails_loudly(spark):
+    """When NO sampled vector matches the centroid dim, it's an index
+    config error — the driver-side preflight raises before the job."""
+    from dataval_spark.operators.ivf import assign_clusters
+
+    cents = [[0.0] * 16, [1.0] * 16]
+    df = spark.createDataFrame(
+        [(i, [0.5] * 8) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        assign_clusters(df, cents).collect()
+
+
 def test_text_ops_unicode_and_edge_cases(spark):
     """Unicode text, emoji, CJK, empty and whitespace-only strings must
     not break tokenization/fingerprints/dedup hashing."""

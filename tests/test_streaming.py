@@ -140,6 +140,7 @@ def test_stream_to_manifest_exactly_once(spark, tmp_path):
     """Checkpointed streaming validation: across restarts every input
     file is validated exactly once (the streaming face of the resumable
     manifest), and the manifest accumulates per-(batch, partition) rows."""
+    from dataval_spark.manifest import read_manifest
     from dataval_spark.streaming.validate_stream import stream_to_manifest
 
     d = str(tmp_path / "in")
@@ -158,22 +159,32 @@ def test_stream_to_manifest_exactly_once(spark, tmp_path):
         q.stop()
 
     run_once()
-    m1 = spark.read.parquet(mp)
+    m1 = read_manifest(spark, mp)
     assert m1.groupBy().sum("n_rows").collect()[0][0] == n1
 
     # restart with NO new data: checkpoint skips everything
     run_once()
-    assert spark.read.parquet(mp).groupBy().sum("n_rows").collect()[0][0] == n1
+    assert read_manifest(spark, mp).groupBy().sum("n_rows").collect()[0][0] == n1
 
     # new files arrive; restart processes ONLY them
     batch2 = transcripts(spark, n_convs=40, seed=42, n_parts=4)
     n2 = batch2.count()
     batch2.coalesce(1).write.mode("append").parquet(d)
     run_once()
-    m3 = spark.read.parquet(mp)
+    m3 = read_manifest(spark, mp)
     assert m3.groupBy().sum("n_rows").collect()[0][0] == n1 + n2
     # batch-scoped run ids keep increments distinguishable
     assert m3.where("run_id LIKE 's1/batch=%'").count() == m3.count()
+
+    # crash AFTER the manifest write, BEFORE the checkpoint commit:
+    # Structured Streaming re-invokes foreachBatch with the SAME
+    # batch_id on restart. The writer must REPLACE its rows (batch-scoped
+    # overwrite), not re-append — sum-style consumers would double-count.
+    from dataval_spark.streaming.validate_stream import manifest_batch_writer
+
+    writer = manifest_batch_writer(suite, mp, "s1")
+    writer(batch2, 1)  # the batch id that processed batch2's files
+    assert read_manifest(spark, mp).groupBy().sum("n_rows").collect()[0][0] == n1 + n2
 
 
 def test_dedup_stream_drops_replays_within_watermark(spark, tmp_path):

@@ -171,7 +171,8 @@ def test_clean_quarantine_split(data, result):
     sequence gaps CREATED by removing bad turns may remain."""
     suite = transcript_suite()
     df = data.drop("defects")
-    cleaned, quarantine = suite.clean(df)
+    cleaned, quarantine, flagged = suite.clean(df)
+    assert flagged is None  # persist=False: nothing for the caller to unpersist
 
     n_total = df.count()
     n_clean, n_quar = cleaned.count(), quarantine.count()
