@@ -44,6 +44,7 @@ HEADLINE = [
     "q52_context_packing",
     "q53_minhash_candidates",
     "q54_decontamination",
+    "q55_simhash60_census",
 ]
 
 

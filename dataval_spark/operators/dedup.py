@@ -129,24 +129,43 @@ def hashed_tokens(text: Column, bits: int = 16) -> Column:
     return F.transform(F.array_distinct(tokens(normalize(text))), h)
 
 
-def _bit_mask(b: int) -> int:
-    # bit 63 of a signed bigint is the sign bit: 1 << 63 overflows the
-    # long literal, but -(1 << 63) is the same two's-complement pattern
-    return (1 << b) if b < 63 else -(1 << 63)
-
-
 def simhash_from_hashed(ht: Column, bits: int = 16) -> Column:
     """SimHash from pre-hashed tokens: code bit b = majority of token
     hash bits b (+1 when set, -1 when not). ``bits`` must equal the
     hashed_tokens width (enforced statistically by
-    test_simhash_64bit_high_bits_populated)."""
+    test_simhash_64bit_high_bits_populated).
+
+    Formulated as ONE traversal of the token array (aggregate into a
+    per-bit popcount vector, then fold the majority masks), not one
+    filter pass per bit: at 60 bits the per-bit form re-walked and
+    re-allocated the array 60x and its unrolled plan took ~5 s of codegen
+    alone — measured on sf0.1 documents: 6.3 s cold / 1.4 s warm vs
+    1.4 s cold / 1.1 s warm for this form, identical codes. shiftright
+    is arithmetic, which still extracts bit b exactly (the AND keeps only
+    the lowest shifted bit), so sign-bit-set 64-bit hashes are fine;
+    shiftleft(1L, 63) wraps to the sign mask in the JVM rather than
+    erroring, so the bit-63 mask needs no special case."""
     n = F.size(ht)
-    code = F.lit(0).cast("bigint")
-    for b in range(bits):
-        mask = F.lit(_bit_mask(b))
-        ones = F.size(F.filter(ht, lambda h: h.bitwiseAND(mask) != 0))
-        code = code.bitwiseOR(F.when(ones * 2 > n, mask).otherwise(F.lit(0)))
-    return code
+    bits_seq = F.sequence(F.lit(0), F.lit(bits - 1))
+    zeros = F.transform(bits_seq, lambda b: F.lit(0).cast("bigint"))
+    one = F.lit(1).cast("bigint")
+    counts = F.aggregate(
+        ht,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            bits_seq,
+            lambda c, b: c + F.call_function("shiftright", h, b).bitwiseAND(one),
+        ),
+    )
+    masks = F.zip_with(
+        counts,
+        bits_seq,
+        lambda c, b: F.when(
+            c * 2 > n, F.call_function("shiftleft", one, b)
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(masks, F.lit(0).cast("bigint"), lambda a, x: a.bitwiseOR(x))
 
 
 def simhash(text: Column, bits: int = 16) -> Column:
@@ -265,6 +284,19 @@ def simhash_near_pairs(
     coded = df.where(token_count(F.col(text_col)) > 0).select(
         F.col(id_col).alias("doc"), hashed_tokens(F.col(text_col), bits).alias("_ht")
     ).select("doc", simhash_from_hashed(F.col("_ht"), bits).alias("code"))
+    # Materialize (doc, code) ONCE before the self-join: without a
+    # barrier, CollapseProject inlines the simhash expression into every
+    # chunk key and each join side recomputes it (~10 evaluations per
+    # doc — measured 13.4 s vs 1.1 s for the pair stage at sf0.1), and
+    # exchange reuse does not rescue identical join sides here. The
+    # cache is 16 B/doc (~16 GB cluster-wide at 10^9 docs, MEMORY_AND_
+    # DISK so it spills, LRU-evictable) vs re-hashing the corpus text
+    # 10x. The count() is the materialization action; this operator is
+    # batch-only so an eager action is fine.
+    from pyspark.storagelevel import StorageLevel
+
+    coded = coded.persist(StorageLevel.MEMORY_AND_DISK)
+    coded.count()
     return code_near_pairs(coded, bits, max_hamming)
 
 
