@@ -92,6 +92,15 @@ def minhash_candidates(
         F.col(id_col).alias("doc"),
         F.explode(F.array(*bands)).alias("band_key"),
     )
+    # materialize (doc, band_key) before the self-join: each band key
+    # embeds two full tokenize+md5+min passes and both join sides would
+    # recompute all of them per doc (same CollapseProject behavior as
+    # simhash_near_pairs — measured there at ~10x). ~50 B/doc/band,
+    # memory+disk, vs re-hashing the corpus text 16x.
+    from pyspark.storagelevel import StorageLevel
+
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    keyed.count()
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
