@@ -45,6 +45,7 @@ HEADLINE = [
     "q53_minhash_candidates",
     "q54_decontamination",
     "q55_simhash60_census",
+    "q56_ngram_decontamination",
 ]
 
 

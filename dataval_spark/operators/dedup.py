@@ -364,11 +364,15 @@ def connected_components(
             .groupBy("doc")
             .agg(F.min("nlbl").alias("nlbl"))
         )
+        # carry the round's starting label through as `old` so the
+        # convergence check is a filter over the (already checkpointed)
+        # round output instead of a third join back onto labels
         new = (
             labels.alias("l")
             .join(nbr_min.alias("m"), "doc", "left")
             .select(
                 F.col("doc"),
+                F.col("l.label").alias("old"),
                 F.least(
                     F.col("l.label"),
                     F.coalesce(F.col("m.nlbl"), F.col("l.label")),
@@ -383,6 +387,7 @@ def connected_components(
             .join(new.alias("y"), F.col("x.label") == F.col("y.doc"), "left")
             .select(
                 F.col("x.doc").alias("doc"),
+                F.col("x.old").alias("old"),
                 F.least(
                     F.col("x.label"),
                     F.coalesce(F.col("y.label"), F.col("x.label")),
@@ -390,13 +395,8 @@ def connected_components(
             )
         )
         halved = _ckpt(halved)
-        changed = (
-            halved.alias("n")
-            .join(labels.alias("o"), "doc")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = halved
+        changed = halved.where(F.col("label") != F.col("old")).count()
+        labels = halved.select("doc", "label")
         if changed == 0:
             break
     return labels.select("doc", F.col("label").alias("cluster"))
@@ -433,6 +433,45 @@ def contamination(
         corpus.withColumn("fp", F.md5(normalize(F.col(text_col))))
         .join(F.broadcast(bench_fp), "fp", "left_semi")
         .select(id_col, "fp")
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FUZZY decontamination layer: corpus documents sharing at least
+    ``min_hits`` distinct word ``n``-grams with the benchmark set — the
+    standard n-gram leakage test (13-gram in GPT-3's dedup appendix,
+    8-10 grams in later pipelines), catching benchmark rows quoted
+    inside larger documents where the exact-fingerprint layer (see
+    ``contamination``) sees different documents.
+
+    Shape: benchmark shingles are aggregated DISTINCT and broadcast
+    (a benchmark is ~10^4-10^6 n-grams — megabytes — against a corpus
+    of 10^9 docs), so the corpus side is one shuffle-free semi-join per
+    exploded shingle plus a groupBy(doc) count. Output: (id, n_hits,
+    one example shared shingle) per contaminated doc."""
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+    corp_sh = corpus.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("shingle").alias("example_shingle"),
+        )
+        .where(F.col("n_hits") >= min_hits)
     )
 
 

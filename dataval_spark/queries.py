@@ -1721,3 +1721,47 @@ def q55(spark, sf_dir):
         F.round(F.avg(F.bit_count(F.col("code"))), 4).alias("avg_popcount"),
         F.max(F.shiftright(F.col("code"), 32)).alias("max_high_bits"),
     )
+
+
+def _shingle8_sql() -> str:
+    """8-gram shingle list per doc — twin of dedup.shingles(text, 8)."""
+    grams = " || ' ' || ".join(f"w[i + {j}]" for j in range(8))
+    return (
+        "list_distinct(list_transform(range(1, greatest(len(w) - 7, 0) + 1), "
+        f"i -> {grams}))"
+    )
+
+
+@query(
+    "q56_ngram_decontamination",
+    f"""
+    WITH sh0 AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
+    ),
+    sh AS (SELECT doc_id, {_shingle8_sql()} AS s FROM sh0),
+    bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 10 = 0),
+    corp AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 10 <> 0),
+    hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM corp JOIN bench USING (shingle) GROUP BY doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_contaminated,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           CAST(max(n_hits) AS BIGINT) AS max_hits
+    FROM hits
+    """,
+)
+def q56(spark, sf_dir):
+    """Fuzzy decontamination: corpus docs sharing >=1 distinct word
+    8-gram with the benchmark slice (dedup.ngram_contamination) — the
+    n-gram leakage layer on top of q54's exact-fingerprint layer,
+    catching benchmark text QUOTED inside larger documents."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 10 == 0)
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    hits = D.ngram_contamination(corpus, bench, n=8)
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        F.max("n_hits").cast("long").alias("max_hits"),
+    )

@@ -453,6 +453,33 @@ def test_ivf_global_dim_mismatch_fails_loudly(spark):
         assign_clusters(df, cents).collect()
 
 
+def test_ngram_contamination(spark):
+    """8-gram leakage: a corpus doc QUOTING a benchmark row must be
+    flagged even though its exact fingerprint differs; unrelated and
+    short docs must not."""
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris and its river is the seine")],
+        "doc_id long, text string",
+    )
+    quote = (
+        "as the quiz put it: the capital of france is paris and its river "
+        "is the seine, which everyone knows"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, quote),                                     # quotes the benchmark
+            (2, "completely unrelated text about spark plans and shuffles ok"),
+            (3, "the capital of france"),                   # < 8 tokens: no shingle
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits for r in D.ngram_contamination(corpus, bench, n=8).collect()}
+    assert set(hits) == {1}
+    # the quote preserves 4 distinct 8-gram windows of the benchmark row
+    assert hits[1] == 4
+
+
 def test_text_ops_unicode_and_edge_cases(spark):
     """Unicode text, emoji, CJK, empty and whitespace-only strings must
     not break tokenization/fingerprints/dedup hashing."""
