@@ -29,6 +29,28 @@ from pyspark.sql import functions as F
 from dataval_spark.operators.text import normalize, tokens
 
 
+# One live cache per operator key: the pair-join operators persist a
+# small derived frame (codes / band keys) so the self-join does not
+# re-evaluate the hash expressions per side, but they return a lazy
+# result and so cannot unpersist it themselves. Swapping out the
+# previous call's cache bounds the footprint to one entry per operator
+# in long-lived sessions (an older result frame still held by a caller
+# stays CORRECT — it just recomputes if re-used).
+_live_caches: dict[str, DataFrame] = {}
+
+
+def _cache_swap(key: str, df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    old = _live_caches.get(key)
+    if old is not None:
+        old.unpersist()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _live_caches[key] = df
+    df.count()  # materialize once, before any self-join fans out
+    return df
+
+
 # ----------------------------------------------------------------- exact
 def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents — GROUP BY
@@ -97,10 +119,7 @@ def minhash_candidates(
     # recompute all of them per doc (same CollapseProject behavior as
     # simhash_near_pairs — measured there at ~10x). ~50 B/doc/band,
     # memory+disk, vs re-hashing the corpus text 16x.
-    from pyspark.storagelevel import StorageLevel
-
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-    keyed.count()
+    keyed = _cache_swap("minhash_candidates", keyed)
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -174,7 +193,13 @@ def simhash_from_hashed(ht: Column, bits: int = 16) -> Column:
             c * 2 > n, F.call_function("shiftleft", one, b)
         ).otherwise(F.lit(0).cast("bigint")),
     )
-    return F.aggregate(masks, F.lit(0).cast("bigint"), lambda a, x: a.bitwiseOR(x))
+    code = F.aggregate(masks, F.lit(0).cast("bigint"), lambda a, x: a.bitwiseOR(x))
+    # NULL token array (NULL text) must code to 0, not NULL: the old
+    # per-bit CASE form folded NULL to 0 and the DuckDB oracle twin
+    # (CASE WHEN NULL-cond THEN .. ELSE 0) still does — aggregate/zip_with
+    # propagate NULL, which would silently diverge q30-style censuses on
+    # any corpus containing a NULL-text row
+    return F.coalesce(code, F.lit(0).cast("bigint"))
 
 
 def simhash(text: Column, bits: int = 16) -> Column:
@@ -300,19 +325,16 @@ def simhash_near_pairs(
     # exchange reuse does not rescue identical join sides here. The
     # cache is 16 B/doc (~16 GB cluster-wide at 10^9 docs, MEMORY_AND_
     # DISK so it spills, LRU-evictable) vs re-hashing the corpus text
-    # 10x. The count() is the materialization action; this operator is
-    # batch-only so an eager action is fine.
-    from pyspark.storagelevel import StorageLevel
-
-    coded = coded.persist(StorageLevel.MEMORY_AND_DISK)
-    coded.count()
+    # 10x. This operator is batch-only, so the eager materialization
+    # action inside _cache_swap is fine.
+    coded = _cache_swap("simhash_near_pairs", coded)
     return code_near_pairs(coded, bits, max_hamming)
 
 
 # ------------------------------------------------- dedup cluster assembly
 def connected_components(
     ids: DataFrame, pairs: DataFrame, id_col: str = "doc", max_iter: int = 25,
-    checkpoint_dir: str | None = None,
+    checkpoint_dir: str | None = None, strict: bool = True,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc, cluster) where
     cluster = the minimum doc id in the component (the canonical
@@ -342,7 +364,11 @@ def connected_components(
     constraint from ``ids``' lineage crosses the union (checkpointing
     does not help — LogicalRDD propagates constraints). Consequence:
     the output universe is exactly ``ids`` — pair endpoints absent from
-    the seed set get no label row (callers own seed consistency).
+    the seed set get no label row AND cannot relay labels between their
+    neighbors, so a violated seed contract would SPLIT clusters. With
+    ``strict`` (default) that contract failure is loud: one id-width
+    anti-join up front raises if any pair endpoint is missing from
+    ``ids``, instead of returning silently wrong clusters.
     """
     if checkpoint_dir is not None:
         sc = ids.sparkSession.sparkContext
@@ -357,6 +383,20 @@ def connected_components(
     labels = _ckpt(
         ids.select(F.col(id_col).alias("doc"), F.col(id_col).alias("label"))
     )
+    if strict:
+        # edges carry both directions, so the a-side covers every endpoint
+        orphans = (
+            edges.select(F.col("a").alias("doc")).distinct()
+            .join(labels, "doc", "left_anti")
+        )
+        sample = [r.doc for r in orphans.limit(5).collect()]
+        if sample:
+            raise ValueError(
+                f"pair endpoints missing from the seed ids (first 5: "
+                f"{sample}) — labels cannot propagate through unlabeled "
+                f"nodes; add them to ids or pass strict=False to label "
+                f"only the seeded subgraph"
+            )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["doc"])

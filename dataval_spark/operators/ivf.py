@@ -65,15 +65,24 @@ def _preflight_dim(df: DataFrame, vec_col: str, dim: int) -> None:
     this table — fail loudly up front. Per-BATCH inference of the same
     (round 2) let one uniformly-truncated input file kill the whole job,
     violating the 'dirty vectors degrade to cluster -1, never crash'
-    contract; a sample-level check keeps the loud config error without
-    letting any single corrupt file or row decide."""
-    sizes = [
-        r.d
-        for r in df.where(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("d"))
-        .limit(100)
-        .collect()
-    ]
+    contract.
+
+    The sample is SPREAD — a few rows from each of up to 50 partitions,
+    not limit(N): Spark satisfies a flat limit from the leading
+    partition(s), so one corrupt leading file would dominate the sample
+    and re-create exactly the single-file-decides failure. Each sampled
+    task stops after 5 rows (lazy iterator), so the cost stays a few
+    file-header reads."""
+    sized = df.where(F.col(vec_col).isNotNull()).select(
+        F.size(vec_col).alias("d")
+    )
+
+    def _take5(idx, it):
+        from itertools import islice
+
+        return islice(it, 5) if idx < 50 else iter(())
+
+    sizes = [r.d for r in sized.rdd.mapPartitionsWithIndex(_take5).collect()]
     if sizes and dim not in sizes:
         from collections import Counter
 

@@ -91,6 +91,7 @@ def manifest_batch_writer(
     Streaming re-invokes this with the SAME batch_id when a crash lands
     between the write and the checkpoint commit, and the writer must be
     idempotent under that re-invocation."""
+    import hashlib
     import json as _json
     import time as _time
 
@@ -130,15 +131,21 @@ def manifest_batch_writer(
             result.row_verdicts.write.mode("overwrite").partitionBy("part").parquet(
                 f"{verdicts_path}/batch={batch_id}"
             )
-        # batch-scoped subdir + overwrite (NOT append to the root): a
-        # crash between this write and the checkpoint commit re-executes
-        # the batch on restart, and an append would double-count n_rows
-        # for any consumer that sums manifest rows; overwrite makes the
-        # re-execution replace its own rows. read_manifest reads the
-        # root recursively, so flat batch layouts and these subdirs mix.
+        # (run, batch)-scoped subdir + overwrite (NOT append to the
+        # root): a crash between this write and the checkpoint commit
+        # re-executes the batch on restart, and an append would
+        # double-count n_rows for any consumer that sums manifest rows;
+        # overwrite makes the re-execution replace its own rows. The
+        # run_id is part of the key (hashed — run ids contain '/') so a
+        # LATER streaming run whose fresh checkpoint restarts batch ids
+        # at 0 overwrites its own rows, never a previous run's (multiple
+        # run_ids in one manifest is a supported layout — compare_runs,
+        # baseline_from_manifest). read_manifest reads the root
+        # recursively, so flat batch layouts and these subdirs mix.
+        run_key = hashlib.sha1(run_id.encode()).hexdigest()[:12]
         spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(f"{manifest_path}/batch_{batch_id}")
+        ).parquet(f"{manifest_path}/run_{run_key}_batch_{batch_id}")
         result.unpersist()
 
     return _process

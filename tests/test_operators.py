@@ -141,6 +141,21 @@ def test_simhash_matches_python_mirror(docs, bits):
         assert got[doc_id] == _py_simhash(text, bits), (doc_id, bits)
 
 
+def test_simhash_null_text_codes_to_zero(spark):
+    # the aggregate formulation propagates NULL through a NULL token
+    # array; the coalesce guard must restore the oracle's 0 (CASE-chain
+    # over NULL conditions folds to the ELSE 0 branch)
+    df = spark.createDataFrame(
+        [(1, None), (2, "actual text here")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.code
+        for r in df.select("doc_id", D.simhash(F.col("text"), 60).alias("code")).collect()
+    }
+    assert got[1] == 0
+    assert got[2] not in (0, None)
+
+
 def test_simhash_64bit_high_bits_populated(spark):
     texts = [
         (i, f"document {i} covers topic {i % 7} with detail level {i * i % 101}")
@@ -451,6 +466,45 @@ def test_ivf_global_dim_mismatch_fails_loudly(spark):
     )
     with pytest.raises(ValueError, match="dimension mismatch"):
         assign_clusters(df, cents).collect()
+
+
+def test_connected_components_orphan_endpoints_fail_loudly(spark):
+    """A pair endpoint absent from the seed ids cannot relay labels, so
+    1-5-9 would silently split into {1},{9}: strict mode must raise, and
+    strict=False must label only the seeded subgraph."""
+    ids = spark.createDataFrame([(1,), (9,)], "doc long")
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(ValueError, match="missing from the seed ids"):
+        D.connected_components(ids, pairs)
+    out = {r.doc: r.cluster for r in
+           D.connected_components(ids, pairs, strict=False).collect()}
+    assert set(out) == {1, 9}  # only the seeded universe is labeled
+
+
+def test_ivf_corrupt_leading_file_does_not_fail_preflight(spark, tmp_path):
+    """>=100 uniformly-short rows in the LEADING input file must not trip
+    the global dim-mismatch preflight when other files are fine — a flat
+    limit(100) sample reads only the leading split (Spark orders splits
+    largest-first, and a corrupt dump is often the big one)."""
+    from dataval_spark.operators.ivf import assign_clusters
+
+    dim = 8
+    cents = [[1.0 if d == j else 0.0 for d in range(dim)] for j in range(4)]
+    path = str(tmp_path / "vecs")
+    spark.createDataFrame(
+        [(100 + i, [0.5] * 3) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(i, [1.0 if d == i % 4 else 0.0 for d in range(dim)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(path)
+    df = spark.read.parquet(path)
+    got = {r.vec_id: r["_cluster"] for r in assign_clusters(df, cents).collect()}
+    assert all(got[100 + i] == -1 for i in range(150))
+    assert all(got[i] == i % 4 for i in range(20))
 
 
 def test_ngram_contamination(spark):

@@ -186,6 +186,20 @@ def test_stream_to_manifest_exactly_once(spark, tmp_path):
     writer(batch2, 1)  # the batch id that processed batch2's files
     assert read_manifest(spark, mp).groupBy().sum("n_rows").collect()[0][0] == n1 + n2
 
+    # a SECOND streaming run (fresh checkpoint -> batch ids restart at 0)
+    # into the same manifest must not clobber the first run's rows: the
+    # subdir key includes the run_id, and multiple run_ids per manifest
+    # is a supported layout (compare_runs / baseline_from_manifest)
+    writer2 = manifest_batch_writer(suite, mp, "s2")
+    writer2(batch2, 0)
+    m5 = read_manifest(spark, mp)
+    assert m5.where("run_id LIKE 's1/%'").count() > 0
+    assert m5.where("run_id LIKE 's2/%'").count() > 0
+    assert (
+        m5.where("run_id LIKE 's1/%'").groupBy().sum("n_rows").collect()[0][0]
+        == n1 + n2
+    )
+
 
 def test_dedup_stream_drops_replays_within_watermark(spark, tmp_path):
     """Cross-micro-batch replay of (conv_id, turn_idx) within the
