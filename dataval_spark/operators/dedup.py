@@ -29,24 +29,34 @@ from pyspark.sql import functions as F
 from dataval_spark.operators.text import normalize, tokens
 
 
-# One live cache per operator key: the pair-join operators persist a
-# small derived frame (codes / band keys) so the self-join does not
-# re-evaluate the hash expressions per side, but they return a lazy
-# result and so cannot unpersist it themselves. Swapping out the
+# One live cache per (operator, session): the pair-join operators
+# persist a small derived frame (codes / band keys) so the self-join
+# does not re-evaluate the hash expressions per side, but they return a
+# lazy result and so cannot unpersist it themselves. Swapping out the
 # previous call's cache bounds the footprint to one entry per operator
-# in long-lived sessions (an older result frame still held by a caller
-# stays CORRECT — it just recomputes if re-used).
-_live_caches: dict[str, DataFrame] = {}
+# per session (an older result frame still held by a caller stays
+# CORRECT — it just recomputes if re-used). Keyed by session so a
+# replacement SparkSession never tries to unpersist a stopped one's
+# frame, and the unpersist itself is best-effort for the same reason.
+# Known benign race: concurrent calls to the SAME operator in one
+# session can evict each other's cache mid-query — results stay
+# correct, the loser recomputes (single-caller-per-operator is the
+# performance assumption).
+_live_caches: dict[tuple[str, int], DataFrame] = {}
 
 
 def _cache_swap(key: str, df: DataFrame) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    old = _live_caches.get(key)
+    skey = (key, id(df.sparkSession))
+    old = _live_caches.get(skey)
     if old is not None:
-        old.unpersist()
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # stopped/replaced session: nothing left to unpersist
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _live_caches[key] = df
+    _live_caches[skey] = df
     df.count()  # materialize once, before any self-join fans out
     return df
 

@@ -70,19 +70,23 @@ def _preflight_dim(df: DataFrame, vec_col: str, dim: int) -> None:
     The sample is SPREAD — a few rows from each of up to 50 partitions,
     not limit(N): Spark satisfies a flat limit from the leading
     partition(s), so one corrupt leading file would dominate the sample
-    and re-create exactly the single-file-decides failure. Each sampled
-    task stops after 5 rows (lazy iterator), so the cost stays a few
-    file-header reads."""
-    sized = df.where(F.col(vec_col).isNotNull()).select(
-        F.size(vec_col).alias("d")
+    and re-create exactly the single-file-decides failure. runJob on an
+    explicit partition list schedules ONLY those 50 tasks (a
+    mapPartitions over the full RDD would launch one no-op task per
+    partition — tens of thousands at 10^9 rows), and each task stops
+    after 5 rows of its lazy iterator."""
+    from itertools import islice
+
+    rdd = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .rdd
     )
-
-    def _take5(idx, it):
-        from itertools import islice
-
-        return islice(it, 5) if idx < 50 else iter(())
-
-    sizes = [r.d for r in sized.rdd.mapPartitionsWithIndex(_take5).collect()]
+    n_parts = rdd.getNumPartitions()
+    chunks = rdd.context.runJob(
+        rdd, lambda it: list(islice(it, 5)), range(min(50, n_parts))
+    )
+    sizes = [r.d for r in chunks]
     if sizes and dim not in sizes:
         from collections import Counter
 

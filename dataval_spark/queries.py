@@ -840,6 +840,19 @@ def q30(spark, sf_dir):
 
 
 
+def _shingle_sql(n: int) -> str:
+    """Word-``n``-gram shingle list over a split-token column ``w`` —
+    the single DuckDB twin of dedup.shingles (q31 and q56 both build on
+    it; one copy so an engine-side change cannot drift the twins apart)."""
+    grams = " || ' ' || ".join(
+        "w[i]" if j == 0 else f"w[i + {j}]" for j in range(n)
+    )
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+        f"i -> {grams}))"
+    )
+
+
 @query(
     "q31_ngram_jaccard_pairs",
     f"""
@@ -848,9 +861,7 @@ def q30(spark, sf_dir):
       FROM documents
     ),
     sh AS (
-      SELECT doc, grp,
-             list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
-               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+      SELECT doc, grp, {_shingle_sql(3)} AS s
       FROM sh0
     ),
     ex0 AS (SELECT doc, grp, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
@@ -1723,22 +1734,13 @@ def q55(spark, sf_dir):
     )
 
 
-def _shingle8_sql() -> str:
-    """8-gram shingle list per doc — twin of dedup.shingles(text, 8)."""
-    grams = " || ' ' || ".join(f"w[i + {j}]" for j in range(8))
-    return (
-        "list_distinct(list_transform(range(1, greatest(len(w) - 7, 0) + 1), "
-        f"i -> {grams}))"
-    )
-
-
 @query(
     "q56_ngram_decontamination",
     f"""
     WITH sh0 AS (
       SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents
     ),
-    sh AS (SELECT doc_id, {_shingle8_sql()} AS s FROM sh0),
+    sh AS (SELECT doc_id, {_shingle_sql(8)} AS s FROM sh0),
     bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 10 = 0),
     corp AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 10 <> 0),
     hits AS (

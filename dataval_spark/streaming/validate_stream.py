@@ -55,8 +55,14 @@ def stream_to_manifest(
     validated exactly once across restarts (asserted in
     tests/test_streaming.py); manifest rows are idempotent under
     micro-batch RE-execution too (crash after the write, before the
-    checkpoint commit): each batch overwrites its own batch_<id>/ subdir,
-    so even sum-style manifest consumers never double-count.
+    checkpoint commit): each batch overwrites its own
+    run_<key>_batch_<id>/ subdir, so even sum-style manifest consumers
+    never double-count. RESUME CONTRACT: restarting a crashed stream
+    means the SAME run_id with the SAME checkpoint_dir — run_id is part
+    of the overwrite key (so concurrent/later runs with fresh
+    checkpoints never clobber each other's rows), which also means a
+    restart under a NEW run_id is a new run whose re-executed batches
+    coexist with the old run's rows rather than replacing them.
 
     Returns the started StreamingQuery; caller owns awaitTermination/stop.
     """
@@ -123,13 +129,17 @@ def manifest_batch_writer(
             for m in result.partition_metrics
         ]
         spark = batch_df.sparkSession
+        run_key = hashlib.sha1(run_id.encode()).hexdigest()[:12]
         if verdicts_path:
-            # batch-scoped directory, full overwrite: a re-executed
-            # micro-batch (crash between this write and the checkpoint
-            # commit) REPLACES its own verdicts instead of appending a
-            # duplicate copy — idempotent without touching other batches
+            # (run, batch)-scoped directory, full overwrite: a
+            # re-executed micro-batch (crash between this write and the
+            # checkpoint commit) REPLACES its own verdicts instead of
+            # appending a duplicate copy — idempotent without touching
+            # other batches, and (like the manifest write below) a later
+            # run whose fresh checkpoint restarts batch ids at 0 never
+            # clobbers a previous run's verdicts
             result.row_verdicts.write.mode("overwrite").partitionBy("part").parquet(
-                f"{verdicts_path}/batch={batch_id}"
+                f"{verdicts_path}/run_{run_key}_batch_{batch_id}"
             )
         # (run, batch)-scoped subdir + overwrite (NOT append to the
         # root): a crash between this write and the checkpoint commit
@@ -142,7 +152,6 @@ def manifest_batch_writer(
         # run_ids in one manifest is a supported layout — compare_runs,
         # baseline_from_manifest). read_manifest reads the root
         # recursively, so flat batch layouts and these subdirs mix.
-        run_key = hashlib.sha1(run_id.encode()).hexdigest()[:12]
         spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
             "overwrite"
         ).parquet(f"{manifest_path}/run_{run_key}_batch_{batch_id}")
