@@ -90,21 +90,32 @@ def minhash_signature(text: Column, n_hashes: int = 8) -> Column:
     """MinHash over the distinct token set: hash_i(doc) =
     min(md5(i || ':' || token)); the signature is the concatenation.
     Lexicographic min over md5 hex == min over a 128-bit hash family —
-    deterministic and engine-portable."""
-    toks = F.array_distinct(tokens(normalize(text)))
-    mins = [_min_hash(toks, i) for i in range(n_hashes)]
-    return F.concat_ws("|", *mins)
+    deterministic and engine-portable. Token array bound once (_bind):
+    each of the n hashes otherwise embeds its own tokenize subtree."""
+
+    def from_toks(toks: Column) -> Column:
+        mins = [_min_hash(toks, i) for i in range(n_hashes)]
+        return F.concat_ws("|", *mins)
+
+    return _bind(F.array_distinct(tokens(normalize(text))), from_toks)
 
 
 def minhash_bands(text: Column, n_hashes: int = 8, band_size: int = 2) -> list[Column]:
     """LSH banding: signature split into bands of ``band_size`` hashes;
-    docs sharing any band key are near-dup candidates."""
-    toks = F.array_distinct(tokens(normalize(text)))
-    mins = [_min_hash(toks, i) for i in range(n_hashes)]
-    return [
-        F.concat_ws("|", F.lit(str(b)), *mins[b * band_size : (b + 1) * band_size])
-        for b in range(n_hashes // band_size)
-    ]
+    docs sharing any band key are near-dup candidates. One band key per
+    Column so callers can explode them; each binds the token array once."""
+
+    def band(b: int) -> Column:
+        def from_toks(toks: Column) -> Column:
+            mins = [
+                _min_hash(toks, i)
+                for i in range(b * band_size, (b + 1) * band_size)
+            ]
+            return F.concat_ws("|", F.lit(str(b)), *mins)
+
+        return _bind(F.array_distinct(tokens(normalize(text))), from_toks)
+
+    return [band(b) for b in range(n_hashes // band_size)]
 
 
 def minhash_candidates(
@@ -526,22 +537,41 @@ def ngram_contamination(
 
 
 # --------------------------------------------------------- n-gram jaccard
+def _bind(value: Column, fn) -> Column:
+    """Evaluate ``value`` ONCE and pass it to ``fn`` as a bound lambda
+    variable. Interpreted HOF expressions get no common-subexpression
+    elimination, so an expression tree that references a subtree k times
+    (e.g. element_at(toks, i+j) for 8 j's, per gram) re-evaluates it
+    k times PER ELEMENT — shingles(text, 8) re-ran normalize+split ~288x
+    per doc (35 s for 4,500 sf0.1 docs; 1.5 s with the binding). The
+    1-element-array transform is the standard trick: the array
+    constructor evaluates the value once, the lambda body references the
+    NamedLambdaVariable."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text. Documents
     with fewer than n tokens (or NULL text) yield an EMPTY set:
     F.sequence(1, 0) produces the DESCENDING [1, 0] (auto step -1), so
     the unguarded transform evaluated element_at out of bounds and threw
     INVALID_ARRAY_INDEX for any short document; the when-guard keeps the
-    sequence branch unevaluated for those rows."""
-    toks = tokens(normalize(text))
-    k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
-    return F.when(k >= 1, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    sequence branch unevaluated for those rows. The token array is bound
+    once via _bind — see its docstring for why that matters."""
+
+    def from_toks(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(k >= 1, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _bind(tokens(normalize(text)), from_toks)
 
 
 def jaccard_pairs(
