@@ -74,17 +74,19 @@ def brute_force_topk(
     return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
-def plane(j: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane j."""
-    return [math.sin((i + 1) * (j + 1)) for i in range(dim)]
+def plane(j: int, dim: int, table: int = 0) -> list[float]:
+    """Deterministic pseudo-random hyperplane j of table ``table`` —
+    tables use disjoint plane families via the offset."""
+    base = (table * 97 + j) + 1
+    return [math.sin((i + 1) * base) for i in range(dim)]
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 4) -> Column:
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 4, table: int = 0) -> Column:
     """Sign-plane bucket code in [0, 2^n_planes): bit j = sign of the dot
-    product with plane j."""
+    product with plane j of table ``table``."""
     code = F.lit(0)
     for j in range(n_planes):
-        w = plane(j, dim)
+        w = plane(j, dim, table)
         d = F.aggregate(
             F.zip_with(
                 _vec(vec),
@@ -116,6 +118,7 @@ def lsh_topk(
 def cosine_near_dup_pairs(
     df: DataFrame, dim: int, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = 4,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
@@ -123,18 +126,33 @@ def cosine_near_dup_pairs(
     (pairs are quadratic WITHIN a bucket), so pick n_planes ~
     log2(N^2 / candidate_budget) — e.g. N=10^9 with a 10^12-pair budget
     needs ~20 planes, not the default 4 (which is sized for the test
-    corpora). Recall of one plane table falls with n_planes; production
-    near-dup runs union several independent tables (as in minhash
-    banding) — caveat documented, single-table here."""
+    corpora). Single-table recall FALLS as n_planes grows (a true pair
+    survives one table with prob ~ (1 - theta/pi)^n_planes), so
+    production runs set ``n_tables`` > 1: independent plane families
+    (disjoint via the table offset in ``plane``), a pair is a candidate
+    if it collides in ANY table — recall 1-(1-p)^T — and the final
+    distinct collapses pairs that collide in several. The join stays one
+    equi-join on the exploded (table, bucket) key; the distinct shuffles
+    only (id, id, sim) rows, i.e. the candidate volume the operator
+    already pays for."""
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col(vec_col), dim, n_planes, t).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
     coded = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bkt"),
+        F.explode(keys).alias("k"),
     )
     a, b = coded.alias("a"), coded.alias("b")
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
-    return (
-        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.doc") < F.col("b.doc")))
+    pairs = (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc") < F.col("b.doc")))
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
@@ -142,3 +160,4 @@ def cosine_near_dup_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+    return pairs.distinct() if n_tables > 1 else pairs

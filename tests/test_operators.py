@@ -507,6 +507,59 @@ def test_ivf_corrupt_leading_file_does_not_fail_preflight(spark, tmp_path):
     assert all(got[i] == i % 4 for i in range(20))
 
 
+def test_cosine_near_dup_multi_table_recall(spark):
+    """At 8 planes a single LSH table misses many true near-dup pairs
+    (each plane cuts recall); 3 independent tables must strictly improve
+    recall toward the brute-force ground truth, with zero false pairs
+    (cosine is exact — LSH only gates candidates)."""
+    import math as m
+
+    from dataval_spark.operators.similarity import cosine_near_dup_pairs
+
+    dim, thr = 16, 0.97
+    # deterministic base vectors + a perturbed near-dup of each tenth one
+    base = [
+        [m.sin((i + 1) * (d + 3) * 0.7) for d in range(dim)] for i in range(120)
+    ]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [
+        (1000 + i, [x + 0.02 * m.sin(i + d) for d, x in enumerate(base[i])])
+        for i in range(0, 120, 10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def cos(u, v):
+        dot = sum(x * y for x, y in zip(u, v))
+        nu = m.sqrt(sum(x * x for x in u))
+        nv = m.sqrt(sum(x * x for x in v))
+        return dot / (nu * nv)
+
+    truth = {
+        (a, b)
+        for ai, (a, u) in enumerate(rows)
+        for b, v in rows[ai + 1:]
+        if round(cos(u, v), 4) >= thr
+    }
+    assert len(truth) >= 10  # the planted near-dups are actually there
+
+    def got(n_tables):
+        return {
+            (r.doc_a, r.doc_b)
+            for r in cosine_near_dup_pairs(
+                df, dim, thr, n_planes=8, n_tables=n_tables
+            ).collect()
+        }
+
+    g1, g3 = got(1), got(3)
+    assert g1 <= truth and g3 <= truth  # no false pairs, ever
+    assert g1 <= g3                     # tables only ADD candidates
+    assert len(g3) > len(g1)            # and recall actually improves
+    # analytic recall at cos 0.97 / 8 planes: p ~ 0.52 per table,
+    # 1-(1-p)^3 ~ 0.89 at T=3 — assert comfortably below that
+    assert len(g3) >= 0.8 * len(truth)
+    assert len(g1) <= 0.7 * len(truth)  # single-table really is lossy here
+
+
 def test_ngram_contamination(spark):
     """8-gram leakage: a corpus doc QUOTING a benchmark row must be
     flagged even though its exact fingerprint differs; unrelated and
@@ -532,6 +585,51 @@ def test_ngram_contamination(spark):
     assert set(hits) == {1}
     # the quote preserves 4 distinct 8-gram windows of the benchmark row
     assert hits[1] == 4
+
+
+def test_prepare_corpus_full_funnel(spark):
+    """The composed pipeline (quality gate -> exact dedup -> near dedup
+    -> decontamination -> packing) drops exactly the rows each stage
+    owns, on a corpus planted with one offender per stage."""
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    bench_text = (
+        "the secret benchmark answer sequence is forty two exactly here "
+        "and nowhere else in any training document at all"
+    )
+    rows = [
+        (1, base + " one", "en"),
+        (2, base + " one", "en"),            # exact dup of 1 -> dropped
+        # near dup of 1: same distinct-token SET (reordered), so the
+        # SimHash codes are identical (Hamming 0) while the normalized
+        # text — and the exact fingerprint — differ
+        (3, " ".join(reversed((base + " one").split())), "en"),
+        (4, "short text", "en"),             # < min_tokens -> dropped
+        (5, None, "en"),                     # NULL -> dropped
+        (6, "prefix words then " + bench_text + " then suffix words", "en"),
+        (7, "a completely different legitimate document with plenty of "
+            "distinct content words spread across the whole window", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    out = prepare_corpus(
+        docs, benchmark=bench, min_tokens=5, simhash_bits=60, max_hamming=3
+    )
+    s = out["stats"]()
+    assert s["n_input"] == 7
+    assert s["n_quality_pass"] == 5          # 4 (short) and 5 (NULL) gone
+    assert s["n_exact_deduped"] == 4         # 2 gone
+    assert s["n_near_deduped"] == 3          # 3 clustered into 1 -> gone
+    assert s["n_decontaminated"] == 2        # 6 (quotes benchmark) gone
+    kept = {r.doc_id for r in out["decontaminated"].select("doc_id").collect()}
+    assert kept == {1, 7}
+    assert s["n_packed_bins"] >= 1
+    assert "bin" in out["packed"].columns
 
 
 def test_text_ops_unicode_and_edge_cases(spark):
