@@ -49,10 +49,19 @@ def prepare_corpus(
     decontam_ngram: int = 8,
     window_tokens: int = 2048,
     redact: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> dict:
-    """Run the full preparation flow. Returns a dict with the per-stage
-    frames (lazy, except where the underlying operators materialize) and
-    a ``stats`` callable that computes the attrition funnel in ONE job.
+    """Run the full preparation flow. NOTE: the near-dedup phase
+    (SimHash code materialization + connected-components iteration) runs
+    EAGERLY at call time — this is a pipeline runner, not a plan
+    builder. On a real cluster pass ``checkpoint_dir`` so the CC rounds
+    use reliable checkpoint() (executor-loss-safe) instead of
+    localCheckpoint (see connected_components).
+
+    Returns a dict with the per-stage frames and a ``stats`` callable
+    computing the attrition funnel — one count() per stage, each
+    re-deriving its (un-persisted) upstream chain, so call it for audit
+    runs, not in a hot loop.
 
     Keys: quality_pass, exact_deduped, near_deduped, decontaminated,
     packed, stats().
@@ -77,10 +86,13 @@ def prepare_corpus(
     pairs = D.simhash_near_pairs(
         exact_deduped, id_col, text_col, bits=simhash_bits, max_hamming=max_hamming
     )
-    ids = exact_deduped.where(X.token_count(F.col(text_col)) > 0).select(
+    # content_bearing is the SAME predicate simhash_near_pairs applies
+    # internally, so the seed set provably covers every pair endpoint
+    # (strict connected_components raises if that ever drifts)
+    ids = exact_deduped.where(D.content_bearing(F.col(text_col))).select(
         F.col(id_col).alias("doc")
     )
-    labels = D.connected_components(ids, pairs)
+    labels = D.connected_components(ids, pairs, checkpoint_dir=checkpoint_dir)
     near_deduped = D.keep_cluster_canonical(exact_deduped, labels, id_col)
 
     decontaminated = near_deduped
@@ -101,9 +113,8 @@ def prepare_corpus(
     packed = pack_greedy(sized, "n_tok", window_tokens, lang_col, id_col)
 
     def stats() -> dict:
-        # one fused job: every funnel count from a single cached pass
-        # would recompute the pair stages, so count the cheap frames
-        # individually (each is one scan + the operator's own work)
+        # one count() per stage; each re-derives its upstream chain
+        # (audit-run cost, documented in the prepare_corpus docstring)
         return {
             "n_input": docs.count(),
             "n_quality_pass": quality_pass.count(),

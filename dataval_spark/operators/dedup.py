@@ -26,7 +26,17 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataval_spark.operators.text import normalize, tokens
+from dataval_spark.operators.text import normalize, token_count, tokens
+
+
+def content_bearing(text: Column) -> Column:
+    """The shared degenerate-doc predicate for every pair-generating
+    operator AND the seed sets fed to connected_components: content-free
+    docs (NULL/blank) all hash identically — one O(m^2) bucket — and
+    belong to exact dedup. ONE definition so an operator's internal
+    filter can never drift from a caller's separately-built seed set
+    (strict connected_components raises on exactly that drift)."""
+    return token_count(text) > 0
 
 
 # One live cache per (operator, session): the pair-join operators
@@ -100,22 +110,36 @@ def minhash_signature(text: Column, n_hashes: int = 8) -> Column:
     return _bind(F.array_distinct(tokens(normalize(text))), from_toks)
 
 
+def minhash_band_array(
+    text: Column, n_hashes: int = 8, band_size: int = 2
+) -> Column:
+    """All LSH band keys as ONE array Column, with the token array bound
+    a single time — the form the candidate join explodes. (Per-band
+    Columns would each carry their own tokenize subtree: n_bands x the
+    normalize+split work per row.)"""
+
+    def from_toks(toks: Column) -> Column:
+        mins = [_min_hash(toks, i) for i in range(n_hashes)]
+        return F.array(
+            *[
+                F.concat_ws(
+                    "|", F.lit(str(b)), *mins[b * band_size : (b + 1) * band_size]
+                )
+                for b in range(n_hashes // band_size)
+            ]
+        )
+
+    return _bind(F.array_distinct(tokens(normalize(text))), from_toks)
+
+
 def minhash_bands(text: Column, n_hashes: int = 8, band_size: int = 2) -> list[Column]:
     """LSH banding: signature split into bands of ``band_size`` hashes;
-    docs sharing any band key are near-dup candidates. One band key per
-    Column so callers can explode them; each binds the token array once."""
-
-    def band(b: int) -> Column:
-        def from_toks(toks: Column) -> Column:
-            mins = [
-                _min_hash(toks, i)
-                for i in range(b * band_size, (b + 1) * band_size)
-            ]
-            return F.concat_ws("|", F.lit(str(b)), *mins)
-
-        return _bind(F.array_distinct(tokens(normalize(text))), from_toks)
-
-    return [band(b) for b in range(n_hashes // band_size)]
+    docs sharing any band key are near-dup candidates. Convenience
+    list-of-Columns view over minhash_band_array — prefer the array form
+    when every band is consumed (each listed Column re-evaluates the
+    whole array expression)."""
+    arr = minhash_band_array(text, n_hashes, band_size)
+    return [F.element_at(arr, b + 1) for b in range(n_hashes // band_size)]
 
 
 def minhash_candidates(
@@ -124,16 +148,14 @@ def minhash_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH: explode band keys,
     self-join per band, dedupe pairs. Shuffle volume = docs × bands."""
-    from dataval_spark.operators.text import token_count
-
-    bands = minhash_bands(F.col(text_col), n_hashes, band_size)
+    bands_arr = minhash_band_array(F.col(text_col), n_hashes, band_size)
     # degenerate docs (NULL/blank text) all hash to IDENTICAL band keys —
     # at 10^6 such docs that is one bucket of O(m^2) candidate pairs and
     # "near-duplicates" with no content to compare. Content-free docs are
     # exact-dedup territory, not MinHash's.
-    keyed = df.where(token_count(F.col(text_col)) > 0).select(
+    keyed = df.where(content_bearing(F.col(text_col))).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array(*bands)).alias("band_key"),
+        F.explode(bands_arr).alias("band_key"),
     )
     # materialize (doc, band_key) before the self-join: each band key
     # embeds two full tokenize+md5+min passes and both join sides would
@@ -332,11 +354,10 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance via the pigeonhole
     multi-index (see simhash_chunk_keys)."""
-    from dataval_spark.operators.text import token_count
-
     # content-free docs (NULL/blank text) all code to 0 and would pair
     # with each other quadratically; they belong to exact dedup
-    coded = df.where(token_count(F.col(text_col)) > 0).select(
+    # (content_bearing — shared with callers' seed sets)
+    coded = df.where(content_bearing(F.col(text_col))).select(
         F.col(id_col).alias("doc"), hashed_tokens(F.col(text_col), bits).alias("_ht")
     ).select("doc", simhash_from_hashed(F.col("_ht"), bits).alias("code"))
     # Materialize (doc, code) ONCE before the self-join: without a

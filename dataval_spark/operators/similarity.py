@@ -75,10 +75,25 @@ def brute_force_topk(
 
 
 def plane(j: int, dim: int, table: int = 0) -> list[float]:
-    """Deterministic pseudo-random hyperplane j of table ``table`` —
-    tables use disjoint plane families via the offset."""
-    base = (table * 97 + j) + 1
-    return [math.sin((i + 1) * base) for i in range(dim)]
+    """Deterministic pseudo-random hyperplane j of table ``table``.
+
+    Table 0 keeps the sin((i+1)*(j+1)) family — it is the engine-portable
+    form the DuckDB oracle twins replicate in SQL (queries._bucket_sql).
+    Tables >= 1 derive weights from md5, NOT a shifted sin family: integer
+    sin bases alias (bases ~710 apart are ~113*2pi, giving near-identical
+    planes) and any affine (table, j) -> base map collides once n_planes
+    exceeds the stride — both silently correlate the 'independent'
+    tables and void the 1-(1-p)^T recall math. md5 keys cannot collide
+    across (table, j, i) and have no spectral structure."""
+    if table == 0:
+        return [math.sin((i + 1) * (j + 1)) for i in range(dim)]
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"plane:{table}:{j}:{i}".encode()).digest()
+        out.append(2.0 * (int.from_bytes(h[:8], "big") / 2.0**64) - 1.0)
+    return out
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 4, table: int = 0) -> Column:
@@ -134,7 +149,21 @@ def cosine_near_dup_pairs(
     distinct collapses pairs that collide in several. The join stays one
     equi-join on the exploded (table, bucket) key; the distinct shuffles
     only (id, id, sim) rows, i.e. the candidate volume the operator
-    already pays for."""
+    already pays for.
+
+    The exploded (doc, v, key) frame is materialized once (_cache_swap,
+    the same barrier as the simhash/minhash pair joins): without it both
+    self-join sides re-run the n_tables x n_planes interpreted-HOF
+    bucket dot products per row. Cache cost is the vector itself times
+    n_tables (dim x 8 B x T per doc, memory+disk) — size T accordingly
+    at corpus scale."""
+    if n_tables < 1 or n_planes < 1:
+        raise ValueError(
+            f"n_tables and n_planes must be >= 1, got {n_tables}/{n_planes}"
+            " — 0 tables would silently report zero near-duplicates"
+        )
+    from dataval_spark.operators.dedup import _cache_swap
+
     keys = F.array(
         *[
             F.struct(
@@ -149,6 +178,7 @@ def cosine_near_dup_pairs(
         F.col(vec_col).alias("v"),
         F.explode(keys).alias("k"),
     )
+    coded = _cache_swap("cosine_near_dup_pairs", coded)
     a, b = coded.alias("a"), coded.alias("b")
     sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
     pairs = (
