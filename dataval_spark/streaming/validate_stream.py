@@ -16,7 +16,7 @@ late-arriving turns are handled by the watermark on ts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dataval_spark.quality import DEFAULT_BITMASK
@@ -194,4 +194,82 @@ def windowed_partition_verdicts(
             F.sum(F.col("approved").cast("long")).alias("n_approved"),
             F.sum((~F.col("approved")).cast("long")).alias("n_rejected"),
         )
+    )
+
+
+def windowed_drift(
+    stream: DataFrame,
+    value_expr: Column,
+    bins: list[float],
+    baseline_hist: list[float],
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    psi_threshold: float = 0.25,
+) -> DataFrame:
+    """Streaming drift monitor: per-event-time-window PSI + binned-ECDF
+    KS of ``value_expr``'s distribution against a FIXED baseline
+    histogram (e.g. a blessed run's ``hist_*`` columns out of the
+    manifest — manifest.baseline_from_manifest produces exactly this
+    shape for the batch Drift constraint; same bin edges required).
+
+    Execution shape: ONE watermarked windowed aggregation — state is
+    nbins longs per open window, evicted by the watermark — and the
+    PSI/KS fold over the nbins histogram columns is a plain column
+    expression over the aggregated row (baseline enters as literals),
+    so nothing leaves the JVM and late rows update their window until
+    eviction. Smoothing/thresholding mirrors the batch
+    constraints.drift._compare_hists exactly, so a window flagged here
+    matches what the batch suite would flag on the same rows.
+
+    Returns: (window, n_rows, psi, ks, drifted) — append a sink or feed
+    windowed alerts downstream.
+    """
+    nbins = len(bins) - 1
+    if len(baseline_hist) != nbins:
+        raise ValueError(
+            f"baseline_hist has {len(baseline_hist)} bins, edges imply {nbins}"
+        )
+    idx = F.lit(0)
+    for i, edge in enumerate(bins[1:-1], start=1):
+        idx = F.when(value_expr >= edge, F.lit(i)).otherwise(idx)
+    idx = F.when(value_expr.isNull(), F.lit(None)).otherwise(idx)
+
+    agged = (
+        stream.withColumn("_bin", idx)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum((F.col("_bin") == i).cast("long")).alias(f"_h{i}")
+                for i in range(nbins)
+            ],
+        )
+    )
+
+    eps = 1e-6
+    nh = F.lit(0.0)
+    for i in range(nbins):
+        nh = nh + F.col(f"_h{i}")
+    nh = F.greatest(nh, F.lit(1.0))
+    nr = max(sum(baseline_hist), 1.0)
+    q = [max(x / nr, eps) for x in baseline_hist]
+
+    psi = F.lit(0.0)
+    ks = F.lit(0.0)
+    cp = F.lit(0.0)
+    cq = 0.0
+    for i in range(nbins):
+        p_i = F.greatest(F.col(f"_h{i}") / nh, F.lit(eps))
+        psi = psi + (p_i - F.lit(q[i])) * F.log(p_i / F.lit(q[i]))
+        cp = cp + p_i
+        cq += q[i]
+        ks = F.greatest(ks, F.abs(cp - F.lit(cq)))
+    return agged.select(
+        "window",
+        "n_rows",
+        F.round(psi, 6).alias("psi"),
+        F.round(ks, 6).alias("ks"),
+        (psi > F.lit(psi_threshold)).alias("drifted"),
     )

@@ -201,6 +201,53 @@ def test_stream_to_manifest_exactly_once(spark, tmp_path):
     )
 
 
+def test_windowed_drift_flags_shifted_window(spark, tmp_path):
+    """Streaming PSI monitor: a window matching the baseline passes, a
+    distribution-shifted window drifts, and the streamed PSI equals the
+    batch constraints.drift._compare_hists value bit-for-bit (same
+    smoothing), so streaming and batch verdicts agree."""
+    import datetime as dt
+
+    from dataval_spark.constraints.drift import _compare_hists
+    from dataval_spark.streaming.validate_stream import windowed_drift
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "in")
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = []
+    # window A (10:00): 30 values spread evenly over the 3 bins
+    for i in range(30):
+        rows.append((float(5 + 10 * (i % 3)), t0 + dt.timedelta(seconds=i)))
+    # window B (10:20): all 30 values in the last bin
+    tb = t0 + dt.timedelta(minutes=20)
+    for i in range(30):
+        rows.append((25.0, tb + dt.timedelta(seconds=i)))
+    spark.createDataFrame(rows, "v double, ts timestamp").write.parquet(d)
+
+    bins = [0.0, 10.0, 20.0, 30.0]
+    baseline = [10.0, 10.0, 10.0]
+    stream = spark.readStream.schema("v double, ts timestamp").parquet(d)
+    out = windowed_drift(stream, F.col("v"), bins, baseline)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_windows")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        r["window"]["start"].minute: r
+        for r in spark.sql("SELECT * FROM drift_windows").collect()
+    }
+    assert not got[0]["drifted"] and got[0]["psi"] < 0.01
+    assert got[20]["drifted"]
+    expect = _compare_hists([0.0, 0.0, 30.0], baseline, 0.25, 1.0)
+    assert abs(got[20]["psi"] - expect["psi"]) < 1e-5
+    assert abs(got[20]["ks"] - expect["ks"]) < 1e-5
+
+
 def test_dedup_stream_drops_replays_within_watermark(spark, tmp_path):
     """Cross-micro-batch replay of (conv_id, turn_idx) within the
     watermark horizon must be dropped; distinct keys all pass."""
