@@ -164,3 +164,67 @@ def test_randomized_differential_vs_pandas_oracle(spark):
         pd.testing.assert_frame_equal(
             e, g.astype({"dataval": "int64"}), check_dtype=False,
         ), f"seed {seed} diverged"
+
+
+# ---------------------------------------------------------------------------
+# Engine-vs-python-mirror differential over hypothesis-generated corpora.
+# One Spark job per example (texts batched into a single DataFrame), few
+# examples — property coverage without a job-per-string explosion.
+
+def _py_norm_tokens(text: str) -> list[str]:
+    import re
+
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip(" \t\n\x0b\f\r")).lower()
+    return norm.split(" ") if norm else [""]
+
+
+def _py_shingles(text: str, n: int) -> set[str]:
+    toks = _py_norm_tokens(text)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _py_minhash_sig(text: str, n_hashes: int) -> str:
+    import hashlib
+
+    toks = set(_py_norm_tokens(text))
+    mins = [
+        min(hashlib.md5(f"{i}:{t}".encode()).hexdigest() for t in toks)
+        for i in range(n_hashes)
+    ]
+    return "|".join(mins)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_shingle_and_minhash_engine_matches_python_mirror(spark, texts, n):
+    """Arbitrary printable-ASCII corpora: the JVM-side shingle set and
+    MinHash signature must equal an independent python implementation
+    (catches regressions in the _bind refactor, normalize/tokenize
+    semantics, and hash portability in one sweep)."""
+    from pyspark.sql import functions as F
+
+    from dataval_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        D.shingles(F.col("text"), n).alias("sh"),
+        D.minhash_signature(F.col("text"), 4).alias("sig"),
+    ).collect()
+    for r in rows:
+        text = texts[r.doc_id]
+        assert set(r.sh) == _py_shingles(text, n), (text, n)
+        assert r.sig == _py_minhash_sig(text, 4), text
