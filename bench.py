@@ -46,6 +46,7 @@ HEADLINE = [
     "q54_decontamination",
     "q55_simhash60_census",
     "q56_ngram_decontamination",
+    "q57_multitable_cosine_near_dup",
 ]
 
 

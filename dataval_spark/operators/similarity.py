@@ -98,21 +98,39 @@ def plane(j: int, dim: int, table: int = 0) -> list[float]:
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 4, table: int = 0) -> Column:
     """Sign-plane bucket code in [0, 2^n_planes): bit j = sign of the dot
-    product with plane j of table ``table``."""
-    code = F.lit(0)
-    for j in range(n_planes):
-        w = plane(j, dim, table)
-        d = F.aggregate(
-            F.zip_with(
-                _vec(vec),
-                F.array(*[F.lit(x) for x in w]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        code = code + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return code
+    product with plane j of table ``table``.
+
+    One transform over a plane MATRIX literal, not one unrolled
+    aggregate per plane: per-plane unrolling copied the whole
+    zip_with/aggregate structure n_planes times and Janino paid for each
+    (8 planes across 2 tables measured ~8 s of compile before the first
+    row). The sums are still evaluated in index order per plane, so
+    bucket values are bit-identical to the unrolled form and to the
+    DuckDB twins."""
+    planes_m = F.array(
+        *[F.array(*[F.lit(x) for x in plane(j, dim, table)]) for j in range(n_planes)]
+    )
+    bits = F.transform(
+        planes_m,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(_vec(vec), p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda b, j: F.call_function("shiftleft", b, j),
+        ),
+        F.lit(0),
+        lambda a, x: a.bitwiseOR(x),
+    )
 
 
 def lsh_topk(
@@ -176,11 +194,20 @@ def cosine_near_dup_pairs(
     coded = df.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
+        # norm once per row INTO the cache: computed per candidate pair
+        # it would re-run the 64-element fold 2x per pair (the pair
+        # volume is the operator's cost center, the row count is not)
+        norm(F.col(vec_col)).alias("nv"),
         F.explode(keys).alias("k"),
     )
     coded = _cache_swap("cosine_near_dup_pairs", coded)
     a, b = coded.alias("a"), coded.alias("b")
-    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    sim = F.round(
+        F.try_divide(
+            dot(F.col("a.v"), F.col("b.v")), F.col("a.nv") * F.col("b.nv")
+        ),
+        4,
+    )
     pairs = (
         a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc") < F.col("b.doc")))
         .select(

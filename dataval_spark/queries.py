@@ -1767,3 +1767,72 @@ def q56(spark, sf_dir):
         F.sum("n_hits").cast("long").alias("total_hits"),
         F.max("n_hits").cast("long").alias("max_hits"),
     )
+
+
+def _bucket_sql_table(n_planes: int, table: int) -> str:
+    """Sign-plane bucket for LSH table ``table`` with the plane weights
+    inlined as literals — EXACTLY the floats the engine's
+    similarity.plane() produces (python is the single source for both
+    sides, so the buckets match bit-for-bit)."""
+    from dataval_spark.operators.similarity import plane
+
+    parts = []
+    for j in range(n_planes):
+        w = plane(j, 64, table)
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({w[i]!r})" for i in range(64)
+        )
+        parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+_COS_SQL = (
+    "round(list_sum(list_transform(range(1, 65),"
+    " i -> (a.embedding)[i]::DOUBLE * (b.embedding)[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, 65),"
+    " i -> (a.embedding)[i]::DOUBLE * (a.embedding)[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(1, 65),"
+    " i -> (b.embedding)[i]::DOUBLE * (b.embedding)[i]::DOUBLE)))), 4)"
+)
+
+
+@query(
+    "q57_multitable_cosine_near_dup",
+    f"""
+    WITH coded AS MATERIALIZED (
+      SELECT vec_id AS doc, embedding,
+             {_bucket_sql_table(4, 0)} AS b0,
+             {_bucket_sql_table(4, 1)} AS b1
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT DISTINCT * FROM (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, {_COS_SQL} AS sim
+        FROM coded a JOIN coded b ON a.b0 = b.b0 AND a.doc < b.doc
+        UNION ALL
+        SELECT a.doc AS doc_a, b.doc AS doc_b, {_COS_SQL} AS sim
+        FROM coded a JOIN coded b ON a.b1 = b.b1 AND a.doc < b.doc
+      )
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(max(sim), 4) AS max_sim,
+           round(avg(sim), 4) AS avg_sim
+    FROM pairs WHERE sim >= 0.3
+    """,
+)
+def q57(spark, sf_dir):
+    """MULTI-TABLE sign-plane LSH near-dup (similarity.cosine_near_dup_
+    pairs, n_tables=2): independent plane families recover the recall a
+    single table loses as plane count grows (1-(1-p)^T). The oracle
+    unions one equi-join per table and distincts — the same candidate
+    set the engine's exploded (table, bucket) key join produces; plane
+    weights come from ONE python source inlined as literals on both
+    sides, so buckets match exactly."""
+    pairs = S.cosine_near_dup_pairs(
+        t(spark, sf_dir, "embeddings"), dim=64, threshold=0.3, n_tables=2
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.max("sim"), 4).alias("max_sim"),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )
