@@ -234,7 +234,12 @@ def ivf_topk(
 ) -> DataFrame:
     """Probe the nprobe nearest clusters per query, score only those
     vectors, return the cosine top-k with deterministic tie-break."""
+    from dataval_spark.operators.similarity import norm
+
     q = probe_clusters(queries, centroids, nprobe, query_vec_col, "_probes")
     q = q.withColumn("_cluster", F.explode("_probes")).drop("_probes")
-    joined = index.join(F.broadcast(q), "_cluster")
+    q = q.withColumn("_nq", norm(F.col(query_vec_col)))
+    joined = index.withColumn("_nv", norm(F.col(vec_col))).join(
+        F.broadcast(q), "_cluster"
+    )
     return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)

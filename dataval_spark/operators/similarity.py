@@ -53,8 +53,23 @@ def rank_topk(
 ) -> DataFrame:
     """Shared scoring tail for every ANN variant: rounded cosine (the
     4-decimal round is what the DuckDB oracle parity relies on),
-    deterministic tie-break on corpus id, rank <= k."""
-    sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4)
+    deterministic tie-break on corpus id, rank <= k.
+
+    When the caller pre-computed per-ROW norms (_nv corpus, _nq query —
+    every variant in this module does), the per-PAIR work is just the
+    dot product; recomputing both 64-element norm folds per candidate
+    pair doubled the scoring cost of the join stage. Values are
+    identical either way (same sums, same order)."""
+    if "_nv" in joined.columns and "_nq" in joined.columns:
+        sim = F.round(
+            F.try_divide(
+                dot(F.col(vec_col), F.col(query_vec_col)),
+                F.col("_nv") * F.col("_nq"),
+            ),
+            4,
+        )
+    else:
+        sim = F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 4)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
         joined.select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
@@ -70,7 +85,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries x corpus, deterministic
     tie-break on corpus id. Output: query_id, vec_id, sim, rank."""
-    joined = corpus.crossJoin(F.broadcast(queries))
+    joined = corpus.withColumn("_nv", norm(F.col(vec_col))).crossJoin(
+        F.broadcast(queries.withColumn("_nq", norm(F.col(query_vec_col))))
+    )
     return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
@@ -142,8 +159,12 @@ def lsh_topk(
     """Approximate top-k: only same-bucket candidates are scored.
     At 10^9+ vectors this replaces the O(N·Q) crossJoin with an
     equi-join on bucket."""
-    c = corpus.withColumn("_bkt", lsh_bucket(F.col(vec_col), dim, n_planes))
-    q = queries.withColumn("_bkt", lsh_bucket(F.col(query_vec_col), dim, n_planes))
+    c = corpus.withColumn(
+        "_bkt", lsh_bucket(F.col(vec_col), dim, n_planes)
+    ).withColumn("_nv", norm(F.col(vec_col)))
+    q = queries.withColumn(
+        "_bkt", lsh_bucket(F.col(query_vec_col), dim, n_planes)
+    ).withColumn("_nq", norm(F.col(query_vec_col)))
     joined = c.join(F.broadcast(q), "_bkt")
     return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)
 
