@@ -237,9 +237,14 @@ def ivf_topk(
     from dataval_spark.operators.similarity import norm
 
     q = probe_clusters(queries, centroids, nprobe, query_vec_col, "_probes")
-    q = q.withColumn("_cluster", F.explode("_probes")).drop("_probes")
+    # norm BEFORE the probe explode: after it the fold would re-run
+    # nprobe times per query
     q = q.withColumn("_nq", norm(F.col(query_vec_col)))
+    q = q.withColumn("_cluster", F.explode("_probes")).drop("_probes")
     joined = index.withColumn("_nv", norm(F.col(vec_col))).join(
         F.broadcast(q), "_cluster"
     )
-    return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)
+    return rank_topk(
+        joined, k, id_col, vec_col, query_id_col, query_vec_col,
+        cached_norms=True,
+    )

@@ -9,8 +9,9 @@
 * embedding-cosine near-dup — same-bucket pairs above a cosine threshold.
 
 No Python UDFs: dot products are F.zip_with + F.aggregate (whole-stage
-codegen). Hyperplane weights are sin((i+1)*(j+1)) — deterministic,
-dependency-free, reproducible in the DuckDB oracle.
+codegen). Hyperplane weights are deterministic and dependency-free
+(table 0: sin((i+1)*(j+1)); further tables: md5-derived — see plane()),
+and python is the single source inlined into the DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -50,17 +51,21 @@ def rank_topk(
     joined: DataFrame, k: int,
     id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+    cached_norms: bool = False,
 ) -> DataFrame:
     """Shared scoring tail for every ANN variant: rounded cosine (the
     4-decimal round is what the DuckDB oracle parity relies on),
     deterministic tie-break on corpus id, rank <= k.
 
-    When the caller pre-computed per-ROW norms (_nv corpus, _nq query —
-    every variant in this module does), the per-PAIR work is just the
-    dot product; recomputing both 64-element norm folds per candidate
-    pair doubled the scoring cost of the join stage. Values are
-    identical either way (same sums, same order)."""
-    if "_nv" in joined.columns and "_nq" in joined.columns:
+    ``cached_norms``: the caller pre-computed per-ROW norms into _nv
+    (corpus) and _nq (query) — every variant in this module does — so
+    the per-PAIR work is just the dot product; recomputing both
+    64-element norm folds per candidate pair doubled the scoring cost of
+    the join stage. An EXPLICIT flag, not column-name sniffing: a
+    caller-supplied frame that happens to carry foreign _nv/_nq columns
+    must not silently divide by them. Values are identical either way
+    (same sums, same order)."""
+    if cached_norms:
         sim = F.round(
             F.try_divide(
                 dot(F.col(vec_col), F.col(query_vec_col)),
@@ -88,7 +93,10 @@ def brute_force_topk(
     joined = corpus.withColumn("_nv", norm(F.col(vec_col))).crossJoin(
         F.broadcast(queries.withColumn("_nq", norm(F.col(query_vec_col))))
     )
-    return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)
+    return rank_topk(
+        joined, k, id_col, vec_col, query_id_col, query_vec_col,
+        cached_norms=True,
+    )
 
 
 def plane(j: int, dim: int, table: int = 0) -> list[float]:
@@ -166,7 +174,10 @@ def lsh_topk(
         "_bkt", lsh_bucket(F.col(query_vec_col), dim, n_planes)
     ).withColumn("_nq", norm(F.col(query_vec_col)))
     joined = c.join(F.broadcast(q), "_bkt")
-    return rank_topk(joined, k, id_col, vec_col, query_id_col, query_vec_col)
+    return rank_topk(
+        joined, k, id_col, vec_col, query_id_col, query_vec_col,
+        cached_norms=True,
+    )
 
 
 def cosine_near_dup_pairs(

@@ -980,12 +980,36 @@ def q32(spark, sf_dir):
     )
 
 
-def _bucket_sql(n_planes: int = 4) -> str:
+def _bucket_sql_table(n_planes: int, table: int) -> str:
+    """Sign-plane bucket for LSH table ``table`` with the plane weights
+    inlined as literals — EXACTLY the floats the engine's
+    similarity.plane() produces (python is the single source for both
+    sides; inlining also removes any libm-vs-DuckDB sin() ulp risk on
+    dot products near zero)."""
+    from dataval_spark.operators.similarity import plane
+
     parts = []
     for j in range(n_planes):
-        d = f"list_sum(list_transform(range(1, 65), i -> embedding[i]::DOUBLE * sin(i * {j + 1})))"
-        parts.append(f"(CASE WHEN {d} > 0 THEN {1 << j} ELSE 0 END)")
+        w = plane(j, 64, table)
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({w[i]!r})" for i in range(64)
+        )
+        parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
+
+
+def _bucket_sql(n_planes: int = 4) -> str:
+    return _bucket_sql_table(n_planes, 0)
+
+
+_COS_SQL = (
+    "round(list_sum(list_transform(range(1, 65),"
+    " i -> (a.embedding)[i]::DOUBLE * (b.embedding)[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, 65),"
+    " i -> (a.embedding)[i]::DOUBLE * (a.embedding)[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(1, 65),"
+    " i -> (b.embedding)[i]::DOUBLE * (b.embedding)[i]::DOUBLE)))), 4)"
+)
 
 
 @query(
@@ -1378,14 +1402,7 @@ def q46(spark, sf_dir):
       SELECT vec_id AS doc, embedding, {_bucket_sql(4)} AS bkt FROM embeddings
     ),
     pairs AS (
-      SELECT a.doc AS doc_a, b.doc AS doc_b,
-             round(
-               list_sum(list_transform(range(1, 65),
-                 i -> (a.embedding)[i]::DOUBLE * (b.embedding)[i]::DOUBLE))
-               / (sqrt(list_sum(list_transform(range(1, 65),
-                    i -> (a.embedding)[i]::DOUBLE * (a.embedding)[i]::DOUBLE)))
-                * sqrt(list_sum(list_transform(range(1, 65),
-                    i -> (b.embedding)[i]::DOUBLE * (b.embedding)[i]::DOUBLE)))), 4) AS sim
+      SELECT a.doc AS doc_a, b.doc AS doc_b, {_COS_SQL} AS sim
       FROM coded a JOIN coded b ON a.bkt = b.bkt AND a.doc < b.doc
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1767,33 +1784,6 @@ def q56(spark, sf_dir):
         F.sum("n_hits").cast("long").alias("total_hits"),
         F.max("n_hits").cast("long").alias("max_hits"),
     )
-
-
-def _bucket_sql_table(n_planes: int, table: int) -> str:
-    """Sign-plane bucket for LSH table ``table`` with the plane weights
-    inlined as literals — EXACTLY the floats the engine's
-    similarity.plane() produces (python is the single source for both
-    sides, so the buckets match bit-for-bit)."""
-    from dataval_spark.operators.similarity import plane
-
-    parts = []
-    for j in range(n_planes):
-        w = plane(j, 64, table)
-        terms = " + ".join(
-            f"embedding[{i + 1}]::DOUBLE * ({w[i]!r})" for i in range(64)
-        )
-        parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
-    return "(" + " + ".join(parts) + ")"
-
-
-_COS_SQL = (
-    "round(list_sum(list_transform(range(1, 65),"
-    " i -> (a.embedding)[i]::DOUBLE * (b.embedding)[i]::DOUBLE))"
-    " / (sqrt(list_sum(list_transform(range(1, 65),"
-    " i -> (a.embedding)[i]::DOUBLE * (a.embedding)[i]::DOUBLE)))"
-    " * sqrt(list_sum(list_transform(range(1, 65),"
-    " i -> (b.embedding)[i]::DOUBLE * (b.embedding)[i]::DOUBLE)))), 4)"
-)
 
 
 @query(
