@@ -21,6 +21,24 @@ from pyspark.sql import functions as F
 from dataval_spark.constraints.core import Constraint
 from dataval_spark.quality import QualityFlag
 
+# Shared by the batch evaluate() and the streaming windowed_drift so the
+# two verdicts cannot drift apart: smoothing epsilon and the sample-size
+# noise-floor coefficients (under the null, E[PSI] ~ (B-1)(1/n_h+1/n_r)
+# by the chi-square approximation; KS scales ~ c*sqrt(1/n_h+1/n_r)).
+EPS = 1e-6
+PSI_FLOOR_COEF = 5.0
+KS_FLOOR_COEF = 3.0
+
+
+def bin_index_expr(value: Column, bins: list[float]) -> Column:
+    """Histogram bin index for ``value`` over fixed ``bins`` edges,
+    clamped into [0, nbins-1], NULL for NULL values — the ONE binning
+    expression (batch helper column and streaming monitor both use it)."""
+    idx = F.lit(0)
+    for i, edge in enumerate(bins[1:-1], start=1):
+        idx = F.when(value >= edge, F.lit(i)).otherwise(idx)
+    return F.when(value.isNull(), F.lit(None)).otherwise(idx)
+
 
 @dataclass
 class Drift(Constraint):
@@ -59,12 +77,7 @@ class Drift(Constraint):
         return len(self.bins) - 1
 
     def _bin_index(self) -> Column:
-        v = self.expr()
-        # clamp into [0, nbins-1]; NULLs excluded via when
-        idx = F.lit(0)
-        for i, edge in enumerate(self.bins[1:-1], start=1):
-            idx = F.when(v >= edge, F.lit(i)).otherwise(idx)
-        return F.when(v.isNull(), F.lit(None)).otherwise(idx)
+        return bin_index_expr(self.expr(), self.bins)
 
     @property
     def _helper(self) -> str:
@@ -133,14 +146,14 @@ class Drift(Constraint):
             # partitions would otherwise false-positive on pure noise.
             nh, nr = max(sum(h), 1.0), max(sum(rest), 1.0)
             inv = 1.0 / nh + 1.0 / nr
-            psi_t = self.psi_threshold + 5.0 * (self.nbins - 1) * inv
-            ks_t = max(self.ks_threshold, 3.0 * inv**0.5)
+            psi_t = self.psi_threshold + PSI_FLOOR_COEF * (self.nbins - 1) * inv
+            ks_t = max(self.ks_threshold, KS_FLOOR_COEF * inv**0.5)
             out[part] = _compare_hists(h, rest, psi_t, ks_t)
         return out
 
 
 def _compare_hists(h: list[float], ref: list[float], psi_t: float, ks_t: float) -> dict:
-    eps = 1e-6
+    eps = EPS
     nh, nr = sum(h) or 1.0, sum(ref) or 1.0
     p = [max(x / nh, eps) for x in h]
     q = [max(x / nr, eps) for x in ref]

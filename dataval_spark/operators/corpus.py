@@ -81,7 +81,15 @@ def prepare_corpus(
             text_col, X.redact_pii(F.col(text_col))
         )
 
-    exact_deduped = D.dedup_keep_first(quality_pass, id_col, text_col)
+    # persist: everything downstream (the simhash cache materialization,
+    # the CC seed checkpoint, the strict orphan check, stats(), and the
+    # user's final writes) re-derives this scan + fingerprint-window
+    # shuffle otherwise — several full passes per pipeline run. Bounded
+    # by the same one-live-cache swap as the pair operators.
+    exact_deduped = D._cache_swap(
+        "prepare_corpus_exact_deduped",
+        D.dedup_keep_first(quality_pass, id_col, text_col),
+    )
 
     pairs = D.simhash_near_pairs(
         exact_deduped, id_col, text_col, bits=simhash_bits, max_hamming=max_hamming

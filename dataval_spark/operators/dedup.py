@@ -395,6 +395,12 @@ def connected_components(
     real cluster, where losing one executor's localCheckpoint blocks
     fails the whole iteration lineage); default ``localCheckpoint`` is
     the right call in local mode (no HDFS round-trip per iteration).
+    NOTE: setCheckpointDir is SESSION-GLOBAL — other checkpoint() users
+    in the application will write there too. Each round snapshots the
+    labels frame into the dir; sessions from get_spark() enable
+    spark.cleaner.referenceTracking.cleanCheckpoints so superseded
+    rounds' files are deleted on GC — set it yourself on foreign
+    sessions, or point checkpoint_dir at a run-scoped path you delete.
 
     The round is formulated WITHOUT a labels-union-neighbors step: the
     neighbor labels are pre-aggregated to a per-node min (map-side

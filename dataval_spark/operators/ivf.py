@@ -74,7 +74,16 @@ def _preflight_dim(df: DataFrame, vec_col: str, dim: int) -> None:
     explicit partition list schedules ONLY those 50 tasks (a
     mapPartitions over the full RDD would launch one no-op task per
     partition — tens of thousands at 10^9 rows), and each task stops
-    after 5 rows of its lazy iterator."""
+    after 5 rows of its lazy iterator.
+
+    Skipped on streaming frames (no .rdd/runJob on a streaming source;
+    dirty rows still degrade to -1 per batch). Caveat for batch callers:
+    if the input's lineage contains a shuffle, the sampled result-stage
+    partitions require their parent map stages — pass preflight=False on
+    the calling operator when the input is an expensive derived frame
+    rather than a scan."""
+    if df.isStreaming:
+        return
     from itertools import islice
 
     rdd = (
@@ -101,6 +110,7 @@ def _preflight_dim(df: DataFrame, vec_col: str, dim: int) -> None:
 def assign_clusters(
     df: DataFrame, centroids: list[list[float]],
     vec_col: str = "embedding", out_col: str = "_cluster",
+    preflight: bool = True,
 ) -> DataFrame:
     """Nearest-centroid id per row (ties -> lowest centroid index, the
     same deterministic tie-break as argmin over (dist, idx) structs).
@@ -112,7 +122,8 @@ def assign_clusters(
     schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
 
     dim = C.shape[1]
-    _preflight_dim(df, vec_col, dim)
+    if preflight:
+        _preflight_dim(df, vec_col, dim)
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,6 +146,7 @@ def assign_clusters(
 def probe_clusters(
     queries: DataFrame, centroids: list[list[float]], nprobe: int,
     query_vec_col: str = "query_vec", out_col: str = "_probes",
+    preflight: bool = True,
 ) -> DataFrame:
     """The ``nprobe`` nearest centroid ids per query, nearest first
     (deterministic: stable argsort, lowest index on distance ties)."""
@@ -145,7 +157,8 @@ def probe_clusters(
     )
 
     dim = C.shape[1]
-    _preflight_dim(queries, query_vec_col, dim)
+    if preflight:
+        _preflight_dim(queries, query_vec_col, dim)
 
     def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -52,6 +52,10 @@ def get_spark(
         # Capping at 8000 makes oversized stages fall back to smaller
         # JIT-able units — measured 4x faster on the full suite.
         .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # reliable checkpoint() files (connected_components' cluster
+        # mode writes one labels snapshot per round) are deleted when
+        # their RDD is GC'd instead of accumulating until manual cleanup
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -106,6 +106,15 @@ def manifest_batch_writer(
     shash = suite_hash(suite)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        dt = dict(batch_df.dtypes).get(suite.part_col, "")
+        if dt not in ("int", "bigint", "smallint", "tinyint"):
+            # the writer is a public seam (tests, custom foreachBatch
+            # wiring) — fail BEFORE running the suite, not deep inside
+            # int(m['part']) after the batch's work is done
+            raise ValueError(
+                f"manifest_batch_writer requires an integer partition "
+                f"column; {suite.part_col!r} is {dt!r}"
+            )
         result = suite.run(batch_df, persist=bool(verdicts_path))
         if not result.partition_metrics:
             result.unpersist()
@@ -138,8 +147,12 @@ def manifest_batch_writer(
             # other batches, and (like the manifest write below) a later
             # run whose fresh checkpoint restarts batch ids at 0 never
             # clobbers a previous run's verdicts
+            # the scoping level is a key=value dir so the verdicts ROOT
+            # stays one hive-readable dataset (run_batch + part become
+            # partition columns): a non-key=value level above part=N
+            # dirs breaks partition discovery for root reads
             result.row_verdicts.write.mode("overwrite").partitionBy("part").parquet(
-                f"{verdicts_path}/run_{run_key}_batch_{batch_id}"
+                f"{verdicts_path}/run_batch={run_key}_{batch_id}"
             )
         # (run, batch)-scoped subdir + overwrite (NOT append to the
         # root): a crash between this write and the checkpoint commit
@@ -230,15 +243,19 @@ def windowed_drift(
     Returns: (window, n_rows, psi, ks, drifted) — append a sink or feed
     windowed alerts downstream.
     """
+    from dataval_spark.constraints.drift import (
+        EPS,
+        KS_FLOOR_COEF,
+        PSI_FLOOR_COEF,
+        bin_index_expr,
+    )
+
     nbins = len(bins) - 1
     if len(baseline_hist) != nbins:
         raise ValueError(
             f"baseline_hist has {len(baseline_hist)} bins, edges imply {nbins}"
         )
-    idx = F.lit(0)
-    for i, edge in enumerate(bins[1:-1], start=1):
-        idx = F.when(value_expr >= edge, F.lit(i)).otherwise(idx)
-    idx = F.when(value_expr.isNull(), F.lit(None)).otherwise(idx)
+    idx = bin_index_expr(value_expr, bins)
 
     agged = (
         stream.withColumn("_bin", idx)
@@ -253,7 +270,7 @@ def windowed_drift(
         )
     )
 
-    eps = 1e-6
+    eps = EPS
     nh = F.lit(0.0)
     for i in range(nbins):
         nh = nh + F.col(f"_h{i}")
@@ -273,8 +290,8 @@ def windowed_drift(
         ks = F.greatest(ks, F.abs(cp - F.lit(cq)))
     # batch evaluate()'s per-sample noise floors, with n_h as a column
     inv = F.lit(1.0) / nh + F.lit(1.0 / nr)
-    psi_t = F.lit(psi_threshold) + F.lit(5.0 * (nbins - 1)) * inv
-    ks_t = F.greatest(F.lit(ks_threshold), F.lit(3.0) * F.sqrt(inv))
+    psi_t = F.lit(psi_threshold) + F.lit(PSI_FLOOR_COEF * (nbins - 1)) * inv
+    ks_t = F.greatest(F.lit(ks_threshold), F.lit(KS_FLOOR_COEF) * F.sqrt(inv))
     return agged.select(
         "window",
         "n_rows",

@@ -30,8 +30,13 @@ SF_DRIVER = "/root/testdata/sf0.1"
 BUDGET_SEC = 60.0
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture
 def duck():
+    # function-scoped: the watchdog can fire in the gap between a
+    # legitimate query finishing near the budget and cancel() — on a
+    # shared connection that stray interrupt flag would abort the NEXT
+    # test's execute(). A fresh connection confines it (view creation is
+    # metadata-only, microseconds).
     con = duckdb.connect()
     for name in entry_mod.TABLES:
         con.execute(
