@@ -455,6 +455,39 @@ def test_ivf_truncated_file_degrades_not_crashes(spark):
     assert all(got[100 + i] == -1 for i in range(20))
 
 
+def test_ivf_assign_clusters_streaming_frame(spark, tmp_path):
+    """assign_clusters must stay legal on a streaming DataFrame (it is a
+    pure mapInPandas transform): the driver-side dim preflight uses
+    .rdd/runJob, which would throw on a streaming source — it has to
+    skip itself, and dirty rows still degrade to -1 per micro-batch."""
+    from dataval_spark.operators.ivf import assign_clusters
+
+    dim = 8
+    cents = [[1.0 if d == j else 0.0 for d in range(dim)] for j in range(4)]
+    d = str(tmp_path / "vstream")
+    rows = [(i, [1.0 if k == i % 4 else 0.0 for k in range(dim)]) for i in range(12)]
+    rows.append((99, [0.5] * 3))  # dirty: wrong dim -> cluster -1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.write.parquet(d)
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    out = assign_clusters(stream, cents)  # must not raise at plan time
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {
+        r.vec_id: r["_cluster"]
+        for r in spark.sql("SELECT * FROM ivf_stream").collect()
+    }
+    assert got[99] == -1
+    assert all(got[i] == i % 4 for i in range(12))
+
+
 def test_ivf_global_dim_mismatch_fails_loudly(spark):
     """When NO sampled vector matches the centroid dim, it's an index
     config error — the driver-side preflight raises before the job."""
