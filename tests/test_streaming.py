@@ -248,6 +248,62 @@ def test_windowed_drift_flags_shifted_window(spark, tmp_path):
     assert abs(got[20]["ks"] - expect["ks"]) < 1e-5
 
 
+def test_manifest_baseline_feeds_windowed_drift(spark, tmp_path):
+    """The documented composition: a blessed batch run's manifest
+    histogram (baseline_from_manifest) IS windowed_drift's baseline
+    shape. Streaming the same distribution against it must not drift;
+    streaming a length-inflated corpus must."""
+    from pyspark.sql import functions as F
+
+    from dataval_spark.constraints.drift import Drift
+    from dataval_spark.manifest import baseline_from_manifest
+    from dataval_spark.streaming.validate_stream import (
+        manifest_batch_writer,
+        windowed_drift,
+    )
+
+    suite = transcript_suite()
+    base = transcripts(spark, n_convs=80, seed=11, n_parts=4, with_defects=False)
+    mp = str(tmp_path / "m")
+    manifest_batch_writer(suite, mp, "blessed")(base, 0)
+
+    drift_c = next(c for c in suite.constraints if isinstance(c, Drift))
+    baseline = baseline_from_manifest(
+        spark, mp, "blessed/batch=0", drift_c.name, drift_c.nbins
+    )
+    assert len(baseline) == drift_c.nbins and sum(baseline) > 0
+
+    def run_stream(df, name):
+        d = str(tmp_path / name)
+        df.write.parquet(d)
+        stream = spark.readStream.schema(df.schema).parquet(d)
+        out = windowed_drift(
+            stream, drift_c.expr(), drift_c.bins, baseline, window="3650 days"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(200)
+        q.stop()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    same = run_stream(
+        transcripts(spark, n_convs=80, seed=12, n_parts=4, with_defects=False),
+        "wd_same",
+    )
+    assert len(same) == 1 and not same[0]["drifted"], same
+    shifted = run_stream(
+        transcripts(spark, n_convs=80, seed=12, n_parts=4, with_defects=False)
+        .withColumn("text", F.concat(F.col("text"), F.lit("x" * 700))),
+        "wd_shift",
+    )
+    assert len(shifted) == 1 and shifted[0]["drifted"], shifted
+
+
 def test_dedup_stream_drops_replays_within_watermark(spark, tmp_path):
     """Cross-micro-batch replay of (conv_id, turn_idx) within the
     watermark horizon must be dropped; distinct keys all pass."""
