@@ -31,15 +31,12 @@ HEADLINE = [
     "q14_topk_per_group",
     "q20_sessionization",
     "q24_token_stats",
-    "q26_lang_id",
-    "q29_minhash_signatures",
-    "q30_simhash",
+    "q25_quality_langid",
     "q32_cosine_topk",
     "q33_lsh_buckets",
     "q45_simhash_near_pairs",
     "q46_noise_model",
     "q48_psi_drift",
-    "q49_bpe_ish_tokens",
     "q51_dedup_clusters",
     "q52_context_packing",
     "q53_minhash_candidates",

@@ -32,9 +32,11 @@ ORACLE: dict[str, str] = {}
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The DuckDB oracle treats timestamps as UTC-naive; every timestamp-
     # rendering/epoch expression here assumes the same. The driver may
-    # hand us a session with a different timezone — pin it.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # hand us a session with a different (or unset) timezone — pin it.
+    # Unconditional set: conf.get(key, default) VALIDATES the default on
+    # PySpark 4.x, so probing an unset timeZone with "" raises
+    # INVALID_CONF_VALUE.TIME_ZONE; set() is a no-op when already UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -576,49 +578,95 @@ def q20(spark, sf_dir):
 
 
 @query(
-    "q21_like_filter",
+    "q21_like_distinct",
     """
-    SELECT source, count(*) AS n_match
+    SELECT 'like' AS op, source AS key, count(*) AS n
     FROM documents WHERE text LIKE '%window%scan%' OR text LIKE '%shuffle%'
     GROUP BY source
+    UNION ALL
+    SELECT 'distinct' AS op, o_orderpriority AS key, CAST(NULL AS BIGINT) AS n
+    FROM (SELECT DISTINCT o_orderpriority FROM orders)
     """,
 )
 def q21(spark, sf_dir):
     """LIKE / substring predicates (reference
-    /root/reference/dataval/dataval.py:609-623)."""
+    /root/reference/dataval/dataval.py:609-623) + DISTINCT driving
+    per-group loops (reference distinct cadences, dataval.py:223-224).
+    Two operator witnesses in one driver row (round-4 registry fold);
+    the ``op`` tag keeps each branch's rows distinguishable."""
     d = t(spark, sf_dir, "documents")
-    return (
+    like = (
         d.where(F.col("text").like("%window%scan%") | F.col("text").like("%shuffle%"))
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_match"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("like").alias("op"), F.col("source").alias("key"), "n")
     )
+    dist = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .select(
+            F.lit("distinct").alias("op"),
+            F.col("o_orderpriority").alias("key"),
+            F.lit(None).cast("long").alias("n"),
+        )
+    )
+    return like.unionByName(dist)
 
 
 @query(
-    "q22_distinct_ordered",
-    "SELECT DISTINCT o_orderpriority FROM orders",
-)
-def q22(spark, sf_dir):
-    """DISTINCT driving per-group loops (reference distinct cadences,
-    /root/reference/dataval/dataval.py:223-224)."""
-    return t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
-
-
-@query(
-    "q23_set_difference",
+    "q23_set_algebra",
     """
-    SELECT count(*) AS n_unmatched_users FROM (
+    SELECT 'difference' AS op, count(*) AS n FROM (
       SELECT DISTINCT user_id FROM events
       WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+    )
+    UNION ALL
+    SELECT 'union' AS op, count(*) AS n FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      UNION
+      SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+    )
+    UNION ALL
+    SELECT 'intersection' AS op, count(*) AS n FROM (
+      SELECT DISTINCT user_id FROM events
+      INTERSECT
+      SELECT c_custkey FROM customer
     )
     """,
 )
 def q23(spark, sf_dir):
-    """Set difference / resume anti-join shape
-    (reference /root/reference/run_package_release.py:262-268)."""
+    """Set algebra in one driver row (round-4 registry fold of the three
+    one-operator set queries): difference / resume anti-join shape
+    (reference /root/reference/run_package_release.py:262-268), union
+    (reference strata union, notes/trim_input_todo.py:26-41), and
+    intersection (reference np.in1d membership,
+    dataval/noise_metrics.py:220-232)."""
     ev = t(spark, sf_dir, "events").select("user_id").distinct()
-    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
-    return ev.join(c, "user_id", "left_anti").agg(F.count(F.lit(1)).alias("n_unmatched_users"))
+    c_keys = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
+    diff = (
+        ev.join(c_keys, "user_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("difference").alias("op"), "n")
+    )
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    c_neg = t(spark, sf_dir, "customer").where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    uni = (
+        o.union(c_neg)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("union").alias("op"), "n")
+    )
+    inter = (
+        ev.intersect(c_keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersection").alias("op"), "n")
+    )
+    return diff.unionByName(uni).unionByName(inter)
 
 
 # =====================================================================
@@ -639,6 +687,9 @@ _TOKN_SQL = (
 )
 
 
+_BPE_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+
+
 @query(
     "q24_token_stats",
     f"""
@@ -646,19 +697,27 @@ _TOKN_SQL = (
            count(*) AS n_docs,
            CAST(sum({_TOKN_SQL}) AS BIGINT) AS total_tokens,
            round(avg({_TOKN_SQL}), 4) AS avg_tokens,
-           round(avg(length(text)), 4) AS avg_chars
+           round(avg(length(text)), 4) AS avg_chars,
+           CAST(sum({_BPE_SQL}) AS BIGINT) AS total_bpe_tokens,
+           round(avg({_BPE_SQL}), 4) AS avg_bpe_tokens
     FROM documents GROUP BY lang
     """,
 )
 def q24(spark, sf_dir):
-    """Token counting over the documents table (whitespace tokenizer)."""
+    """Token counting over the documents table: whitespace tokenizer AND
+    BPE-style pre-tokenization (letter runs / digit runs / punctuation,
+    operators/text.py::bpe_ish_count, JVM-side regexp_extract_all) in one
+    aggregation pass (round-4 registry fold of the former q49)."""
     d = t(spark, sf_dir, "documents")
     n = X.token_count(F.col("text"))
+    b = X.bpe_ish_count(F.col("text"))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n).alias("total_tokens"),
         F.round(F.avg(n), 4).alias("avg_tokens"),
         F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.sum(b.cast("long")).alias("total_bpe_tokens"),
+        F.round(F.avg(b), 4).alias("avg_bpe_tokens"),
     )
 
 
@@ -666,27 +725,6 @@ _QUALITY_SQL = f"""round(
       least(({_TOKN_SQL}) / 50.0, 1.0) * 0.6
     + (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
                    / greatest(length(text), 1) * 5.0, 1.0)) * 0.4, 6)"""
-
-
-@query(
-    "q25_text_quality",
-    f"""
-    SELECT source,
-           round(avg({_QUALITY_SQL}), 6) AS avg_quality,
-           CAST(sum(CASE WHEN {_QUALITY_SQL} >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
-           count(*) AS n_docs
-    FROM documents GROUP BY source
-    """,
-)
-def q25(spark, sf_dir):
-    """Composite quality scoring (length + punctuation heuristics)."""
-    d = t(spark, sf_dir, "documents")
-    q = X.quality_score(F.col("text"))
-    return d.groupBy("source").agg(
-        F.round(F.avg(q), 6).alias("avg_quality"),
-        F.sum((q >= 0.8).cast("long")).alias("n_high_quality"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
 
 
 def _lang_id_sql() -> str:
@@ -704,21 +742,31 @@ def _lang_id_sql() -> str:
 
 
 @query(
-    "q26_lang_id",
+    "q25_quality_langid",
     f"""
-    SELECT {_lang_id_sql()} AS predicted_lang, count(*) AS n_docs
-    FROM documents GROUP BY 1
+    SELECT source,
+           {_lang_id_sql()} AS predicted_lang,
+           round(avg({_QUALITY_SQL}), 6) AS avg_quality,
+           CAST(sum(CASE WHEN {_QUALITY_SQL} >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
     """,
 )
-def q26(spark, sf_dir):
-    """Heuristic marker-based language ID (argmax with deterministic
-    tie-break), aggregated to predicted-language counts."""
+def q25(spark, sf_dir):
+    """Composite quality scoring (length + punctuation heuristics) x
+    heuristic marker-based language ID (argmax with deterministic
+    tie-break) in one (source, predicted_lang) aggregation pass
+    (round-4 registry fold of the former q25/q26 pair)."""
     d = t(spark, sf_dir, "documents")
-    # project the marker scores once, then run the argmax chain over the
-    # cheap score columns (avoids re-evaluating each array filter 2x per
-    # CASE branch — Catalyst does not CSE across the when-chain)
+    # project the quality + marker scores once, then run the argmax chain
+    # over the cheap score columns (avoids re-evaluating each array filter
+    # 2x per CASE branch — Catalyst does not CSE across the when-chain)
     scores = X.lang_scores(F.col("text"))
-    scored = d.select(*[c.alias(f"s_{lang}") for lang, c in scores.items()])
+    scored = d.select(
+        "source",
+        X.quality_score(F.col("text")).alias("_q"),
+        *[c.alias(f"s_{lang}") for lang, c in scores.items()],
+    )
     expr = F.lit("und")
     best = F.lit(0)
     for lang in sorted(scores):
@@ -726,8 +774,10 @@ def q26(spark, sf_dir):
         new_expr = F.when(s_col > best, F.lit(lang)).otherwise(expr)
         best = F.when(s_col > best, s_col).otherwise(best)
         expr = new_expr
-    return scored.groupBy(expr.alias("predicted_lang")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    return scored.groupBy("source", expr.alias("predicted_lang")).agg(
+        F.round(F.avg("_q"), 6).alias("avg_quality"),
+        F.sum((F.col("_q") >= 0.8).cast("long")).alias("n_high_quality"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
 
 
@@ -776,22 +826,10 @@ def _minhash_sql(n_hashes: int = 4) -> str:
     return f"concat_ws('|', {mins})"
 
 
-@query(
-    "q29_minhash_signatures",
-    f"""
-    SELECT count(*) AS n_docs,
-           count(DISTINCT {_minhash_sql(4)}) AS n_signatures
-    FROM documents
-    """,
-)
-def q29(spark, sf_dir):
-    """MinHash signatures (4 md5 hash functions over distinct tokens);
-    identical signature => near-dup candidate group."""
-    d = t(spark, sf_dir, "documents")
-    return d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(D.minhash_signature(F.col("text"), 4)).alias("n_signatures"),
-    )
+# NOTE (round-4 registry fold): the former q29_minhash_signatures
+# (countDistinct over _minhash_sql(4) signatures) is strictly subsumed by
+# q53_minhash_candidates — the band keys there ARE the signatures, plus
+# the banded self-join on top. _minhash_sql stays as q53's oracle twin.
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -815,27 +853,11 @@ def _simhash_sql(bits: int = 16) -> str:
     return "(" + " | ".join(parts) + ")"
 
 
-@query(
-    "q30_simhash",
-    f"""
-    SELECT count(*) AS n_docs,
-           count(DISTINCT {_simhash_sql(16)}) AS n_codes,
-           round(avg(bit_count({_simhash_sql(16)}::BIGINT)), 4) AS avg_popcount
-    FROM documents
-    """,
-)
-def q30(spark, sf_dir):
-    """16-bit SimHash codes per document (token bit-majority). Hash array
-    projected once, code once (see dedup.hashed_tokens plan note)."""
-    d = t(spark, sf_dir, "documents")
-    coded = d.select(D.hashed_tokens(F.col("text")).alias("_ht")).select(
-        D.simhash_from_hashed(F.col("_ht"), 16).alias("code")
-    )
-    return coded.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("code").alias("n_codes"),
-        F.round(F.avg(F.bit_count(F.col("code").cast("bigint"))), 4).alias("avg_popcount"),
-    )
+# NOTE (round-4 registry fold): the former q30_simhash (16-bit code
+# census) is subsumed by q55_simhash60_census (same operator at the
+# production-facing 60-bit width, driver-checked) and
+# q45_simhash_near_pairs (codes + pigeonhole join). _simhash_sql stays
+# as the shared oracle twin for q45/q51/q55.
 
 
 
@@ -1095,28 +1117,6 @@ def q35(spark, sf_dir):
 # =====================================================================
 
 @query(
-    "q36_set_union",
-    """
-    SELECT count(*) AS n_keys FROM (
-      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
-      UNION
-      SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
-    )
-    """,
-)
-def q36(spark, sf_dir):
-    """Set union (reference strata union,
-    /root/reference/notes/trim_input_todo.py:26-41)."""
-    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("k")
-    )
-    c = t(spark, sf_dir, "customer").where(F.col("c_acctbal") < 0).select(
-        F.col("c_custkey").alias("k")
-    )
-    return o.union(c).distinct().agg(F.count(F.lit(1)).alias("n_keys"))
-
-
-@query(
     "q37_stratified_sample",
     """
     SELECT lang, doc_id, fp_rank FROM (
@@ -1259,24 +1259,6 @@ def q41(spark, sf_dir):
         F.round(F.expr("percentile(gap_sec, 0.5)"), 4).alias("median_gap_sec"),
         F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
     )
-
-
-@query(
-    "q42_set_intersection",
-    """
-    SELECT count(*) AS n_common FROM (
-      SELECT DISTINCT user_id FROM events
-      INTERSECT
-      SELECT c_custkey FROM customer
-    )
-    """,
-)
-def q42(spark, sf_dir):
-    """Set intersection (reference np.in1d membership,
-    /root/reference/dataval/noise_metrics.py:220-232)."""
-    ev = t(spark, sf_dir, "events").select("user_id").distinct()
-    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("user_id"))
-    return ev.intersect(c).agg(F.count(F.lit(1)).alias("n_common"))
 
 
 @query(
@@ -1489,29 +1471,6 @@ def q48(spark, sf_dir):
             F.round(F.sum(contrib), 4).alias("psi"),
             (F.sum(contrib) > 0.1).alias("drifted"),
         )
-    )
-
-
-@query(
-    "q49_bpe_ish_tokens",
-    r"""
-    SELECT lang,
-           CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
-             AS total_tokens,
-           round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4)
-             AS avg_tokens
-    FROM documents GROUP BY lang
-    """,
-)
-def q49(spark, sf_dir):
-    """BPE-style pre-tokenization counts (letter runs / digit runs /
-    punctuation marks) — operators/text.py::bpe_ish_count, JVM-side
-    regexp_extract_all."""
-    d = t(spark, sf_dir, "documents")
-    n = X.bpe_ish_count(F.col("text"))
-    return d.groupBy("lang").agg(
-        F.sum(n.cast("long")).alias("total_tokens"),
-        F.round(F.avg(n), 4).alias("avg_tokens"),
     )
 
 

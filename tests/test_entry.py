@@ -102,3 +102,22 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_query_survives_session_without_timezone_conf(spark, sf_dir):
+    """Regression (round-3 verdict): on PySpark 4.x,
+    ``conf.get("spark.sql.session.timeZone", "")`` VALIDATES the ""
+    default and raises INVALID_CONF_VALUE.TIME_ZONE when the key is
+    unset — so the old probe in queries.t() crashed the first query of
+    any consumer session that never set a timezone. t() must pin UTC
+    without probing."""
+    from dataval_spark.queries import QUERIES
+
+    spark.conf.unset("spark.sql.session.timeZone")
+    try:
+        df = QUERIES["q07_status_histogram"](spark, str(sf_dir))
+        assert df.count() > 0
+        # t() must have re-pinned the session to UTC for oracle parity
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

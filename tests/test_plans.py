@@ -83,7 +83,7 @@ def test_single_pass_aggregation_queries(spark, sf_dir):
     """Scan -> one shuffle -> result: the per-group noise-model and
     BPE-token queries must stay single-aggregation plans (an accidental
     join/window would add exchanges that scale with the base table)."""
-    for name in ("q46_noise_model", "q49_bpe_ish_tokens"):
+    for name in ("q46_noise_model", "q24_token_stats"):
         df = QUERIES[name](spark, sf_dir)
         df.collect()
         assert E.shuffle_count(df) == 1, f"{name}: {E.physical_plan(df)}"
