@@ -40,6 +40,26 @@ def norm(a: Column) -> Column:
     )
 
 
+def vector_ok(vec: Column, dim: int) -> Column:
+    """Structural validity predicate for an embedding column: non-NULL,
+    exactly ``dim`` elements, no NULL elements.
+
+    The vector-side mirror of dedup.content_bearing. Without it every
+    NULL/ragged vector hashes to bucket 0 of EVERY plane family (each
+    bit's ``when(sum > 0, 1).otherwise(0)`` folds NULL to 0), so all
+    dirty vectors collide in one bucket per table and generate quadratic
+    candidate pairs that only die later at the NULL-sim filter. Filter
+    BEFORE bucket keying; results are unchanged (a dirty vector's cosine
+    is NULL, which can never clear a threshold or outrank a real
+    neighbor)."""
+    v = _vec(vec)
+    return (
+        vec.isNotNull()
+        & (F.size(v) == dim)
+        & ~F.exists(v, lambda x: x.isNull())
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     # try_divide, not /: Spark 4 runs ANSI mode by default, so a single
     # zero vector in a 10^9-row corpus would fail the whole job with
@@ -166,11 +186,17 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: only same-bucket candidates are scored.
     At 10^9+ vectors this replaces the O(N·Q) crossJoin with an
-    equi-join on bucket."""
-    c = corpus.withColumn(
+    equi-join on bucket.
+
+    Structurally invalid vectors (NULL / ragged / NULL-element) are
+    dropped on BOTH sides before keying — they would all collide in
+    bucket 0 and be scored against every bucket-0 query for nothing
+    (their sim is NULL). Zero vectors are structurally valid and keep
+    the brute-force semantics: NULL sim, ranked last."""
+    c = corpus.where(vector_ok(F.col(vec_col), dim)).withColumn(
         "_bkt", lsh_bucket(F.col(vec_col), dim, n_planes)
     ).withColumn("_nv", norm(F.col(vec_col)))
-    q = queries.withColumn(
+    q = queries.where(vector_ok(F.col(query_vec_col), dim)).withColumn(
         "_bkt", lsh_bucket(F.col(query_vec_col), dim, n_planes)
     ).withColumn("_nq", norm(F.col(query_vec_col)))
     joined = c.join(F.broadcast(q), "_bkt")
@@ -218,20 +244,31 @@ def cosine_near_dup_pairs(
         *[
             F.struct(
                 F.lit(t).alias("tbl"),
-                lsh_bucket(F.col(vec_col), dim, n_planes, t).alias("bkt"),
+                lsh_bucket(F.col("v"), dim, n_planes, t).alias("bkt"),
             )
             for t in range(n_tables)
         ]
     )
-    coded = df.select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).alias("v"),
-        # norm once per row INTO the cache: computed per candidate pair
-        # it would re-run the 64-element fold 2x per pair (the pair
-        # volume is the operator's cost center, the row count is not)
-        norm(F.col(vec_col)).alias("nv"),
-        F.explode(keys).alias("k"),
+    # degenerate-vector guard BEFORE keying (vector_ok docstring): dirty
+    # vectors all collide in bucket 0 of every table — quadratic
+    # candidate pairs that the sim >= threshold filter would discard
+    # anyway (NULL sim). Zero vectors are excluded too: same bucket-0
+    # collision, and 0/0 cosine is NULL, so dropping them is also
+    # result-preserving.
+    base = (
+        df.where(vector_ok(F.col(vec_col), dim))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("v"),
+            # norm once per row INTO the cache: computed per candidate
+            # pair it would re-run the 64-element fold 2x per pair (the
+            # pair volume is the operator's cost center, the row count
+            # is not)
+            norm(F.col(vec_col)).alias("nv"),
+        )
+        .where(F.col("nv") > 0)
     )
+    coded = base.select("doc", "v", "nv", F.explode(keys).alias("k"))
     coded = _cache_swap("cosine_near_dup_pairs", coded)
     a, b = coded.alias("a"), coded.alias("b")
     sim = F.round(

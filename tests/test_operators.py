@@ -593,6 +593,58 @@ def test_cosine_near_dup_multi_table_recall(spark):
     assert len(g1) <= 0.7 * len(truth)  # single-table really is lossy here
 
 
+def test_near_dup_degenerate_vectors_guarded(spark):
+    """Round-3 verdict 'what's wrong #3': NULL/ragged/NULL-element
+    vectors all hash to bucket 0 of EVERY plane family (each bit's
+    when(sum>0) folds NULL to 0), so 1k dirty vectors used to make
+    ~500k quadratic candidate pairs per table that only died at the
+    NULL-sim filter. They must now be cut BEFORE bucket keying, with
+    results unchanged on the clean rows."""
+    import math as m
+
+    from dataval_spark.operators.similarity import cosine_near_dup_pairs, vector_ok
+    from dataval_spark.plans import explain as E
+
+    dim, thr = 8, 0.97
+    clean = [
+        (i, [m.sin((i + 1) * (d + 2) * 0.9) for d in range(dim)])
+        for i in range(60)
+    ]
+    clean += [(500 + i, [x + 0.01 for x in v]) for i, v in clean[:6]]
+    dirty = []
+    for i in range(1000):
+        j = 2000 + i
+        if i % 3 == 0:
+            dirty.append((j, None))                          # NULL vector
+        elif i % 3 == 1:
+            dirty.append((j, [1.0] * (dim - 3)))             # ragged
+        else:
+            dirty.append((j, [1.0] * (dim - 1) + [None]))    # NULL element
+    dirty.append((9000, [0.0] * dim))  # zero vector: NULL cosine, bucket 0
+    schema = "vec_id long, embedding array<double>"
+    got_clean = {
+        (r.doc_a, r.doc_b)
+        for r in cosine_near_dup_pairs(
+            spark.createDataFrame(clean, schema), dim, thr, n_tables=2
+        ).collect()
+    }
+    mixed_df = cosine_near_dup_pairs(
+        spark.createDataFrame(clean + dirty, schema), dim, thr, n_tables=2
+    )
+    got_mixed = {(r.doc_a, r.doc_b) for r in mixed_df.collect()}
+    assert got_mixed == got_clean and len(got_clean) >= 5
+    # candidate volume stays O(clean docs): the guard sits BELOW the
+    # self-join in the executed plan (size-check filter on the scan side)
+    assert "size(" in E.physical_plan(mixed_df)
+    # the structural predicate itself: only intact-dim, non-NULL survive
+    n_ok = (
+        spark.createDataFrame(clean + dirty, schema)
+        .where(vector_ok(F.col("embedding"), dim))
+        .count()
+    )
+    assert n_ok == len(clean) + 1  # zero vector is structurally valid
+
+
 def test_ngram_contamination(spark):
     """8-gram leakage: a corpus doc QUOTING a benchmark row must be
     flagged even though its exact fingerprint differs; unrelated and
