@@ -9,11 +9,22 @@ sequential per group; this closed form is the standard scalable
 approximation — one window shuffle on the group key, no state, and the
 assignment is deterministic under the given ordering, so it is
 reproducible run to run (prerequisite for training-data lineage).
+
+Scale note (round-3 verdict): the window sorts ONE partition per group
+value, so the unsharded form requires group-key cardinality >> the
+cluster's core count — ``lang`` (cardinality ~5) at corpus scale means
+one reducer sorts all English docs. ``n_shards`` splits every group into
+``(group, pmod(xxhash64(order_col), n_shards))`` sub-groups that pack
+independently: bins are still valid training packs (each is a
+token-budget-bounded set of whole documents), offsets just reset per
+shard, costing at most one under-filled bin per (group, shard). Sizing:
+n_shards ~ total_cores / group_cardinality keeps every core busy with a
+bounded sort.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -24,14 +35,42 @@ def pack_greedy(
     group_col: str,
     order_col: str,
     out_col: str = "bin",
+    n_shards: int = 1,
 ) -> DataFrame:
+    """Pack into ``out_col`` bins of ~``budget`` tokens per ``group_col``.
+
+    ``n_shards=1`` (default) reproduces the exact single-sequence
+    packing per group — require group-key cardinality >> cores at scale.
+    ``n_shards=k`` packs within ``(group, hash(order) % k)``: same bin
+    validity, parallel sorts, at the price of <= k partially-filled bins
+    per group. Deterministic either way (shard id is a pure hash of the
+    order key, not a partition id).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard: list[Column] = []
+    out = df
+    if n_shards > 1:
+        out = out.withColumn(
+            "_pack_shard",
+            F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards)).cast("int"),
+        )
+        shard = [F.col("_pack_shard")]
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(F.col(group_col), *shard)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev = F.coalesce(F.sum(token_col).over(w), F.lit(0))
-    return df.withColumn(out_col, F.floor(prev / F.lit(budget)).cast("int"))
+    binned = out.withColumn(out_col, F.floor(prev / F.lit(budget)).cast("int"))
+    if n_shards > 1:
+        # globally unique bin id per (group, shard, local bin) so
+        # downstream consumers can group on (group_col, out_col) alone
+        binned = binned.withColumn(
+            out_col,
+            (F.col("_pack_shard") * F.lit(1 << 32) + F.col(out_col)).cast("long"),
+        ).drop("_pack_shard")
+    return binned
 
 
 def packing_stats(packed: DataFrame, token_col: str, group_col: str, out_bin: str = "bin") -> DataFrame:

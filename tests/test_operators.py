@@ -593,6 +593,52 @@ def test_cosine_near_dup_multi_table_recall(spark):
     assert len(g1) <= 0.7 * len(truth)  # single-table really is lossy here
 
 
+def test_pack_greedy_sharded_skewed_group(spark):
+    """Round-3 verdict 'what's wrong #4': partitionBy(lang) sorts ALL of
+    one language on one reducer at corpus scale. n_shards=k must split a
+    skewed group into k independently-packed sub-groups (parallel
+    bounded sorts) while every bin stays a valid training pack and the
+    n_shards=1 form keeps the exact closed-form offsets."""
+    from dataval_spark.operators.packing import pack_greedy
+
+    budget = 100
+    # skewed corpus: 'en' holds 2000 docs, 'fr' 10
+    rows = [(f"en-{i:05d}", "en", 10 + (i % 17)) for i in range(2000)]
+    rows += [(f"fr-{i:05d}", "fr", 25) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_tok int")
+
+    packed = pack_greedy(df, "n_tok", budget, "lang", "doc_id", n_shards=8)
+    out = packed.collect()
+    assert len(out) == len(rows)  # every doc assigned exactly once
+
+    # the skewed group really fans out: bin ids encode shard in the high
+    # bits, so >1 distinct shard per language = >1 sort partition
+    en_shards = {r.bin >> 32 for r in out if r.lang == "en"}
+    assert len(en_shards) == 8
+
+    # every bin is still a valid pack: tokens <= budget + one max doc
+    from collections import defaultdict
+
+    fill = defaultdict(int)
+    for r in out:
+        fill[(r.lang, r.bin)] += r.n_tok
+    max_tok = max(n for _, _, n in rows)
+    assert all(v <= budget + max_tok for v in fill.values())
+
+    # determinism: shard id is a pure hash of the order key
+    again = {(r.doc_id, r.bin) for r in
+             pack_greedy(df, "n_tok", budget, "lang", "doc_id", n_shards=8).collect()}
+    assert again == {(r.doc_id, r.bin) for r in out}
+
+    # n_shards=1 stays the exact closed form (python mirror)
+    one = pack_greedy(df, "n_tok", budget, "lang", "doc_id").collect()
+    offsets, expect = defaultdict(int), {}
+    for doc_id, lang, n_tok in sorted(rows):
+        expect[doc_id] = offsets[lang] // budget
+        offsets[lang] += n_tok
+    assert {r.doc_id: r.bin for r in one} == expect
+
+
 def test_near_dup_degenerate_vectors_guarded(spark):
     """Round-3 verdict 'what's wrong #3': NULL/ragged/NULL-element
     vectors all hash to bucket 0 of EVERY plane family (each bit's
