@@ -53,6 +53,32 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--report", action="store_true",
                    help="print the human-readable per-partition report "
                         "(reference's printed verdict grid) to stderr")
+    p.add_argument("--prepare-corpus", default=None, metavar="OUT_DIR",
+                   help="run the full training-corpus preparation flow "
+                        "(quality gate -> exact dedup -> SimHash near-dedup "
+                        "-> decontamination -> packing) on --input "
+                        "(doc_id/text/lang schema), write OUT_DIR/packed "
+                        "partitioned by lang, print the attrition-funnel "
+                        "JSON, exit 0 (reference method-dispatch ethos, "
+                        "run_dataval.py:21-57)")
+    p.add_argument("--benchmark", default=None,
+                   help="with --prepare-corpus: parquet of benchmark docs "
+                        "(text column) for exact + n-gram decontamination")
+    p.add_argument("--pack-shards", type=int, default=1,
+                   help="with --prepare-corpus: split each language's "
+                        "packing sort into K parallel shards "
+                        "(size ~ cores / n_langs at scale)")
+    p.add_argument("--window-tokens", type=int, default=2048,
+                   help="with --prepare-corpus: context-window token budget")
+    p.add_argument("--min-tokens", type=int, default=5,
+                   help="with --prepare-corpus: quality-gate minimum tokens")
+    p.add_argument("--langs", default=None,
+                   help="with --prepare-corpus: comma-separated language "
+                        "allow-list for the quality gate")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="with --prepare-corpus: reliable checkpoint dir for "
+                        "the connected-components rounds (executor-loss "
+                        "tolerance on real clusters)")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -141,6 +167,24 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     df = spark.read.parquet(args.input)
+
+    if args.prepare_corpus:
+        from dataval_spark.operators.corpus import prepare_corpus
+
+        benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+        langs = tuple(args.langs.split(",")) if args.langs else None
+        res = prepare_corpus(
+            df, benchmark,
+            min_tokens=args.min_tokens, langs=langs,
+            window_tokens=args.window_tokens,
+            pack_shards=args.pack_shards,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        res["packed"].write.mode("overwrite").partitionBy("lang").parquet(
+            f"{args.prepare_corpus}/packed"
+        )
+        print(json.dumps(res["stats"]()))
+        return 0
 
     try:
         suite = build_suite(args.method, args.reject_ratio, args.suite)

@@ -50,6 +50,7 @@ def prepare_corpus(
     window_tokens: int = 2048,
     redact: bool = True,
     checkpoint_dir: str | None = None,
+    pack_shards: int = 1,
 ) -> dict:
     """Run the full preparation flow. NOTE: the near-dedup phase
     (SimHash code materialization + connected-components iteration) runs
@@ -118,7 +119,12 @@ def prepare_corpus(
         decontaminated = near_deduped.join(contaminated, id_col, "left_anti")
 
     sized = decontaminated.withColumn("n_tok", X.token_count(F.col(text_col)))
-    packed = pack_greedy(sized, "n_tok", window_tokens, lang_col, id_col)
+    # pack_shards: at corpus scale the language key's cardinality bounds
+    # the packing sort's parallelism — size ~ cores / n_langs (see
+    # packing.pack_greedy)
+    packed = pack_greedy(
+        sized, "n_tok", window_tokens, lang_col, id_col, n_shards=pack_shards
+    )
 
     def stats() -> dict:
         # one count() per stage; each re-derives its upstream chain

@@ -257,3 +257,52 @@ def test_cli_clean_compare_workflow(input_dir, tmp_path, spark, capsys):
                {"FIXED", "BROKE", "STILL_PASS", "STILL_FAIL"} for r in rows)
     # cleaning never increases rejections
     assert all(r["delta_rejected"] <= 0 for r in rows)
+
+
+def test_cli_prepare_corpus(spark, tmp_path, capsys):
+    """--prepare-corpus runs the full pipeline end-to-end from the CLI
+    (reference CLI-first ethos): attrition-funnel JSON on stdout, packed
+    corpus written lang-partitioned, exit 0."""
+    import json as _json
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    bench_text = (
+        "the secret benchmark answer sequence is forty two exactly here "
+        "and nowhere else in any training document at all"
+    )
+    rows = [
+        (1, base + " one", "en"),
+        (2, base + " one", "en"),            # exact dup -> dropped
+        (3, " ".join(reversed((base + " one").split())), "en"),  # near dup
+        (4, "short text", "en"),             # < min_tokens -> dropped
+        (5, None, "en"),                     # NULL -> dropped
+        (6, "prefix words then " + bench_text + " then suffix words", "en"),
+        (7, "a completely different legitimate document with plenty of "
+            "distinct content words spread across the whole window", "en"),
+    ]
+    docs_path = str(tmp_path / "docs")
+    bench_path = str(tmp_path / "bench")
+    out_dir = str(tmp_path / "corpus_out")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(docs_path)
+    spark.createDataFrame([(100, bench_text)], "doc_id long, text string") \
+        .write.parquet(bench_path)
+
+    rc = cli_main([
+        "--input", docs_path, "--prepare-corpus", out_dir,
+        "--benchmark", bench_path, "--min-tokens", "5",
+        "--pack-shards", "2", "--cpus", "8",
+    ])
+    assert rc == 0
+    funnel = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["n_input"] == 7
+    assert funnel["n_quality_pass"] == 5
+    assert funnel["n_exact_deduped"] == 4
+    assert funnel["n_near_deduped"] == 3
+    assert funnel["n_decontaminated"] == 2
+    packed = spark.read.parquet(f"{out_dir}/packed")
+    assert {r.doc_id for r in packed.select("doc_id").collect()} == {1, 7}
+    assert {"bin", "lang", "n_tok"} <= set(packed.columns)
