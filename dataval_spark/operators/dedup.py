@@ -374,9 +374,74 @@ def simhash_near_pairs(
 
 
 # ------------------------------------------------- dedup cluster assembly
+def _star_rounds(edges: DataFrame, _ckpt, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm) until the edge set is a fixed point: every surviving edge
+    then links a node directly to its component's minimum id.
+
+    * large-star: per node u, hook every LARGER neighbor to
+      m = min(N(u) + {u}) — emitted edges (m, v) for v in N(u), v > u.
+    * small-star: per node u (over edges pointing down), hook u and all
+      its smaller neighbors to m = min(N_smaller(u) + {u}).
+
+    Both steps are a groupBy-min + an equi-join per direction — the same
+    shuffle shape as the path-halving round, but convergence is
+    O(log^2 n) on ADVERSARIAL graphs (long chains of skewed components)
+    where halving's per-round neighbor-min can stall on high-degree
+    hubs. Edges only ever move toward smaller ids, so the per-round
+    checksum fixed point is a true termination proof, not a heuristic.
+    """
+    edges = edges.where(F.col("a") != F.col("b")).select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).distinct()
+    prev_sig = None
+    for _ in range(max_iter):
+        # -------- large-star --------
+        bidir = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mn = bidir.groupBy("a").agg(F.min("b").alias("_mn"))
+        # m = min(N(u) + {u}); attach every larger neighbor to m
+        ls = (
+            bidir.join(mn, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(
+                F.least(F.col("a"), F.col("_mn")).alias("a"),
+                F.col("b").alias("b"),
+            )
+        )
+        edges = ls.where(F.col("a") != F.col("b")).distinct()
+        # -------- small-star --------
+        # direct every edge from its larger endpoint down: (hi, lo)
+        dn = edges.select(F.col("b").alias("hi"), F.col("a").alias("lo"))
+        mn2 = dn.groupBy("hi").agg(F.min("lo").alias("_m"))
+        joined = dn.join(mn2, "hi")
+        ss = (
+            joined.select(F.col("_m").alias("a"), F.col("lo").alias("b"))
+            .union(joined.select(F.col("_m").alias("a"), F.col("hi").alias("b")))
+        )
+        edges = _ckpt(ss.where(F.col("a") != F.col("b")).distinct())
+        # fixed point: count + two independent order-insensitive hash
+        # sums (one driver action; edges monotonically descend toward
+        # component minima so a stable signature IS convergence).
+        # decimal(38,0), not bigint: Spark 4 runs ANSI mode, and summing
+        # raw 64-bit hashes overflows long after a handful of edges.
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.sum(F.xxhash64("b", "a").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return edges
+
+
 def connected_components(
     ids: DataFrame, pairs: DataFrame, id_col: str = "doc", max_iter: int = 25,
     checkpoint_dir: str | None = None, strict: bool = True,
+    algorithm: str = "halving",
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (doc, cluster) where
     cluster = the minimum doc id in the component (the canonical
@@ -417,16 +482,25 @@ def connected_components(
     ``strict`` (default) that contract failure is loud: one id-width
     anti-join up front raises if any pair endpoint is missing from
     ``ids``, instead of returning silently wrong clusters.
+    ``algorithm``: ``"halving"`` (default) is the min-label + path
+    halving loop above — the right choice for near-dup graphs (shallow,
+    bounded components). ``"star"`` switches to alternating large-star/
+    small-star (_star_rounds) for adversarial shapes — very long chains
+    or heavily skewed components — where convergence is
+    O(log^2 n) rounds independent of component diameter. Both return
+    identical (doc, cluster = component min) labelings over ``ids``.
     """
+    if algorithm not in ("halving", "star"):
+        raise ValueError(f"algorithm must be 'halving' or 'star', got {algorithm!r}")
     if checkpoint_dir is not None:
         sc = ids.sparkSession.sparkContext
         sc.setCheckpointDir(checkpoint_dir)
         _ckpt = lambda df: df.checkpoint()  # noqa: E731
     else:
         _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    raw = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = _ckpt(
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
     labels = _ckpt(
         ids.select(F.col(id_col).alias("doc"), F.col(id_col).alias("label"))
@@ -445,6 +519,20 @@ def connected_components(
                 f"nodes; add them to ids or pass strict=False to label "
                 f"only the seeded subgraph"
             )
+    if algorithm == "star":
+        star = _star_rounds(raw, _ckpt, max_iter)
+        # at the fixed point every edge is (component_min, member);
+        # groupBy-min is belt-and-braces for the max_iter-capped case
+        member_lbl = star.groupBy(F.col("b").alias("doc")).agg(
+            F.min("a").alias("cluster")
+        )
+        return (
+            labels.select("doc")
+            .join(member_lbl, "doc", "left")
+            .select(
+                "doc", F.coalesce("cluster", F.col("doc")).alias("cluster")
+            )
+        )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["doc"])
