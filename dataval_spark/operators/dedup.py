@@ -409,7 +409,10 @@ def _star_rounds(edges: DataFrame, _ckpt, max_iter: int) -> DataFrame:
                 F.col("b").alias("b"),
             )
         )
-        edges = ls.where(F.col("a") != F.col("b")).distinct()
+        # checkpointed: the small-star step consumes this frame TWICE
+        # (the per-hi min agg and the join back) — uncheckpointed, the
+        # large-star join+agg would re-execute per consumer
+        edges = _ckpt(ls.where(F.col("a") != F.col("b")).distinct())
         # -------- small-star --------
         # direct every edge from its larger endpoint down: (hi, lo)
         dn = edges.select(F.col("b").alias("hi"), F.col("a").alias("lo"))
@@ -489,6 +492,10 @@ def connected_components(
     or heavily skewed components — where convergence is
     O(log^2 n) rounds independent of component diameter. Both return
     identical (doc, cluster = component min) labelings over ``ids``.
+    One behavioral difference under ``strict=False``: star PROPAGATES
+    THROUGH pair endpoints missing from ``ids`` (they participate in the
+    edge rounds, they just get no output row), while halving splits at
+    them — another reason strict stays the default.
     """
     if algorithm not in ("halving", "star"):
         raise ValueError(f"algorithm must be 'halving' or 'star', got {algorithm!r}")

@@ -514,6 +514,12 @@ def test_connected_components_orphan_endpoints_fail_loudly(spark):
     out = {r.doc: r.cluster for r in
            D.connected_components(ids, pairs, strict=False).collect()}
     assert set(out) == {1, 9}  # only the seeded universe is labeled
+    assert out == {1: 1, 9: 9}  # halving SPLITS at the unlabeled node
+    star = {r.doc: r.cluster for r in D.connected_components(
+        ids, pairs, strict=False, algorithm="star").collect()}
+    # star relays THROUGH unlabeled endpoints (documented difference) —
+    # the universe is still only the seeded ids
+    assert star == {1: 1, 9: 1}
 
 
 def _uf_clusters(n_ids, edges):
