@@ -216,9 +216,19 @@ def train_centroids(
         )
     for _ in range(iters):
         assigned = assign_clusters(df, centroids, vec_col, "_c")
+        # drop dirty (_c == -1) rows BEFORE projecting vec[i]: under
+        # ANSI mode a ragged (short) vector makes vec[i] raise
+        # INVALID_ARRAY_INDEX; try_element_at keeps the projection safe
+        # even if Catalyst reorders it around the filter
         means = (
-            assigned.groupBy("_c")
-            .agg(*[F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}") for i in range(dim)])
+            assigned.where(F.col("_c") >= 0)
+            .groupBy("_c")
+            .agg(*[
+                F.avg(
+                    F.try_element_at(F.col(vec_col), F.lit(i + 1)).cast("double")
+                ).alias(f"m{i}")
+                for i in range(dim)
+            ])
             .collect()
         )
         new = list(centroids)
