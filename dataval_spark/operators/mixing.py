@@ -1,0 +1,149 @@
+"""Source mixing and token-budget sampling for training-corpus assembly.
+
+The last step of a pre-training data pipeline: given per-source corpora
+and a total token budget, choose per-source sampling rates (uniform,
+proportional, or temperature-scaled a la multilingual T5 / XLM-R,
+w_s ~ n_s^tau) and draw a DETERMINISTIC sample hitting the budget in
+expectation.
+
+Scale design: one aggregation pass computes per-source token totals
+(map-side combined, O(#sources) rows to the driver); the sample itself
+is a stateless filter — md5-derived uniform per row compared against a
+plan-literal rate map — so it fuses into the scan with ZERO shuffle and
+no RNG state. Determinism means reruns, resumes, and multi-job
+consumers all select the SAME rows (seeded rand() does not survive
+repartitioning; a content hash does), which is the property that makes
+the sample reproducible across cluster sizes — the same contract as the
+engine's seeded permutation sampler (queries q37), extended to
+budget-driven rates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "uniform_hash",
+    "source_token_counts",
+    "temperature_weights",
+    "MixtureStats",
+    "sample_to_budget",
+]
+
+_HEX_DIGITS = 15  # 60 bits: exact in a double, uniform enough for rates
+
+
+def uniform_hash(col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform in [0, 1): the top 60 bits of
+    md5(seed | id). Unlike rand(seed), the value depends only on row
+    CONTENT, so it is stable under repartitioning, AQE re-plans, and
+    cluster-size changes."""
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit(str(seed)), col.cast("string"))),
+        1,
+        _HEX_DIGITS,
+    )
+    return F.conv(h, 16, 10).cast("double") / float(16**_HEX_DIGITS)
+
+
+def source_token_counts(
+    df: DataFrame, source_col: str = "source", token_col: str = "n_tokens"
+) -> DataFrame:
+    """(source, n_docs, n_tokens) — one map-side-combined aggregation."""
+    return df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens"),
+    )
+
+
+def temperature_weights(
+    counts: dict[str, int], tau: float = 0.7
+) -> dict[str, float]:
+    """Mixture weights w_s ~ n_s^tau, normalized. tau=1 is proportional
+    (natural distribution), tau=0 is uniform over sources, 0<tau<1
+    upweights small sources (the multilingual-pretraining standard)."""
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    raw = {s: float(n) ** tau for s, n in counts.items() if n > 0}
+    total = sum(raw.values())
+    if total <= 0:
+        raise ValueError("no source has positive token count")
+    return {s: v / total for s, v in raw.items()}
+
+
+@dataclass
+class MixtureStats:
+    budget: int
+    sources: list[dict]  # per source: tokens, weight, rate, expected_tokens
+
+    @property
+    def expected_tokens(self) -> int:
+        return int(sum(s["expected_tokens"] for s in self.sources))
+
+
+def sample_to_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    tau: float = 1.0,
+    seed: int = 0,
+) -> tuple[DataFrame, MixtureStats]:
+    """Deterministic per-source sample whose expected token total is
+    ``budget_tokens`` (less when a source's allocation exceeds the
+    source itself — rates cap at 1.0 and the shortfall is NOT
+    redistributed, matching how fixed mixture weights behave in
+    published recipes; re-weight and rerun to spend the remainder).
+
+    ``weights``: explicit mixture weights (normalized over the sources
+    actually present); default = temperature_weights(counts, tau).
+    Sources with zero weight — and rows with NULL source — are dropped.
+    Returns (sampled_df, stats); the stats carry per-source rates so a
+    manifest can record exactly what the sample was.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    counts = {
+        r[source_col]: int(r["n_tokens"] or 0)
+        for r in source_token_counts(df, source_col, token_col).collect()
+        if r[source_col] is not None
+    }
+    if weights is None:
+        w = temperature_weights(counts, tau)
+    else:
+        present = {s: float(v) for s, v in weights.items() if s in counts and v > 0}
+        total = sum(present.values())
+        if total <= 0:
+            raise ValueError("no positive weight matches a present source")
+        w = {s: v / total for s, v in present.items()}
+
+    stats: list[dict] = []
+    rates: dict[str, float] = {}
+    for s, tokens in sorted(counts.items()):
+        ws = w.get(s, 0.0)
+        rate = min(1.0, budget_tokens * ws / tokens) if (tokens > 0 and ws > 0) else 0.0
+        rates[s] = rate
+        stats.append(
+            {
+                "source": s,
+                "n_tokens": tokens,
+                "weight": ws,
+                "rate": rate,
+                "expected_tokens": int(tokens * rate),
+            }
+        )
+
+    rate_map = F.create_map(
+        *[x for s, r in sorted(rates.items()) for x in (F.lit(s), F.lit(float(r)))]
+    )
+    rate_col = F.element_at(rate_map, F.col(source_col))
+    sampled = df.where(
+        F.col(source_col).isNotNull()
+        & (uniform_hash(F.col(id_col), seed) < F.coalesce(rate_col, F.lit(0.0)))
+    )
+    return sampled, MixtureStats(budget=int(budget_tokens), sources=stats)
