@@ -79,6 +79,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --prepare-corpus: reliable checkpoint dir for "
                         "the connected-components rounds (executor-loss "
                         "tolerance on real clusters)")
+    p.add_argument("--gopher", action="store_true",
+                   help="with --prepare-corpus: add the Gopher repetition "
+                        "ceilings (dup line/paragraph + n-gram character "
+                        "fractions) to the quality gate")
+    p.add_argument("--embeddings", default=None,
+                   help="with --prepare-corpus: parquet of (doc_id, "
+                        "embedding) rows enabling the SemDeDup semantic "
+                        "dedup stage after SimHash near-dedup")
+    p.add_argument("--emb-dim", type=int, default=64,
+                   help="with --embeddings: embedding dimensionality")
+    p.add_argument("--budget-tokens", type=int, default=None,
+                   help="with --prepare-corpus: sample the decontaminated "
+                        "corpus down to this token budget with "
+                        "temperature-weighted source mixing before packing")
+    p.add_argument("--mixing-tau", type=float, default=0.7,
+                   help="with --budget-tokens: temperature for the mixture "
+                        "weights (1=proportional, 0=uniform over sources)")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -173,17 +190,26 @@ def main(argv: list[str] | None = None) -> int:
 
         benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
         langs = tuple(args.langs.split(",")) if args.langs else None
+        embeddings = (
+            spark.read.parquet(args.embeddings) if args.embeddings else None
+        )
         res = prepare_corpus(
             df, benchmark,
             min_tokens=args.min_tokens, langs=langs,
             window_tokens=args.window_tokens,
             pack_shards=args.pack_shards,
             checkpoint_dir=args.checkpoint_dir,
+            gopher=args.gopher,
+            embeddings=embeddings, emb_dim=args.emb_dim,
+            budget_tokens=args.budget_tokens, mixing_tau=args.mixing_tau,
         )
         res["packed"].write.mode("overwrite").partitionBy("lang").parquet(
             f"{args.prepare_corpus}/packed"
         )
-        print(json.dumps(res["stats"]()))
+        funnel = res["stats"]()
+        if res["mixture"] is not None:
+            funnel["mixture"] = res["mixture"].sources
+        print(json.dumps(funnel))
         return 0
 
     try:

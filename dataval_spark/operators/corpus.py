@@ -7,15 +7,21 @@ filters first, pair-generating stages on the already-shrunk corpus):
 
   1. quality gate      — row-local column predicates (no shuffle):
                          token-count bounds, quality score, optional
-                         language allow-list, PII redaction.
+                         language allow-list, PII redaction, and
+                         (optional) the Gopher repetition ceilings —
+                         also row-local HOF folds, still no shuffle.
   2. exact dedup       — keep the lowest-id member per normalized-text
                          fingerprint (one window shuffle).
   3. near dedup        — SimHash pigeonhole pairs -> connected
-                         components -> keep each cluster's canonical.
+                         components -> keep each cluster's canonical;
+                         optionally followed by SemDeDup semantic
+                         dedup over a joined embedding column.
   4. decontamination   — drop docs exactly matching OR sharing >=
                          min 8-gram hits with the benchmark set
                          (benchmark side broadcast; corpus shuffle-free).
-  5. packing           — greedy context-window packing per language,
+  5. mixing (optional) — deterministic temperature-weighted sampling
+                         down to a token budget (shuffle-free filter).
+  6. packing           — greedy context-window packing per language,
                          closed-form offsets (one shuffle on the group).
 
 Every stage is the library operator, not a re-implementation — this
@@ -51,6 +57,18 @@ def prepare_corpus(
     redact: bool = True,
     checkpoint_dir: str | None = None,
     pack_shards: int = 1,
+    gopher: bool = False,
+    gopher_min_tokens: int = 50,
+    embeddings: DataFrame | None = None,
+    emb_dim: int = 64,
+    emb_id_col: str = "doc_id",
+    emb_vec_col: str = "embedding",
+    semantic_k: int = 16,
+    semantic_threshold: float = 0.95,
+    budget_tokens: int | None = None,
+    mixing_tau: float = 0.7,
+    source_col: str = "source",
+    mixing_seed: int = 0,
 ) -> dict:
     """Run the full preparation flow. NOTE: the near-dedup phase
     (SimHash code materialization + connected-components iteration) runs
@@ -64,8 +82,15 @@ def prepare_corpus(
     re-deriving its (un-persisted) upstream chain, so call it for audit
     runs, not in a hot loop.
 
-    Keys: quality_pass, exact_deduped, near_deduped, decontaminated,
-    packed, stats().
+    Keys: quality_pass, exact_deduped, near_deduped (post-semantic-dedup
+    when ``embeddings`` is given), decontaminated, sampled + mixture
+    (None unless ``budget_tokens`` is set), packed, stats().
+
+    Optional stages: ``gopher=True`` adds the repetition ceilings to the
+    quality gate; ``embeddings`` (+``emb_dim``) runs SemDeDup semantic
+    dedup after the SimHash pass; ``budget_tokens`` samples the
+    decontaminated corpus down to a token budget with
+    temperature-``mixing_tau`` source weights before packing.
     """
     tc = X.token_count(F.col(text_col))
     gate = (
@@ -77,6 +102,18 @@ def prepare_corpus(
     if langs is not None:
         gate = gate & X.lang_id(F.col(text_col)).isin(*langs)
     quality_pass = docs.where(gate)
+    if gopher:
+        from dataval_spark.operators.quality_filters import gopher_repetition_ok
+
+        # Gopher applies the repetition ceilings AFTER its >=50-word
+        # length gate: below that, a single occurrence of one long
+        # n-gram already exceeds the top-n-gram ceilings. Shorter docs
+        # pass through (min_tokens still governs them).
+        quality_pass = (
+            gopher_repetition_ok(quality_pass, text_col)
+            .where((tc < gopher_min_tokens) | F.col("repetition_ok"))
+            .select(*docs.columns)  # metrics are gate-internal
+        )
     if redact:
         quality_pass = quality_pass.withColumn(
             text_col, X.redact_pii(F.col(text_col))
@@ -104,6 +141,27 @@ def prepare_corpus(
     labels = D.connected_components(ids, pairs, checkpoint_dir=checkpoint_dir)
     near_deduped = D.keep_cluster_canonical(exact_deduped, labels, id_col)
 
+    if embeddings is not None:
+        from dataval_spark.operators.semdedup import semantic_dedup
+
+        emb = embeddings.select(
+            F.col(emb_id_col).alias(id_col), F.col(emb_vec_col).alias("_emb")
+        )
+        # left join: docs without an embedding carry a NULL vector,
+        # which the dedup family treats as "no near-dup evidence" and
+        # always keeps
+        with_vecs = near_deduped.join(emb, id_col, "left")
+        sem = semantic_dedup(
+            with_vecs,
+            emb_dim,
+            k=semantic_k,
+            threshold=semantic_threshold,
+            id_col=id_col,
+            vec_col="_emb",
+            checkpoint_dir=checkpoint_dir,
+        )
+        near_deduped = sem.kept.drop("_emb")
+
     decontaminated = near_deduped
     if benchmark is not None:
         exact_hits = D.contamination(near_deduped, benchmark, id_col, text_col)
@@ -119,6 +177,21 @@ def prepare_corpus(
         decontaminated = near_deduped.join(contaminated, id_col, "left_anti")
 
     sized = decontaminated.withColumn("n_tok", X.token_count(F.col(text_col)))
+
+    mixture = None
+    if budget_tokens is not None:
+        from dataval_spark.operators.mixing import sample_to_budget
+
+        if source_col not in sized.columns:
+            raise ValueError(
+                f"budget_tokens set but source column {source_col!r} is "
+                f"missing — mixing needs a per-doc source"
+            )
+        sized, mixture = sample_to_budget(
+            sized, budget_tokens, source_col, "n_tok", id_col,
+            tau=mixing_tau, seed=mixing_seed,
+        )
+
     # pack_shards: at corpus scale the language key's cardinality bounds
     # the packing sort's parallelism — size ~ cores / n_langs (see
     # packing.pack_greedy)
@@ -135,6 +208,9 @@ def prepare_corpus(
             "n_exact_deduped": exact_deduped.count(),
             "n_near_deduped": near_deduped.count(),
             "n_decontaminated": decontaminated.count(),
+            **(
+                {"n_sampled": sized.count()} if budget_tokens is not None else {}
+            ),
             "n_packed_bins": packed.select(lang_col, "bin").distinct().count(),
         }
 
@@ -143,6 +219,8 @@ def prepare_corpus(
         "exact_deduped": exact_deduped,
         "near_deduped": near_deduped,
         "decontaminated": decontaminated,
+        "sampled": sized if budget_tokens is not None else None,
+        "mixture": mixture,
         "packed": packed,
         "stats": stats,
     }

@@ -973,3 +973,64 @@ def test_media_integrity_null_kind_flagged(spark):
     (r,) = M.media_integrity_flags(df).collect()
     assert not r.approved
     assert r.dataval & 2  # bad kind
+
+
+def test_prepare_corpus_optional_stages(spark):
+    """gopher gate, SemDeDup stage, and budget mixing compose into the
+    funnel: each drops exactly the rows it owns."""
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    distinct2 = (
+        "an entirely separate second document whose words overlap nothing "
+        "from before because every token here is new and occurs just once"
+    )
+    rows = [
+        (1, base + " one", "en", "web"),
+        (2, "spam " * 60, "en", "web"),  # gopher: 60 words, all repeats
+        (3, distinct2, "en", "web"),
+        (4, distinct2 + " tail marker", "en", "web"),  # semantic dup of 3
+        (5, base + " totally reworded into unrelated fresh prose today",
+         "en", "wiki"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    # embeddings: docs 3 and 4 identical vectors -> semantic dup pair;
+    # doc 2 has no embedding row (kept by contract, but gopher kills it
+    # first); others orthogonal
+    emb = spark.createDataFrame(
+        [
+            (1, [10.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 10.0, 0.0, 0.0]),
+            (4, [0.0, 10.0, 0.0, 0.0]),
+            (5, [0.0, 0.0, 10.0, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out = prepare_corpus(
+        docs,
+        min_tokens=5,
+        gopher=True,
+        embeddings=emb,
+        emb_dim=4,
+        semantic_k=3,
+        semantic_threshold=0.99,
+        budget_tokens=10_000,  # far above corpus size -> keeps all
+        mixing_tau=1.0,
+    )
+    s = out["stats"]()
+    assert s["n_input"] == 5
+    assert s["n_quality_pass"] == 4        # doc 2 fails gopher
+    assert s["n_exact_deduped"] == 4       # no exact dups planted
+    assert s["n_near_deduped"] == 3        # doc 4 = semantic dup of 3
+    kept = {r.doc_id for r in out["near_deduped"].select("doc_id").collect()}
+    assert kept == {1, 3, 5}
+    assert s["n_sampled"] == 3             # budget >> corpus: all kept
+    assert out["mixture"] is not None
+    rates = {m["source"]: m["rate"] for m in out["mixture"].sources}
+    assert set(rates) == {"web", "wiki"} and all(r == 1.0 for r in rates.values())
+    assert "bin" in out["packed"].columns
