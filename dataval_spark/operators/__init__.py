@@ -1,3 +1,27 @@
-from dataval_spark.operators import dedup, multimodal, similarity, text
+from dataval_spark.operators import (
+    corpus,
+    dedup,
+    ivf,
+    mixing,
+    multimodal,
+    packing,
+    quality_filters,
+    rollup,
+    semdedup,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = [
+    "corpus",
+    "dedup",
+    "ivf",
+    "mixing",
+    "multimodal",
+    "packing",
+    "quality_filters",
+    "rollup",
+    "semdedup",
+    "similarity",
+    "text",
+]
