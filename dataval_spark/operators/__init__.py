@@ -6,6 +6,7 @@ from dataval_spark.operators import (
     multimodal,
     packing,
     quality_filters,
+    quantize,
     rollup,
     semdedup,
     similarity,
@@ -20,6 +21,7 @@ __all__ = [
     "multimodal",
     "packing",
     "quality_filters",
+    "quantize",
     "rollup",
     "semdedup",
     "similarity",
