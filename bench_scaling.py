@@ -74,25 +74,34 @@ def _burn(n: int) -> int:
 
 
 def generate(n_convs: int, path: str) -> int:
-    from dataval_spark.fixtures import transcripts
-    from dataval_spark.session import get_spark
+    """Generate the input in a FRESH SUBPROCESS. In-process generation
+    left its gateway JVM alive (spark.stop() stops the context, not the
+    py4j gateway, which lives until the owning Python process exits) —
+    measured at ~350% CPU through every subsequent level sample,
+    polluting the very ratios this script exists to measure."""
+    code = f"""
+import sys
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from dataval_spark.fixtures import transcripts
+from dataval_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="bench_gen", master="local[32]",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+spark = get_spark(app_name="bench_gen", master="local[32]",
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+df = transcripts(spark, n_convs={n_convs}, seed=2187, n_parts=64,
+                 skew_convs=16, skew_turns=50_000)
+df.repartition(128).write.mode("overwrite").parquet({path!r})
+print("GENERATED", spark.read.parquet({path!r}).count())
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
-    df = transcripts(
-        spark, n_convs=n_convs, seed=2187, n_parts=64,
-        skew_convs=16, skew_turns=50_000,
+    for line in out.stdout.splitlines():
+        if line.startswith("GENERATED "):
+            return int(line.split()[1])
+    raise RuntimeError(
+        f"generation failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
-    (
-        df.repartition(128)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
-    n = spark.read.parquet(path).count()
-    spark.stop()
-    return n
 
 
 def run_level_once(level: int, path: str) -> dict:
