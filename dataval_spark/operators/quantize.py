@@ -46,7 +46,10 @@ def quantize_scale(vec: Column) -> Column:
 
 def quantize_vec(vec: Column) -> Column:
     """array<tinyint> symmetric quantization. Zero vectors map to all
-    zeros (try_divide keeps the 0/0 lane NULL-free via coalesce)."""
+    zeros (try_divide keeps the 0/0 lane NULL-free via coalesce).
+    NULL *elements* inside a vector also quantize to 0 — callers that
+    must treat such vectors as invalid should filter with
+    `similarity.vector_ok` first (the ANN operators already do)."""
     v = vec.cast("array<double>")
     s = quantize_scale(vec)
     return F.transform(

@@ -154,7 +154,25 @@ def semantic_dedup(
     exemplar, maximizing retained diversity), ties broken by id."""
     if keep not in ("min_id", "centroid_far"):
         raise ValueError(f"unknown keep policy {keep!r}")
-    centroids = train_centroids(df, dim, k, vec_col, id_col, iters)
+    # Train on VALID vectors only, with k degraded to their count: in a
+    # composed pipeline most docs may carry no embedding (left join), and
+    # a k-means trainer sampling the whole frame would find too few valid
+    # rows and raise. Zero valid vectors = nothing to dedup: the whole
+    # input is kept, with empty evidence frames.
+    valid = df.where(vector_ok(F.col(vec_col), dim))
+    n_valid = valid.limit(4 * k).count()  # capped probe: only "< 4k?" matters
+    if n_valid == 0:
+        spark = df.sparkSession
+        id_type = dict(df.dtypes)[id_col]
+        empty_labels = spark.createDataFrame(
+            [], f"doc {id_type}, cluster {id_type}"
+        )
+        empty_pairs = spark.createDataFrame(
+            [], f"doc_a {id_type}, doc_b {id_type}, sim double"
+        )
+        return SemanticDedupResult(df, empty_labels, empty_pairs, [])
+    k_eff = min(k, n_valid)
+    centroids = train_centroids(valid, dim, k_eff, vec_col, id_col, iters)
     indexed = build_index(df, centroids, vec_col)
     pairs = within_cluster_pairs(
         indexed, dim, threshold, id_col, vec_col, sub_planes=sub_planes

@@ -157,3 +157,26 @@ def test_sub_planes_never_lose_exact_duplicates(docs_df):
 def test_bad_keep_policy_raises(docs_df):
     with pytest.raises(ValueError, match="keep policy"):
         semantic_dedup(docs_df, DIM, keep="best_vibes")
+
+
+def test_no_valid_vectors_keeps_everything(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", [1.0, 2.0]), ("c", [1.0] * (DIM - 1) + [None])],
+        "doc_id string, embedding array<double>",
+    )
+    res = semantic_dedup(df, DIM, k=4, id_col="doc_id")
+    assert res.kept.count() == 3
+    assert res.labels.count() == 0 and res.pairs.count() == 0
+    assert res.centroids == []
+
+
+def test_fewer_valid_vectors_than_k_degrades(spark):
+    rows = [("a", [1.0] + [0.0] * (DIM - 1)),
+            ("b", [1.0] + [0.0] * (DIM - 1)),
+            ("c", None), ("d", None), ("e", None)]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    res = semantic_dedup(df, DIM, k=16, threshold=0.99, id_col="doc_id")
+    # identical pair still found and collapsed; k silently degraded to 2
+    kept = {r["doc_id"] for r in res.kept.collect()}
+    assert kept == {"a", "c", "d", "e"}
+    assert len(res.centroids) <= 2
