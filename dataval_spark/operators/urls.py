@@ -1,0 +1,111 @@
+"""URL canonicalization and domain extraction for web-corpus pipelines.
+
+Web-scraped corpora dedup on URL before they dedup on content (the
+CommonCrawl-derived pipelines — C4, RefinedWeb, Dolma — all carry a
+URL-normalize + exact-URL-dedup stage and per-domain quality/blocklist
+filters). These are pure JVM regexp/array expressions: no UDF, no
+shuffle, fused into the scan.
+
+Canonical form (documented spec, mirrored by the tests):
+  1. trim; drop the #fragment;
+  2. lowercase the scheme and host (NOT the path/query — paths are
+     case-sensitive);
+  3. strip default ports (:80 for http, :443 for https);
+  4. remove tracking query parameters (utm_*, fbclid, gclid, msclkid,
+     igshid, mc_cid, mc_eid, ref_src), tidying separators;
+  5. collapse "scheme://host/" to "scheme://host" (root path only —
+     deeper trailing slashes are preserved; /a/ and /a are different
+     resources).
+
+`registrable_domain` approximates the public-suffix list with the
+common multi-part suffixes embedded below — the full PSL is a data
+file, not an algorithm; swap `MULTI_PART_SUFFIXES` for a broadcast
+lookup against the real list in production. IP hosts pass through
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "url_host",
+    "canonical_url",
+    "registrable_domain",
+    "url_dedup_key",
+]
+
+_TRACKING = r"(?:utm_[^=&#]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)"
+
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar", "com.sg",
+    "co.in", "co.kr", "co.za", "co.nz", "co.id",
+)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (no port, no credentials) of an absolute URL;
+    NULL when the input has no scheme://host shape."""
+    h = F.lower(
+        F.regexp_extract(F.trim(url), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    # strip credentials and port
+    h = F.regexp_replace(h, r"^[^@]*@", "")
+    h = F.regexp_replace(h, r":\d+$", "")
+    return F.when(F.length(h) > 0, h)
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonical form per the module spec. NULL-safe (NULL -> NULL)."""
+    u = F.trim(url)
+    # 1. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase scheme://host (credentials+port included in the
+    #    authority span; only ASCII case matters in hosts)
+    auth = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(auth) + F.lit(1), F.lit(1 << 30))
+    u = F.concat(F.lower(auth), rest)
+    # 3. default ports
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80(?=[/?#]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443(?=[/?#]|$)", r"$1")
+    # 4. tracking params: non-first occurrences (global), then a
+    #    tracking param in first position followed by a survivor, then a
+    #    lone first tracking param
+    u = F.regexp_replace(u, r"&" + _TRACKING + r"=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?" + _TRACKING + r"=[^&#]*&", "?")
+    u = F.regexp_replace(u, r"\?" + _TRACKING + r"=[^&#]*$", "")
+    # 5. bare root slash
+    u = F.regexp_replace(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)/$", r"$1")
+    return u
+
+
+def registrable_domain(url: Column) -> Column:
+    """eTLD+1 under the embedded suffix approximation: the last two host
+    labels, or three when the last two are a known multi-part suffix.
+    IPv4 hosts and single-label hosts pass through unchanged."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(is_ip | (n < 2), host)
+        .when((n >= 3) & last2.isin(*MULTI_PART_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def url_dedup_key(url: Column) -> Column:
+    """Hash key for exact URL dedup: md5 of the canonical form. Feed to
+    `dedup.exact_dup_groups`-style groupBys or `dedup_keep_first`."""
+    return F.md5(canonical_url(url))
