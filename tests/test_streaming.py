@@ -461,3 +461,50 @@ def test_stateful_kernel_tolerates_null_idx_and_ts():
     out = pd.concat(validate_conversation(("c1",), iter([pdf]), state))
     assert list(out["turn_idx"]) == [0, 1, 2]  # NaN row skipped
     assert (out["dataval"] == 0).all()
+
+
+def test_row_local_pipeline_ops_run_on_streams(spark, tmp_path):
+    """The round-4 row-local operators (Gopher repetition metrics, URL
+    canonicalization, int8 quantization, the mixing sample filter) are
+    stateless column expressions, so they must run unchanged inside a
+    Structured Streaming micro-batch and agree with the batch run."""
+    import pyspark.sql.functions as F
+
+    from dataval_spark.operators.mixing import uniform_hash
+    from dataval_spark.operators.quality_filters import repetition_metrics
+    from dataval_spark.operators.quantize import quantize_embeddings
+    from dataval_spark.operators.urls import canonical_url
+
+    rows = [
+        ("d1", "the cat sat\nthe cat sat\nnew line",
+         "https://Example.COM/x?utm_source=a&b=1", [1.0, -2.0, 3.0, 4.0]),
+        ("d2", "all distinct words here today friends",
+         "http://other.example.co.uk:80/y", [0.0, 0.0, 0.0, 0.0]),
+        ("d3", None, None, None),
+    ]
+    schema = "doc_id string, text string, url string, embedding array<double>"
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "in")
+    df.write.parquet(d)
+
+    def transform(frame):
+        out = repetition_metrics(frame, "text", top_ns=(2,), dup_ns=(5,))
+        out = out.withColumn("curl", canonical_url(F.col("url")))
+        out = quantize_embeddings(out)
+        return out.withColumn("u", F.round(uniform_hash(F.col("doc_id"), 7), 9))
+
+    stream = spark.readStream.schema(df.schema).parquet(d)
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("rowlocal_ops")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in spark.sql("select * from rowlocal_ops").collect()
+    }
+    want = {r["doc_id"]: r.asDict() for r in transform(df).collect()}
+    assert got == want and len(got) == 3
