@@ -5,6 +5,13 @@ operators so a user gets the whole flow in one call.
 Stage order follows standard practice (cheapest and highest-yield
 filters first, pair-generating stages on the already-shrunk corpus):
 
+  0. boilerplate strip — (optional) C4-style cross-document line dedup
+                         BEFORE the quality gate, so navigation/cookie
+                         boilerplate does not distort quality metrics.
+  0.5 URL dedup        — (optional) keep the first document per
+                         canonical URL (tracking params stripped) —
+                         cheaper than any content dedup, so it runs
+                         before them.
   1. quality gate      — row-local column predicates (no shuffle):
                          token-count bounds, quality score, optional
                          language allow-list, PII redaction, and
@@ -59,6 +66,9 @@ def prepare_corpus(
     pack_shards: int = 1,
     gopher: bool = False,
     gopher_min_tokens: int = 50,
+    strip_boilerplate: bool = False,
+    boilerplate_max_occurrences: int = 2,
+    dedup_url_col: str | None = None,
     embeddings: DataFrame | None = None,
     emb_dim: int = 64,
     emb_id_col: str = "doc_id",
@@ -82,7 +92,8 @@ def prepare_corpus(
     re-deriving its (un-persisted) upstream chain, so call it for audit
     runs, not in a hot loop.
 
-    Keys: quality_pass, exact_deduped, near_deduped (post-semantic-dedup
+    Keys: quality_pass (n_url_deduped in stats when ``dedup_url_col``
+    is set), exact_deduped, near_deduped (post-semantic-dedup
     when ``embeddings`` is given), decontaminated, sampled + mixture
     (None unless ``budget_tokens`` is set), packed, stats().
 
@@ -91,7 +102,40 @@ def prepare_corpus(
     dedup after the SimHash pass; ``budget_tokens`` samples the
     decontaminated corpus down to a token budget with
     temperature-``mixing_tau`` source weights before packing.
+    ``strip_boilerplate`` removes C4-style cross-document repeated lines
+    before anything else; ``dedup_url_col`` names a URL column to dedup
+    on (canonical form, keep-first) ahead of the content dedups.
     """
+    raw = docs
+    if strip_boilerplate:
+        from dataval_spark.operators.boilerplate import remove_boilerplate_lines
+
+        # rewrites text in place; row count is unchanged
+        docs = remove_boilerplate_lines(
+            docs, id_col, text_col, max_occurrences=boilerplate_max_occurrences
+        )
+    if dedup_url_col is not None:
+        from pyspark.sql import Window
+
+        from dataval_spark.operators.urls import url_dedup_key
+
+        # keep-first per canonical URL; NULL-URL docs are all kept (no
+        # URL evidence — same contract as the dirty-vector rule). Each
+        # NULL gets a per-row key so the window never sorts one giant
+        # NULL partition (partitionBy puts all NULLs in ONE group).
+        w = Window.partitionBy("_ukey").orderBy(F.col(id_col))
+        docs = (
+            docs.withColumn(
+                "_ukey",
+                F.coalesce(
+                    url_dedup_key(F.col(dedup_url_col)),
+                    F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string")),
+                ),
+            )
+            .withColumn("_urn", F.row_number().over(w))
+            .where(F.col("_urn") == 1)
+            .drop("_ukey", "_urn")
+        )
     tc = X.token_count(F.col(text_col))
     gate = (
         F.col(text_col).isNotNull()
@@ -203,7 +247,12 @@ def prepare_corpus(
         # one count() per stage; each re-derives its upstream chain
         # (audit-run cost, documented in the prepare_corpus docstring)
         return {
-            "n_input": docs.count(),
+            "n_input": raw.count(),
+            **(
+                {"n_url_deduped": docs.count()}
+                if dedup_url_col is not None
+                else {}
+            ),
             "n_quality_pass": quality_pass.count(),
             "n_exact_deduped": exact_deduped.count(),
             "n_near_deduped": near_deduped.count(),

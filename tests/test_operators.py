@@ -1034,3 +1034,49 @@ def test_prepare_corpus_optional_stages(spark):
     rates = {m["source"]: m["rate"] for m in out["mixture"].sources}
     assert set(rates) == {"web", "wiki"} and all(r == 1.0 for r in rates.values())
     assert "bin" in out["packed"].columns
+
+
+def test_prepare_corpus_web_stages(spark):
+    """Boilerplate strip runs before the quality gate (so boilerplate
+    doesn't distort quality metrics) and URL dedup keeps first-per-
+    canonical-URL while keeping every NULL-URL doc."""
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    body = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    boiler = "Accept cookies to continue browsing"
+    rows = [
+        # 1 and 2: same canonical URL (tracking param stripped) -> keep 1
+        (1, boiler + "\n" + body + " one", "https://ex.com/a?utm_source=x", "en"),
+        (2, boiler + "\n" + body + " two", "https://ex.com/a", "en"),
+        # 3: distinct URL
+        (3, boiler + "\n" + body + " three entirely different close",
+         "https://ex.com/b", "en"),
+        # 4 and 5: no URL -> both kept
+        (4, body + " four reworded fresh and unrelated prose here", None, "en"),
+        (5, body + " five another unique continuation of words", None, "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, url string, lang string"
+    )
+    out = prepare_corpus(
+        docs,
+        min_tokens=5,
+        strip_boilerplate=True,
+        boilerplate_max_occurrences=2,
+        dedup_url_col="url",
+    )
+    s = out["stats"]()
+    assert s["n_input"] == 5
+    kept = {
+        r.doc_id: r.text
+        for r in out["quality_pass"].select("doc_id", "text").collect()
+    }
+    # URL dedup dropped doc 2 (same canonical URL as 1, keep-first);
+    # NULL-URL docs 4 and 5 both survive
+    assert set(kept) == {1, 3, 4, 5}
+    # the boilerplate line (3 occurrences > max 2) is gone from survivors
+    assert all("Accept cookies" not in t for t in kept.values())
+    assert kept[1].startswith("alpha")
