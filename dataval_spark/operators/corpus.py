@@ -69,6 +69,8 @@ def prepare_corpus(
     strip_boilerplate: bool = False,
     boilerplate_max_occurrences: int = 2,
     dedup_url_col: str | None = None,
+    remove_spans: bool = False,
+    span_tokens: int = 20,
     embeddings: DataFrame | None = None,
     emb_dim: int = 64,
     emb_id_col: str = "doc_id",
@@ -104,7 +106,10 @@ def prepare_corpus(
     temperature-``mixing_tau`` source weights before packing.
     ``strip_boilerplate`` removes C4-style cross-document repeated lines
     before anything else; ``dedup_url_col`` names a URL column to dedup
-    on (canonical form, keep-first) ahead of the content dedups.
+    on (canonical form, keep-first) ahead of the content dedups;
+    ``remove_spans`` adds the substring-level ExactSubstr-style pass
+    (>= ``span_tokens``-token spans duplicated corpus-wide, first
+    occurrence spared) after document near-dedup.
     """
     raw = docs
     if strip_boilerplate:
@@ -205,6 +210,17 @@ def prepare_corpus(
             checkpoint_dir=checkpoint_dir,
         )
         near_deduped = sem.kept.drop("_emb")
+
+    if remove_spans:
+        from dataval_spark.operators.spans import remove_repeated_spans
+
+        # substring-level pass runs on the already-document-deduped
+        # corpus (Lee et al.'s ExactSubstr layer: near-dup docs share
+        # long spans without being near-dups; rewrite, not row drop)
+        near_deduped = remove_repeated_spans(
+            near_deduped, id_col, text_col,
+            span_tokens=span_tokens, min_occurrences=2,
+        )
 
     decontaminated = near_deduped
     if benchmark is not None:

@@ -1080,3 +1080,29 @@ def test_prepare_corpus_web_stages(spark):
     # the boilerplate line (3 occurrences > max 2) is gone from survivors
     assert all("Accept cookies" not in t for t in kept.values())
     assert kept[1].startswith("alpha")
+
+
+def test_prepare_corpus_span_removal(spark):
+    """remove_spans strips a corpus-duplicated span inside the funnel;
+    the first occurrence is spared."""
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    span = " ".join(f"dup{i}" for i in range(10))
+    a = ("alpha beta gamma delta epsilon zeta eta theta " + span
+         + " iota kappa lambda mu")
+    b = ("nu xi omicron pi rho sigma tau upsilon " + span
+         + " phi chi psi omega")
+    rows = [(1, a, "en"), (2, b, "en"),
+            (3, "plain third document with entirely fresh words only here",
+             "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = prepare_corpus(
+        docs, min_tokens=5, remove_spans=True, span_tokens=8,
+    )
+    texts = {
+        r.doc_id: r.text
+        for r in out["decontaminated"].select("doc_id", "text").collect()
+    }
+    assert "dup0" in texts[1]          # first occurrence spared
+    assert "dup0" not in texts[2]      # later copy stripped
+    assert texts[3] == rows[2][1]      # untouched doc byte-identical

@@ -1,0 +1,166 @@
+"""Repeated-span (substring-level) dedup vs an independent python
+mirror of the Lee-et-al.-style semantics."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataval_spark.operators.spans import (
+    remove_repeated_spans,
+    repeated_span_positions,
+    span_fingerprints,
+)
+
+
+def _py_spans(docs, k):
+    """Independent mirror: {(doc, pos): gram} for every k-token window."""
+    out = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        for p in range(len(toks) - k + 1):
+            out[(doc_id, p)] = " ".join(toks[p : p + k])
+    return out
+
+
+def _py_removable(docs, k, min_occ=2, spare_first=True):
+    spans = _py_spans(docs, k)
+    by_gram = {}
+    for key, gram in spans.items():
+        by_gram.setdefault(gram, []).append(key)
+    removable = set()
+    for gram, occs in by_gram.items():
+        if len(occs) >= min_occ:
+            occs = sorted(occs)
+            removable.update(occs[1:] if spare_first else occs)
+    return removable
+
+
+def _py_clean(docs, k, min_occ=2, spare_first=True):
+    removable = _py_removable(docs, k, min_occ, spare_first)
+    out = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        covered = set()
+        for (d, p) in removable:
+            if d == doc_id:
+                covered.update(range(p, p + k))
+        if covered:
+            out[doc_id] = " ".join(
+                t for i, t in enumerate(toks) if i not in covered
+            )
+        else:
+            out[doc_id] = text
+    return out
+
+
+WORDS = ("aqua bronze coral denim ember frost garnet hazel indigo jade "
+         "khaki lemon mauve navy olive pearl quartz rose slate teal").split()
+
+
+def _filler(seed, n):
+    # deterministic distinct filler: word + running counter
+    return " ".join(f"{WORDS[(seed + i) % len(WORDS)]}{seed}x{i}" for i in range(n))
+
+
+def _mk(spark, docs):
+    return spark.createDataFrame(list(docs), "doc_id long, text string")
+
+
+SPAN = " ".join(f"span{i}" for i in range(12))  # a 12-token span
+
+
+def test_repeated_span_detected_and_first_spared(spark):
+    docs = [
+        (1, _filler(1, 8) + " " + SPAN + " " + _filler(2, 8)),
+        (2, _filler(3, 5) + " " + SPAN + " " + _filler(4, 9)),
+        (3, _filler(5, 30)),
+    ]
+    got = {
+        (r.doc, r.pos)
+        for r in repeated_span_positions(
+            _mk(spark, docs), span_tokens=8, min_occurrences=2
+        ).collect()
+    }
+    assert got == _py_removable(docs, 8)
+    # doc 1 (globally first) is spared entirely; doc 3 untouched
+    assert got and all(d == 2 for d, _ in got)
+
+
+def test_remove_rebuilds_only_affected_docs(spark):
+    docs = [
+        (1, _filler(1, 8) + " " + SPAN + " " + _filler(2, 8)),
+        (2, _filler(3, 5) + " " + SPAN + " " + _filler(4, 9)),
+        (3, _filler(5, 30)),
+    ]
+    out = {
+        r.doc_id: r.text
+        for r in remove_repeated_spans(
+            _mk(spark, docs), span_tokens=8, min_occurrences=2
+        ).collect()
+    }
+    assert out == _py_clean(docs, 8)
+    # untouched docs keep text byte-identical
+    assert out[1] == docs[0][1]
+    assert out[3] == docs[2][1]
+    # the duplicated span is fully gone from doc 2
+    assert "span0" not in out[2] and "span11" not in out[2]
+    # and doc 2's filler survives
+    assert out[2].split()[0] == docs[1][1].split()[0]
+
+
+def test_remove_all_occurrences(spark):
+    docs = [
+        (1, _filler(1, 8) + " " + SPAN + " " + _filler(2, 8)),
+        (2, _filler(3, 5) + " " + SPAN + " " + _filler(4, 9)),
+    ]
+    out = {
+        r.doc_id: r.text
+        for r in remove_repeated_spans(
+            _mk(spark, docs), span_tokens=8, min_occurrences=2,
+            spare_first=False,
+        ).collect()
+    }
+    assert out == _py_clean(docs, 8, spare_first=False)
+    assert all("span3" not in t for t in out.values())
+
+
+def test_within_doc_repetition_counts(spark):
+    # the span occurs twice in ONE doc -> second occurrence removed
+    docs = [(1, SPAN + " " + _filler(1, 6) + " " + SPAN)]
+    out = {
+        r.doc_id: r.text
+        for r in remove_repeated_spans(
+            _mk(spark, docs), span_tokens=12, min_occurrences=2
+        ).collect()
+    }
+    assert out == _py_clean(docs, 12)
+    assert out[1].split().count("span0") == 1
+
+
+def test_short_and_null_docs_pass_through(spark):
+    docs_rows = [(1, "tiny doc"), (2, None), (3, _filler(1, 25))]
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in remove_repeated_spans(df, span_tokens=8).collect()}
+    assert out == {1: "tiny doc", 2: None, 3: docs_rows[2][1]}
+    # short docs yield no fingerprints at all
+    assert span_fingerprints(df.where(F.col("doc_id") == 1), span_tokens=8).count() == 0
+
+
+@pytest.mark.parametrize("k,min_occ,spare", [(5, 2, True), (8, 3, False)])
+def test_randomized_mirror_parity(spark, k, min_occ, spare):
+    import random
+
+    rng = random.Random(42 + k)
+    vocab = [f"w{i}" for i in range(30)]  # small vocab -> natural repeats
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(25)
+    ]
+    out = {
+        r.doc_id: r.text
+        for r in remove_repeated_spans(
+            _mk(spark, docs), span_tokens=k, min_occurrences=min_occ,
+            spare_first=spare,
+        ).collect()
+    }
+    assert out == _py_clean(docs, k, min_occ, spare)
