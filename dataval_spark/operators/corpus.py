@@ -12,6 +12,10 @@ filters first, pair-generating stages on the already-shrunk corpus):
                          canonical URL (tracking params stripped) —
                          cheaper than any content dedup, so it runs
                          before them.
+  0.7 domain filter    — (optional) registrable-domain block/allow
+                         lists (C4 badwords domains, RefinedWeb URL
+                         filtering); rows with no parseable host are
+                         kept (no-evidence contract).
   1. quality gate      — row-local column predicates (no shuffle):
                          token-count bounds, quality score, optional
                          language allow-list, PII redaction, and
@@ -69,6 +73,8 @@ def prepare_corpus(
     strip_boilerplate: bool = False,
     boilerplate_max_occurrences: int = 2,
     dedup_url_col: str | None = None,
+    domain_block=None,
+    domain_allow=None,
     remove_spans: bool = False,
     span_tokens: int = 20,
     embeddings: DataFrame | None = None,
@@ -106,7 +112,9 @@ def prepare_corpus(
     temperature-``mixing_tau`` source weights before packing.
     ``strip_boilerplate`` removes C4-style cross-document repeated lines
     before anything else; ``dedup_url_col`` names a URL column to dedup
-    on (canonical form, keep-first) ahead of the content dedups;
+    on (canonical form, keep-first) ahead of the content dedups —
+    ``domain_block``/``domain_allow`` (collections or single-column
+    DataFrames of registrable domains) filter on that same column;
     ``remove_spans`` adds the substring-level ExactSubstr-style pass
     (>= ``span_tokens``-token spans duplicated corpus-wide, first
     occurrence spared) after document near-dedup.
@@ -140,6 +148,17 @@ def prepare_corpus(
             .withColumn("_urn", F.row_number().over(w))
             .where(F.col("_urn") == 1)
             .drop("_ukey", "_urn")
+        )
+    if (domain_block is not None or domain_allow is not None):
+        from dataval_spark.operators.urls import filter_by_domain
+
+        if dedup_url_col is None:
+            raise ValueError(
+                "domain_block/domain_allow need dedup_url_col to name "
+                "the URL column"
+            )
+        docs = filter_by_domain(
+            docs, dedup_url_col, block=domain_block, allow=domain_allow
         )
     tc = X.token_count(F.col(text_col))
     gate = (

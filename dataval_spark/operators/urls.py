@@ -34,6 +34,7 @@ __all__ = [
     "canonical_url",
     "registrable_domain",
     "url_dedup_key",
+    "filter_by_domain",
 ]
 
 _TRACKING = r"(?:utm_[^=&#]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)"
@@ -109,3 +110,60 @@ def url_dedup_key(url: Column) -> Column:
     """Hash key for exact URL dedup: md5 of the canonical form. Feed to
     `dedup.exact_dup_groups`-style groupBys or `dedup_keep_first`."""
     return F.md5(canonical_url(url))
+
+
+def filter_by_domain(
+    df,
+    url_col: str = "url",
+    block=None,
+    allow=None,
+    keep_null: bool = True,
+):
+    """Drop rows whose registrable domain is blocklisted (C4's badwords
+    domains, RefinedWeb's URL filtering) and/or outside an allowlist.
+
+    ``block``/``allow`` are each either a python collection of
+    registrable domains (folded into the scan as an `isin` — the common
+    case: curated lists are thousands of entries) or a single-column
+    DataFrame of domains (broadcast anti/semi join — for lists too big
+    to inline in the plan; pass `F.broadcast(...)`-worthy frames only,
+    the join is keyed on the domain).
+
+    ``keep_null`` (default): rows with no parseable host carry no domain
+    evidence and are KEPT — the same no-evidence-keeps contract as
+    NULL-URL dedup and dirty-vector LSH. Set False to drop them (strict
+    allowlist deployments).
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    dom = registrable_domain(F.col(url_col))
+    out = df.withColumn("_dom", dom)
+    null_ok = F.col("_dom").isNull() & F.lit(keep_null)
+    if block is not None:
+        if isinstance(block, _DF):
+            bcol = block.columns[0]
+            out = out.join(
+                F.broadcast(block.select(F.col(bcol).alias("_dom"))),
+                "_dom",
+                "left_anti",
+            )
+            if not keep_null:
+                out = out.where(F.col("_dom").isNotNull())
+        else:
+            out = out.where(null_ok | ~F.col("_dom").isin(*sorted(block)))
+    if allow is not None:
+        if isinstance(allow, _DF):
+            acol = allow.columns[0]
+            allowed = out.join(
+                F.broadcast(allow.select(F.col(acol).alias("_dom"))),
+                "_dom",
+                "left_semi",
+            )
+            out = (
+                allowed.unionByName(out.where(F.col("_dom").isNull()))
+                if keep_null
+                else allowed
+            )
+        else:
+            out = out.where(null_ok | F.col("_dom").isin(*sorted(allow)))
+    return out.drop("_dom")

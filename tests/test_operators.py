@@ -1106,3 +1106,25 @@ def test_prepare_corpus_span_removal(spark):
     assert "dup0" in texts[1]          # first occurrence spared
     assert "dup0" not in texts[2]      # later copy stripped
     assert texts[3] == rows[2][1]      # untouched doc byte-identical
+
+
+def test_prepare_corpus_domain_block(spark):
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    rows = [
+        (1, "first document with plenty of ordinary words to pass the gate",
+         "https://spam.example.com/x", "en"),
+        (2, "second document also carrying enough distinct tokens to pass",
+         "https://ok.example.org/y", "en"),
+        (3, "third document no url so it is kept by the evidence contract",
+         None, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string, lang string")
+    out = prepare_corpus(
+        docs, min_tokens=5, dedup_url_col="url", domain_block={"example.com"},
+    )
+    kept = sorted(r.doc_id for r in out["quality_pass"].select("doc_id").collect())
+    assert kept == [2, 3]
+
+    with pytest.raises(ValueError, match="dedup_url_col"):
+        prepare_corpus(docs, domain_block={"example.com"})

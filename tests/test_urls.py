@@ -139,3 +139,68 @@ def test_no_shuffle(urls_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+class TestFilterByDomain:
+    def _df(self, spark):
+        rows = [
+            (1, "https://spam.example.com/page"),
+            (2, "https://news.bbc.co.uk/story"),
+            (3, "https://blog.example.org/post"),
+            (4, None),
+            (5, "not a url at all"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, url string")
+
+    def test_blocklist_collection(self, spark):
+        from dataval_spark.operators.urls import filter_by_domain
+
+        out = filter_by_domain(self._df(spark), block={"example.com"})
+        assert sorted(r.doc_id for r in out.collect()) == [2, 3, 4, 5]
+
+    def test_allowlist_collection_keeps_null(self, spark):
+        from dataval_spark.operators.urls import filter_by_domain
+
+        out = filter_by_domain(self._df(spark), allow={"bbc.co.uk"})
+        # 2 allowed; 4 and 5 have no domain evidence -> kept
+        assert sorted(r.doc_id for r in out.collect()) == [2, 4, 5]
+
+    def test_allowlist_strict_drops_null(self, spark):
+        from dataval_spark.operators.urls import filter_by_domain
+
+        out = filter_by_domain(
+            self._df(spark), allow={"bbc.co.uk"}, keep_null=False
+        )
+        assert sorted(r.doc_id for r in out.collect()) == [2]
+
+    def test_blocklist_dataframe(self, spark):
+        from dataval_spark.operators.urls import filter_by_domain
+
+        block = spark.createDataFrame([("example.com",)], "domain string")
+        out = filter_by_domain(self._df(spark), block=block)
+        assert sorted(r.doc_id for r in out.collect()) == [2, 3, 4, 5]
+
+    def test_allowlist_dataframe(self, spark):
+        from dataval_spark.operators.urls import filter_by_domain
+
+        allow = spark.createDataFrame([("bbc.co.uk",)], "domain string")
+        out = filter_by_domain(self._df(spark), allow=allow)
+        assert sorted(r.doc_id for r in out.collect()) == [2, 4, 5]
+
+    def test_block_and_allow_compose(self, spark):
+        from dataval_spark.operators.urls import filter_by_domain
+
+        out = filter_by_domain(
+            self._df(spark),
+            block={"example.com"},
+            allow={"bbc.co.uk", "example.com"},
+            keep_null=False,
+        )
+        assert sorted(r.doc_id for r in out.collect()) == [2]
+
+    def test_original_columns_preserved(self, spark):
+        from dataval_spark.operators.urls import filter_by_domain
+
+        out = filter_by_domain(self._df(spark), block={"nope.net"})
+        assert out.columns == ["doc_id", "url"]
+        assert out.count() == 5
