@@ -75,6 +75,7 @@ def prepare_corpus(
     dedup_url_col: str | None = None,
     domain_block=None,
     domain_allow=None,
+    paragraph_dedup: bool = False,
     remove_spans: bool = False,
     span_tokens: int = 20,
     embeddings: DataFrame | None = None,
@@ -115,9 +116,11 @@ def prepare_corpus(
     on (canonical form, keep-first) ahead of the content dedups —
     ``domain_block``/``domain_allow`` (collections or single-column
     DataFrames of registrable domains) filter on that same column;
-    ``remove_spans`` adds the substring-level ExactSubstr-style pass
-    (>= ``span_tokens``-token spans duplicated corpus-wide, first
-    occurrence spared) after document near-dedup.
+    ``paragraph_dedup`` keeps one copy of every corpus-duplicated
+    paragraph (Dolma's layer); ``remove_spans`` adds the substring-level
+    ExactSubstr-style pass (>= ``span_tokens``-token spans duplicated
+    corpus-wide, first occurrence spared) — both after document
+    near-dedup, coarse to fine.
     """
     raw = docs
     if strip_boilerplate:
@@ -229,6 +232,13 @@ def prepare_corpus(
             checkpoint_dir=checkpoint_dir,
         )
         near_deduped = sem.kept.drop("_emb")
+
+    if paragraph_dedup:
+        from dataval_spark.operators.paragraphs import dedup_paragraphs
+
+        # Dolma's layer: duplicated paragraphs kept once corpus-wide.
+        # Coarser than spans, finer than docs — runs between them.
+        near_deduped = dedup_paragraphs(near_deduped, id_col, text_col)
 
     if remove_spans:
         from dataval_spark.operators.spans import remove_repeated_spans

@@ -1128,3 +1128,23 @@ def test_prepare_corpus_domain_block(spark):
 
     with pytest.raises(ValueError, match="dedup_url_col"):
         prepare_corpus(docs, domain_block={"example.com"})
+
+
+def test_prepare_corpus_paragraph_dedup(spark):
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    quote = "a famous passage quoted verbatim in many documents exactly"
+    rows = [
+        (1, "own opening paragraph with sufficient words\n\n" + quote, "en"),
+        (2, quote + "\n\nanother document distinct trailing paragraph", "en"),
+        (3, "third document fully original text with enough tokens", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = prepare_corpus(docs, min_tokens=3, paragraph_dedup=True)
+    texts = {
+        r.doc_id: r.text
+        for r in out["decontaminated"].select("doc_id", "text").collect()
+    }
+    assert "famous passage" in texts[1]
+    assert "famous passage" not in texts[2]
+    assert texts[3] == rows[2][1]
