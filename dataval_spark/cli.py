@@ -96,6 +96,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mixing-tau", type=float, default=0.7,
                    help="with --budget-tokens: temperature for the mixture "
                         "weights (1=proportional, 0=uniform over sources)")
+    p.add_argument("--strip-boilerplate", action="store_true",
+                   help="with --prepare-corpus: remove C4-style "
+                        "cross-document repeated lines before the quality "
+                        "gate")
+    p.add_argument("--url-col", default=None,
+                   help="with --prepare-corpus: URL column for "
+                        "canonical-URL keep-first dedup ahead of content "
+                        "dedup (and the column --domain-block/--domain-"
+                        "allow filter on)")
+    p.add_argument("--domain-block", default=None,
+                   help="with --url-col: comma-separated registrable "
+                        "domains to drop")
+    p.add_argument("--domain-allow", default=None,
+                   help="with --url-col: comma-separated registrable "
+                        "domains to keep (no-URL rows are kept)")
+    p.add_argument("--paragraph-dedup", action="store_true",
+                   help="with --prepare-corpus: keep one copy of every "
+                        "corpus-duplicated paragraph (Dolma layer)")
+    p.add_argument("--remove-spans", action="store_true",
+                   help="with --prepare-corpus: strip corpus-duplicated "
+                        "token spans (ExactSubstr layer; first occurrence "
+                        "spared)")
+    p.add_argument("--span-tokens", type=int, default=20,
+                   help="with --remove-spans: minimum duplicated-span "
+                        "length in tokens")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -202,6 +227,17 @@ def main(argv: list[str] | None = None) -> int:
             gopher=args.gopher,
             embeddings=embeddings, emb_dim=args.emb_dim,
             budget_tokens=args.budget_tokens, mixing_tau=args.mixing_tau,
+            strip_boilerplate=args.strip_boilerplate,
+            dedup_url_col=args.url_col,
+            domain_block=(
+                set(args.domain_block.split(",")) if args.domain_block else None
+            ),
+            domain_allow=(
+                set(args.domain_allow.split(",")) if args.domain_allow else None
+            ),
+            paragraph_dedup=args.paragraph_dedup,
+            remove_spans=args.remove_spans,
+            span_tokens=args.span_tokens,
         )
         res["packed"].write.mode("overwrite").partitionBy("lang").parquet(
             f"{args.prepare_corpus}/packed"

@@ -306,3 +306,47 @@ def test_cli_prepare_corpus(spark, tmp_path, capsys):
     packed = spark.read.parquet(f"{out_dir}/packed")
     assert {r.doc_id for r in packed.select("doc_id").collect()} == {1, 7}
     assert {"bin", "lang", "n_tok"} <= set(packed.columns)
+
+
+def test_cli_prepare_corpus_web_flags(spark, tmp_path, capsys):
+    """--strip-boilerplate/--url-col/--domain-block/--paragraph-dedup/
+    --remove-spans reach their operators from the CLI."""
+    import json as _json
+
+    boiler = "Accept all cookies to continue reading this site"
+    quote = "an identical quoted paragraph repeated across documents verbatim"
+    span = " ".join(f"dup{i}" for i in range(10))
+    filler = lambda s, n: " ".join(f"w{s}x{j}" for j in range(n))
+    rows = [
+        (1, boiler + "\n" + filler(1, 8) + " " + span + "\n\n" + quote,
+         "https://good.example.org/a?utm_source=x", "en"),
+        (2, boiler + "\n" + filler(2, 8) + " " + span + "\n\n" + quote,
+         "https://good.example.org/b", "en"),
+        (3, boiler + "\n" + filler(3, 20), "https://good.example.org/a", "en"),  # URL dup of 1
+        (4, filler(4, 20), "https://evil.example.com/x", "en"),  # blocked domain
+        (5, filler(5, 20), None, "en"),  # no URL: kept
+    ]
+    docs_path = str(tmp_path / "docs_web")
+    out_dir = str(tmp_path / "corpus_web_out")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, url string, lang string"
+    ).write.parquet(docs_path)
+
+    rc = cli_main([
+        "--input", docs_path, "--prepare-corpus", out_dir,
+        "--min-tokens", "3", "--cpus", "8",
+        "--strip-boilerplate", "--url-col", "url",
+        "--domain-block", "example.com",
+        "--paragraph-dedup", "--remove-spans", "--span-tokens", "8",
+    ])
+    assert rc == 0
+    funnel = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["n_input"] == 5
+    # doc 3 dropped (URL dup of 1), doc 4 dropped (blocked domain)
+    assert funnel["n_url_deduped"] == 4 - 1  # 5 - url-dup - blocked = 3
+    packed = spark.read.parquet(f"{out_dir}/packed")
+    texts = {r.doc_id: r.text for r in packed.select("doc_id", "text").collect()}
+    assert set(texts) == {1, 2, 5}
+    assert all(boiler not in t for t in texts.values())     # boilerplate gone
+    assert sum(quote in t for t in texts.values()) == 1     # paragraph kept once
+    assert sum("dup0" in t for t in texts.values()) == 1    # span kept once
