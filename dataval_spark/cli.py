@@ -121,6 +121,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--span-tokens", type=int, default=20,
                    help="with --remove-spans: minimum duplicated-span "
                         "length in tokens")
+    p.add_argument("--split-long", action="store_true",
+                   help="with --prepare-corpus: explode documents longer "
+                        "than --window-tokens into window-sized chunks "
+                        "before packing")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -238,6 +242,7 @@ def main(argv: list[str] | None = None) -> int:
             paragraph_dedup=args.paragraph_dedup,
             remove_spans=args.remove_spans,
             span_tokens=args.span_tokens,
+            split_long=args.split_long,
         )
         res["packed"].write.mode("overwrite").partitionBy("lang").parquet(
             f"{args.prepare_corpus}/packed"

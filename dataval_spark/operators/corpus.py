@@ -68,6 +68,7 @@ def prepare_corpus(
     redact: bool = True,
     checkpoint_dir: str | None = None,
     pack_shards: int = 1,
+    split_long: bool = False,
     gopher: bool = False,
     gopher_min_tokens: int = 50,
     strip_boilerplate: bool = False,
@@ -116,6 +117,9 @@ def prepare_corpus(
     on (canonical form, keep-first) ahead of the content dedups —
     ``domain_block``/``domain_allow`` (collections or single-column
     DataFrames of registrable domains) filter on that same column;
+    ``split_long`` explodes documents longer than ``window_tokens``
+    into window-sized chunk rows (chunk_idx column) before packing;
+    raise ``max_tokens`` accordingly or long docs die at the gate.
     ``paragraph_dedup`` keeps one copy of every corpus-duplicated
     paragraph (Dolma's layer); ``remove_spans`` adds the substring-level
     ExactSubstr-style pass (>= ``span_tokens``-token spans duplicated
@@ -281,12 +285,38 @@ def prepare_corpus(
             tau=mixing_tau, seed=mixing_seed,
         )
 
+    pack_order = id_col
+    if split_long:
+        from dataval_spark.operators.packing import split_long_docs
+
+        # explode over-window docs into window-sized chunks AFTER
+        # sampling (budgets count documents once) and re-count tokens;
+        # the pack order key becomes (doc, chunk) so the window's sort
+        # stays deterministic across equal doc ids
+        sized = split_long_docs(
+            sized.drop("n_tok"), id_col, text_col, window_tokens
+        )
+        sized = sized.withColumn(
+            "n_tok", X.token_count(F.col(text_col))
+        ).withColumn(
+            "_pack_order",
+            F.concat_ws(
+                ":",
+                F.col(id_col).cast("string"),
+                F.lpad(F.col("chunk_idx").cast("string"), 6, "0"),
+            ),
+        )
+        pack_order = "_pack_order"
+
     # pack_shards: at corpus scale the language key's cardinality bounds
     # the packing sort's parallelism — size ~ cores / n_langs (see
     # packing.pack_greedy)
     packed = pack_greedy(
-        sized, "n_tok", window_tokens, lang_col, id_col, n_shards=pack_shards
+        sized, "n_tok", window_tokens, lang_col, pack_order,
+        n_shards=pack_shards,
     )
+    if split_long:
+        packed = packed.drop("_pack_order")
 
     def stats() -> dict:
         # one count() per stage; each re-derives its upstream chain

@@ -84,3 +84,46 @@ def packing_stats(packed: DataFrame, token_col: str, group_col: str, out_bin: st
         F.max("bin_tokens").alias("max_bin_tokens"),
         F.round(F.avg("bin_tokens"), 4).alias("avg_bin_tokens"),
     )
+
+
+def split_long_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_tokens: int = 2048,
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Explode documents longer than one context window into
+    window-sized chunks (the standard pretraining move: a 100k-token
+    document becomes ~49 rows of <= window_tokens whitespace tokens,
+    each packable as a whole unit by pack_greedy).
+
+    Output: one row per chunk with ``idx_col`` (0-based, 0 for
+    unsplit docs). Documents at or under the window — and NULL-text
+    rows — pass through byte-identical with idx 0; split chunks are
+    re-joined with single spaces. Pure per-row array work fused into
+    the scan: no shuffle, no UDF.
+    """
+    from dataval_spark.operators.dedup import _bind
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def chunked(t: Column) -> Column:
+        n = F.size(t)
+        n_chunks = F.ceil(n / F.lit(window_tokens)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.concat_ws(
+                " ", F.slice(t, c * window_tokens + 1, window_tokens)
+            ),
+        )
+
+    pieces = F.when(
+        F.col(text_col).isNull()
+        | (F.coalesce(F.size(toks), F.lit(0)) <= window_tokens),
+        F.array(F.col(text_col)),
+    ).otherwise(_bind(toks, chunked))
+    other = [c for c in df.columns if c != text_col]
+    return df.select(
+        *other, F.posexplode_outer(pieces).alias(idx_col, text_col)
+    )

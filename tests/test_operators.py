@@ -1148,3 +1148,52 @@ def test_prepare_corpus_paragraph_dedup(spark):
     assert "famous passage" in texts[1]
     assert "famous passage" not in texts[2]
     assert texts[3] == rows[2][1]
+
+
+def test_split_long_docs(spark):
+    from dataval_spark.operators.packing import split_long_docs
+
+    long_text = " ".join(f"t{i}" for i in range(25))
+    rows = [
+        (1, "short doc stays whole"),
+        (2, long_text),          # 25 tokens, window 10 -> 3 chunks
+        (3, None),
+        (4, ""),
+        (5, " ".join(f"u{i}" for i in range(10))),  # exactly one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_long_docs(df, window_tokens=10)
+    got = {(r.doc_id, r.chunk_idx): r.text for r in out.collect()}
+    # python mirror
+    expect = {}
+    for doc_id, text in rows:
+        if text is None or len(text.split()) <= 10:
+            expect[(doc_id, 0)] = text
+        else:
+            t = text.split()
+            for c in range((len(t) + 9) // 10):
+                expect[(doc_id, c)] = " ".join(t[c * 10 : (c + 1) * 10])
+    assert got == expect
+    # short/NULL/empty rows byte-identical, chunks cover the long doc
+    assert got[(1, 0)] == rows[0][1]
+    assert got[(3, 0)] is None and got[(4, 0)] == ""
+    assert got[(2, 2)] == " ".join(f"t{i}" for i in range(20, 25))
+
+
+def test_prepare_corpus_split_long(spark):
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    long_text = " ".join(f"tok{i}" for i in range(30))
+    rows = [(1, long_text, "en"),
+            (2, "short document with plenty of unique words here", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = prepare_corpus(
+        docs, min_tokens=3, window_tokens=12, split_long=True,
+    )
+    packed = out["packed"].select("doc_id", "chunk_idx", "n_tok", "bin").collect()
+    by_doc = {}
+    for r in packed:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3            # 30 tokens / 12 -> 3 chunks
+    assert all(r.n_tok <= 12 for r in by_doc[1])
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_idx == 0
