@@ -84,6 +84,29 @@ def main() -> None:
     suite_sec = round(time.perf_counter() - t0, 3)
     timings["suite"] = suite_sec
 
+    # the end-to-end training-corpus pipeline over the documents table:
+    # web pre-stages + quality gate + exact/SimHash dedup + CC +
+    # paragraph/span layers + packing — counts the packed output (the
+    # stage frames are lazy; count() drives the whole funnel once).
+    # At toy SF this number is dominated by FIXED costs (whole-stage
+    # codegen compilation per distinct plan + one driver round-trip per
+    # CC iteration), not per-doc work: sf0.01 and sf0.1 land within a
+    # few seconds of each other. The per-doc cost is what scales.
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    prep = prepare_corpus(
+        docs, min_tokens=5, strip_boilerplate=True,
+        paragraph_dedup=True, remove_spans=True, split_long=True,
+        window_tokens=512, pack_shards=4,
+    )
+    corpus_rows = prep["packed"].count()
+    # reported beside the headline total, not inside it: the headline
+    # set is the like-for-like series the rounds compare; this is the
+    # end-to-end composition number
+    corpus_prep_sec = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -95,6 +118,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "suite_rows": n_rows,
                 "suite_turns_per_sec": round(n_rows / suite_sec) if suite_sec else None,
+                "corpus_prep_sec": corpus_prep_sec,
+                "corpus_packed_rows": corpus_rows,
                 "cpus": cpus,
             }
         )

@@ -204,16 +204,14 @@ def prepare_corpus(
         D.dedup_keep_first(quality_pass, id_col, text_col),
     )
 
-    pairs = D.simhash_near_pairs(
-        exact_deduped, id_col, text_col, bits=simhash_bits, max_hamming=max_hamming
+    # exact-code collapse first: the pair join + CC run on distinct
+    # simhash codes, not documents — same labels, measured 3x on the
+    # template-heavy test corpus (see simhash_clusters docstring)
+    labels = D.simhash_clusters(
+        exact_deduped, id_col, text_col,
+        bits=simhash_bits, max_hamming=max_hamming,
+        checkpoint_dir=checkpoint_dir,
     )
-    # content_bearing is the SAME predicate simhash_near_pairs applies
-    # internally, so the seed set provably covers every pair endpoint
-    # (strict connected_components raises if that ever drifts)
-    ids = exact_deduped.where(D.content_bearing(F.col(text_col))).select(
-        F.col(id_col).alias("doc")
-    )
-    labels = D.connected_components(ids, pairs, checkpoint_dir=checkpoint_dir)
     near_deduped = D.keep_cluster_canonical(exact_deduped, labels, id_col)
 
     if embeddings is not None:
@@ -237,6 +235,14 @@ def prepare_corpus(
         )
         near_deduped = sem.kept.drop("_emb")
 
+    if paragraph_dedup or remove_spans:
+        # both layers consume their input TWICE (fingerprint groupBy +
+        # join back), which would re-derive the whole upstream funnel
+        # per use — pin the post-doc-dedup frame once
+        near_deduped = D._cache_swap(
+            "prepare_corpus_near_deduped", near_deduped
+        )
+
     if paragraph_dedup:
         from dataval_spark.operators.paragraphs import dedup_paragraphs
 
@@ -247,6 +253,12 @@ def prepare_corpus(
     if remove_spans:
         from dataval_spark.operators.spans import remove_repeated_spans
 
+        if paragraph_dedup:
+            # the span pass reads its input twice too; don't re-run the
+            # paragraph rebuild for each use
+            near_deduped = D._cache_swap(
+                "prepare_corpus_para_deduped", near_deduped
+            )
         # substring-level pass runs on the already-document-deduped
         # corpus (Lee et al.'s ExactSubstr layer: near-dup docs share
         # long spans without being near-dups; rewrite, not row drop)

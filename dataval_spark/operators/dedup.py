@@ -585,6 +585,59 @@ def connected_components(
     return labels.select("doc", F.col("label").alias("cluster"))
 
 
+def simhash_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 60,
+    max_hamming: int = 3,
+    checkpoint_dir: str | None = None,
+    algorithm: str = "halving",
+) -> DataFrame:
+    """(doc, cluster) SimHash near-dup labels with an EXACT-CODE
+    COLLAPSE before the pair join — the scale path for cluster assembly
+    when you don't need the pair enumeration itself.
+
+    Template-heavy web corpora put thousands of near-identical docs on
+    the SAME simhash code; the pigeonhole join then enumerates all
+    C(k,2) intra-code pairs (measured: 271k pairs over 5k synthetic
+    docs, CC paying for every edge) even though those pairs carry no
+    extra connectivity. Hamming distance depends only on codes, so docs
+    sharing a code are connectivity-equivalent to one representative:
+    any cross pair (b, c) at ham <= h implies the same pair between
+    their reps, and members reach their rep's component through the
+    code group. The pair join + CC therefore run on DISTINCT CODES (the
+    corpus's template count) and labels broadcast back through the
+    groups. Because each rep is the min doc of its code group, the
+    component-min labels are identical to what the uncollapsed
+    simhash_near_pairs + connected_components pipeline produces.
+
+    checkpoint_dir / algorithm pass through to connected_components.
+    """
+    coded = (
+        df.where(content_bearing(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("doc"),
+            hashed_tokens(F.col(text_col), bits).alias("_ht"),
+        )
+        .select("doc", simhash_from_hashed(F.col("_ht"), bits).alias("code"))
+    )
+    coded = _cache_swap("simhash_clusters", coded)
+    groups = coded.groupBy("code").agg(F.min("doc").alias("rep"))
+    rep_coded = groups.select(F.col("rep").alias("doc"), "code")
+    rep_pairs = code_near_pairs(rep_coded, bits, max_hamming)
+    labels = connected_components(
+        rep_coded.select("doc"),
+        rep_pairs,
+        checkpoint_dir=checkpoint_dir,
+        algorithm=algorithm,
+    )
+    member = coded.join(groups, "code").select("doc", "rep")
+    return member.join(
+        labels.withColumnRenamed("doc", "rep"), "rep"
+    ).select("doc", "cluster")
+
+
 def keep_cluster_canonical(
     df: DataFrame, labels: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1197,3 +1197,36 @@ def test_prepare_corpus_split_long(spark):
     assert len(by_doc[1]) == 3            # 30 tokens / 12 -> 3 chunks
     assert all(r.n_tok <= 12 for r in by_doc[1])
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_idx == 0
+
+
+def test_simhash_clusters_equivalent_to_uncollapsed_pipeline(spark):
+    """Exact-code collapse must produce byte-identical labels to the
+    full simhash_near_pairs + connected_components pipeline, including
+    on a template-heavy corpus where many docs share one code."""
+    rows = [
+        (i, f"unique doc {i} about subject {i % 13} rating {(i * 7) % 29} stars")
+        for i in range(120)
+    ]
+    # 25 verbatim template copies (one code) + 10 near-misses of it
+    rows += [(500 + j, "the very same template text repeated verbatim")
+             for j in range(25)]
+    rows += [(600 + j, f"the very same template text repeated verbatim {j}")
+             for j in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = D.simhash_near_pairs(df, "doc_id", bits=32, max_hamming=3)
+    ids = df.where(D.content_bearing(F.col("text"))).select(
+        F.col("doc_id").alias("doc")
+    )
+    want = {
+        (r.doc, r.cluster)
+        for r in D.connected_components(ids, pairs).collect()
+    }
+    got = {
+        (r.doc, r.cluster)
+        for r in D.simhash_clusters(df, "doc_id", bits=32, max_hamming=3).collect()
+    }
+    assert got == want
+    # the template clique collapsed: all 25 copies share one cluster
+    clus = {d: c for d, c in got}
+    assert len({clus[500 + j] for j in range(25)}) == 1
