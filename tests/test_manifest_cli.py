@@ -4,6 +4,8 @@ method dispatch) — the reference's resume / exit-code behaviors
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -350,3 +352,37 @@ def test_cli_prepare_corpus_web_flags(spark, tmp_path, capsys):
     assert all(boiler not in t for t in texts.values())     # boilerplate gone
     assert sum(quote in t for t in texts.values()) == 1     # paragraph kept once
     assert sum("dup0" in t for t in texts.values()) == 1    # span kept once
+
+
+def test_spark_submit_py_files_deploy(spark, tmp_path):
+    """The north-rule launch path, for real: package.py builds the zip,
+    spark-submit --py-files runs run_validate.py with the package
+    importable ONLY from the zip, and the exit code follows the
+    validation contract (4 = errors: the fixture plants a drifted
+    partition)."""
+    import shutil
+    import subprocess
+    import sys
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        pytest.skip("spark-submit not on this host")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp = str(tmp_path / "submit_input")
+    transcripts(spark, n_convs=120, seed=2187, n_parts=4).write.parquet(inp)
+
+    zip_path = str(tmp_path / "dataval_spark.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "package.py"), zip_path],
+        check=True, capture_output=True,
+    )
+    # run from a scratch cwd so dataval_spark can ONLY come from the zip
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--py-files", zip_path,
+         os.path.join(repo, "run_validate.py"),
+         "--input", inp, "--report", "--cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 4, proc.stderr[-2000:]
+    assert "partitions passed" in proc.stderr or "partitions passed" in proc.stdout
