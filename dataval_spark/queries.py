@@ -1551,16 +1551,14 @@ def q51(spark, sf_dir):
     exercising multi-hop clustering (39 clusters / max size 56 at sf0.1).
     Dense-graph correctness is covered engine-vs-union-find in
     tests/test_operators.py. Seed sets are filtered IDENTICALLY on both
-    sides (token_count > 0): content-free docs are excluded from the
-    pair stage, so seeding them would diverge the census."""
-    from dataval_spark.operators.text import token_count
-
+    sides (token_count > 0 == content_bearing): content-free docs are
+    excluded from the pair stage, so seeding them would diverge the
+    census. Engine path: simhash_clusters — the exact-code collapse
+    runs the pair join + CC on distinct codes; its labels are provably
+    identical to the uncollapsed pipeline (equivalence-tested), so the
+    oracle's recursive closure is unchanged."""
     docs = t(spark, sf_dir, "documents").where(F.col("doc_id") % 50 == 0)
-    pairs = D.simhash_near_pairs(docs, "doc_id", "text", bits=16, max_hamming=1)
-    ids = docs.where(token_count(F.col("text")) > 0).select(
-        F.col("doc_id").alias("doc")
-    )
-    labels = D.connected_components(ids, pairs)
+    labels = D.simhash_clusters(docs, "doc_id", "text", bits=16, max_hamming=1)
     sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))
     return labels.join(sizes, "cluster").agg(
         F.count(F.lit(1)).alias("n_docs"),
