@@ -488,9 +488,17 @@ def test_row_local_pipeline_ops_run_on_streams(spark, tmp_path):
     df.write.parquet(d)
 
     def transform(frame):
+        from dataval_spark.operators.packing import split_long_docs
+        from dataval_spark.operators.urls import filter_by_domain
+
         out = repetition_metrics(frame, "text", top_ns=(2,), dup_ns=(5,))
         out = out.withColumn("curl", canonical_url(F.col("url")))
         out = quantize_embeddings(out)
+        # collection-branch domain filter + long-doc splitting are also
+        # row-local: must run per micro-batch unchanged
+        out = filter_by_domain(out, block={"blocked.example.net"})
+        out = split_long_docs(out, id_col="doc_id", text_col="text",
+                              window_tokens=4)
         return out.withColumn("u", F.round(uniform_hash(F.col("doc_id"), 7), 9))
 
     stream = spark.readStream.schema(df.schema).parquet(d)
@@ -503,8 +511,11 @@ def test_row_local_pipeline_ops_run_on_streams(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {
-        r["doc_id"]: r.asDict()
+        (r["doc_id"], r["chunk_idx"]): r.asDict()
         for r in spark.sql("select * from rowlocal_ops").collect()
     }
-    want = {r["doc_id"]: r.asDict() for r in transform(df).collect()}
-    assert got == want and len(got) == 3
+    want = {
+        (r["doc_id"], r["chunk_idx"]): r.asDict()
+        for r in transform(df).collect()
+    }
+    assert got == want and len(got) == 5  # d1 and d2 split into 2 chunks each
