@@ -130,6 +130,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _domain_list(raw: str | None) -> set[str] | None:
+    """Comma-separated registrable domains -> normalized set.
+    registrable_domain emits lowercase, space-free hosts, so ' Spam.COM'
+    would silently never match without the strip+lower."""
+    if not raw:
+        return None
+    out = {d.strip().lower() for d in raw.split(",")}
+    return {d for d in out if d} or None
+
+
 _METHOD_FILTER = {
     "nullness": ("not_null_text", "not_null_ts"),
     "uniqueness": ("unique_conv_id_turn_idx",),
@@ -233,12 +243,8 @@ def main(argv: list[str] | None = None) -> int:
             budget_tokens=args.budget_tokens, mixing_tau=args.mixing_tau,
             strip_boilerplate=args.strip_boilerplate,
             dedup_url_col=args.url_col,
-            domain_block=(
-                set(args.domain_block.split(",")) if args.domain_block else None
-            ),
-            domain_allow=(
-                set(args.domain_allow.split(",")) if args.domain_allow else None
-            ),
+            domain_block=_domain_list(args.domain_block),
+            domain_allow=_domain_list(args.domain_allow),
             paragraph_dedup=args.paragraph_dedup,
             remove_spans=args.remove_spans,
             span_tokens=args.span_tokens,

@@ -135,27 +135,21 @@ def prepare_corpus(
             docs, id_col, text_col, max_occurrences=boilerplate_max_occurrences
         )
     if dedup_url_col is not None:
-        from pyspark.sql import Window
-
         from dataval_spark.operators.urls import url_dedup_key
 
-        # keep-first per canonical URL; NULL-URL docs are all kept (no
-        # URL evidence — same contract as the dirty-vector rule). Each
-        # NULL gets a per-row key so the window never sorts one giant
-        # NULL partition (partitionBy puts all NULLs in ONE group).
-        w = Window.partitionBy("_ukey").orderBy(F.col(id_col))
-        docs = (
-            docs.withColumn(
-                "_ukey",
-                F.coalesce(
-                    url_dedup_key(F.col(dedup_url_col)),
-                    F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string")),
-                ),
-            )
-            .withColumn("_urn", F.row_number().over(w))
-            .where(F.col("_urn") == 1)
-            .drop("_ukey", "_urn")
+        # keep-first per canonical URL; NULL/blank-URL docs are all kept
+        # (no URL evidence — same contract as the dirty-vector rule).
+        # Each such doc gets a per-row key so the keep-first window never
+        # sorts one giant no-URL partition.
+        docs = D.dedup_keep_first(
+            docs, id_col,
+            key=F.coalesce(
+                url_dedup_key(F.col(dedup_url_col)),
+                F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string")),
+            ),
         )
+    url_deduped = docs  # BEFORE the domain filter: each funnel stage
+    # gets its own count so attrition is attributed to the right stage
     if (domain_block is not None or domain_allow is not None):
         from dataval_spark.operators.urls import filter_by_domain
 
@@ -267,6 +261,15 @@ def prepare_corpus(
             span_tokens=span_tokens, min_occurrences=2,
         )
 
+    if paragraph_dedup or remove_spans:
+        # the rewrite stages can hollow a document out (e.g. a doc that
+        # IS one big duplicated span); re-apply the token floor so empty
+        # husks don't reach packing — the gate upstream saw pre-rewrite
+        # text
+        near_deduped = near_deduped.where(
+            X.token_count(F.col(text_col)) >= min_tokens
+        )
+
     decontaminated = near_deduped
     if benchmark is not None:
         exact_hits = D.contamination(near_deduped, benchmark, id_col, text_col)
@@ -297,20 +300,22 @@ def prepare_corpus(
             tau=mixing_tau, seed=mixing_seed,
         )
 
+    sampled_frame = sized  # what "sampled"/n_sampled report: the
+    # budget-sampled corpus in DOCUMENT rows, before any chunk explode
     pack_order = id_col
     if split_long:
         from dataval_spark.operators.packing import split_long_docs
 
         # explode over-window docs into window-sized chunks AFTER
-        # sampling (budgets count documents once) and re-count tokens;
-        # the pack order key becomes (doc, chunk) so the window's sort
-        # stays deterministic across equal doc ids
+        # sampling (budgets count documents once); chunk token counts
+        # come out of the split closed-form — no second tokenization
+        # pass. The pack order key becomes (doc, chunk) so the window's
+        # sort stays deterministic across equal doc ids
         sized = split_long_docs(
-            sized.drop("n_tok"), id_col, text_col, window_tokens
+            sized.drop("n_tok"), id_col, text_col, window_tokens,
+            count_col="n_tok",
         )
         sized = sized.withColumn(
-            "n_tok", X.token_count(F.col(text_col))
-        ).withColumn(
             "_pack_order",
             F.concat_ws(
                 ":",
@@ -336,8 +341,13 @@ def prepare_corpus(
         return {
             "n_input": raw.count(),
             **(
-                {"n_url_deduped": docs.count()}
+                {"n_url_deduped": url_deduped.count()}
                 if dedup_url_col is not None
+                else {}
+            ),
+            **(
+                {"n_domain_filtered": docs.count()}
+                if (domain_block is not None or domain_allow is not None)
                 else {}
             ),
             "n_quality_pass": quality_pass.count(),
@@ -345,7 +355,9 @@ def prepare_corpus(
             "n_near_deduped": near_deduped.count(),
             "n_decontaminated": decontaminated.count(),
             **(
-                {"n_sampled": sized.count()} if budget_tokens is not None else {}
+                {"n_sampled": sampled_frame.count()}
+                if budget_tokens is not None
+                else {}
             ),
             "n_packed_bins": packed.select(lang_col, "bin").distinct().count(),
         }
@@ -355,7 +367,7 @@ def prepare_corpus(
         "exact_deduped": exact_deduped,
         "near_deduped": near_deduped,
         "decontaminated": decontaminated,
-        "sampled": sized if budget_tokens is not None else None,
+        "sampled": sampled_frame if budget_tokens is not None else None,
         "mixture": mixture,
         "packed": packed,
         "stats": stats,

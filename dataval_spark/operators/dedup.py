@@ -84,9 +84,19 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def dedup_keep_first(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """Keep the lowest-id member of each exact-dup group (deterministic)."""
-    w = Window.partitionBy(F.md5(normalize(F.col(text_col)))).orderBy(F.col(id_col))
+def dedup_keep_first(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    key: Column | None = None,
+) -> DataFrame:
+    """Keep the lowest-id member of each exact-dup group (deterministic).
+    ``key`` overrides the default md5(normalized text) group key — e.g.
+    a canonical-URL hash. The caller must make the key non-NULL per row
+    (window partitionBy puts ALL NULLs in one sorted group)."""
+    if key is None:
+        key = F.md5(normalize(F.col(text_col)))
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 

@@ -92,6 +92,7 @@ def split_long_docs(
     text_col: str = "text",
     window_tokens: int = 2048,
     idx_col: str = "chunk_idx",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Explode documents longer than one context window into
     window-sized chunks (the standard pretraining move: a 100k-token
@@ -101,10 +102,14 @@ def split_long_docs(
     Output: one row per chunk with ``idx_col`` (0-based, 0 for
     unsplit docs). Documents at or under the window — and NULL-text
     rows — pass through byte-identical with idx 0; split chunks are
-    re-joined with single spaces. Pure per-row array work fused into
-    the scan: no shuffle, no UDF.
+    re-joined with single spaces. ``count_col`` additionally emits the
+    per-chunk token count, CLOSED-FORM for split chunks
+    (min(window, n - c*window)) — sparing the caller a second full
+    tokenization pass over the rebuilt text. Pure per-row array work
+    fused into the scan: no shuffle, no UDF.
     """
     from dataval_spark.operators.dedup import _bind
+    from dataval_spark.operators.text import token_count
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
 
@@ -113,17 +118,29 @@ def split_long_docs(
         n_chunks = F.ceil(n / F.lit(window_tokens)).cast("int")
         return F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
-            lambda c: F.concat_ws(
-                " ", F.slice(t, c * window_tokens + 1, window_tokens)
+            lambda c: F.struct(
+                F.concat_ws(
+                    " ", F.slice(t, c * window_tokens + 1, window_tokens)
+                ).alias("t"),
+                F.least(
+                    F.lit(window_tokens), n - c * window_tokens
+                ).cast("int").alias("k"),
             ),
         )
 
     pieces = F.when(
         F.col(text_col).isNull()
         | (F.coalesce(F.size(toks), F.lit(0)) <= window_tokens),
-        F.array(F.col(text_col)),
+        F.array(
+            F.struct(
+                F.col(text_col).alias("t"),
+                token_count(F.col(text_col)).cast("int").alias("k"),
+            )
+        ),
     ).otherwise(_bind(toks, chunked))
     other = [c for c in df.columns if c != text_col]
-    return df.select(
-        *other, F.posexplode_outer(pieces).alias(idx_col, text_col)
-    )
+    out = df.select(*other, F.posexplode_outer(pieces).alias(idx_col, "_piece"))
+    cols = [*other, idx_col, F.col("_piece.t").alias(text_col)]
+    if count_col is not None:
+        cols.append(F.col("_piece.k").alias(count_col))
+    return out.select(*cols)

@@ -59,23 +59,10 @@ def dedup_paragraphs(
     """Keep one copy of every duplicated paragraph corpus-wide (the
     globally first occurrence by (doc, pos)); strip the rest. All other
     columns pass through; untouched docs keep text byte-identical."""
+    from dataval_spark.operators.spans import keep_first_removable
+
     pf = paragraph_fingerprints(df, id_col, text_col, min_chars)
-    freq = (
-        pf.groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("n_occ"),
-            F.min(F.struct("doc", "pos")).alias("first_occ"),
-        )
-        .where(F.col("n_occ") >= 2)
-    )
-    removable = (
-        pf.join(freq, "fp")
-        .where(
-            (F.col("doc") != F.col("first_occ.doc"))
-            | (F.col("pos") != F.col("first_occ.pos"))
-        )
-        .select("doc", "pos")
-    )
+    removable = keep_first_removable(pf, min_occurrences=2)
     starts = (
         removable.groupBy("doc")
         .agg(F.array_sort(F.collect_list("pos")).alias("_rm"))

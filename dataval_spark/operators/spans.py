@@ -48,7 +48,37 @@ from pyspark.sql import functions as F
 
 from dataval_spark.operators.dedup import _bind
 
-__all__ = ["span_fingerprints", "repeated_span_positions", "remove_repeated_spans"]
+__all__ = [
+    "span_fingerprints",
+    "keep_first_removable",
+    "repeated_span_positions",
+    "remove_repeated_spans",
+]
+
+
+def keep_first_removable(
+    fp_rows: DataFrame,
+    min_occurrences: int = 2,
+    spare_first: bool = True,
+) -> DataFrame:
+    """(doc, pos) occurrences slated for removal from a (doc, pos, fp)
+    occurrence frame: fingerprints occurring >= min_occurrences times
+    corpus-wide, minus — when ``spare_first`` — the globally first
+    (doc, pos) occurrence of each. Shared by the span and paragraph
+    layers (one definition of the keep-first contract)."""
+    agg = [F.count(F.lit(1)).alias("n_occ")]
+    if spare_first:
+        agg.append(F.min(F.struct("doc", "pos")).alias("first_occ"))
+    freq = (
+        fp_rows.groupBy("fp").agg(*agg).where(F.col("n_occ") >= min_occurrences)
+    )
+    hits = fp_rows.join(freq, "fp")
+    if spare_first:
+        hits = hits.where(
+            (F.col("doc") != F.col("first_occ.doc"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
+    return hits.select("doc", "pos")
 
 
 def _span_fps(toks: Column, span_tokens: int) -> Column:
@@ -103,17 +133,7 @@ def repeated_span_positions(
     repeats count), minus — when ``spare_first`` — the globally first
     occurrence of each fingerprint."""
     sf = span_fingerprints(df, id_col, text_col, span_tokens)
-    agg = [F.count(F.lit(1)).alias("n_occ")]
-    if spare_first:
-        agg.append(F.min(F.struct("doc", "pos")).alias("first_occ"))
-    freq = sf.groupBy("fp").agg(*agg).where(F.col("n_occ") >= min_occurrences)
-    hits = sf.join(freq, "fp")
-    if spare_first:
-        hits = hits.where(
-            (F.col("doc") != F.col("first_occ.doc"))
-            | (F.col("pos") != F.col("first_occ.pos"))
-        )
-    return hits.select("doc", "pos")
+    return keep_first_removable(sf, min_occurrences, spare_first)
 
 
 def remove_repeated_spans(

@@ -107,9 +107,13 @@ def registrable_domain(url: Column) -> Column:
 
 
 def url_dedup_key(url: Column) -> Column:
-    """Hash key for exact URL dedup: md5 of the canonical form. Feed to
-    `dedup.exact_dup_groups`-style groupBys or `dedup_keep_first`."""
-    return F.md5(canonical_url(url))
+    """Hash key for exact URL dedup: md5 of the canonical form; NULL for
+    NULL/blank URLs (a blank string is NO URL evidence — without the
+    guard every url="" row would share md5("") and keep-first dedup
+    would silently mass-drop them). Feed to `dedup.exact_dup_groups`-
+    style groupBys or `dedup_keep_first`."""
+    c = canonical_url(url)
+    return F.when(F.length(c) > 0, F.md5(c))
 
 
 def filter_by_domain(

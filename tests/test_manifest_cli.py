@@ -344,8 +344,10 @@ def test_cli_prepare_corpus_web_flags(spark, tmp_path, capsys):
     assert rc == 0
     funnel = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert funnel["n_input"] == 5
-    # doc 3 dropped (URL dup of 1), doc 4 dropped (blocked domain)
-    assert funnel["n_url_deduped"] == 4 - 1  # 5 - url-dup - blocked = 3
+    # attribution per stage: doc 3 dropped by URL dedup (dup of 1),
+    # doc 4 dropped by the domain filter
+    assert funnel["n_url_deduped"] == 4
+    assert funnel["n_domain_filtered"] == 3
     packed = spark.read.parquet(f"{out_dir}/packed")
     texts = {r.doc_id: r.text for r in packed.select("doc_id", "text").collect()}
     assert set(texts) == {1, 2, 5}

@@ -1230,3 +1230,23 @@ def test_simhash_clusters_equivalent_to_uncollapsed_pipeline(spark):
     # the template clique collapsed: all 25 copies share one cluster
     clus = {d: c for d, c in got}
     assert len({clus[500 + j] for j in range(25)}) == 1
+
+
+def test_prepare_corpus_regates_hollowed_docs(spark):
+    """A doc whose ENTIRE text is a corpus-duplicated span is hollowed
+    out by the rewrite stage and must not reach packing as an empty
+    husk: the token floor is re-applied after paragraph/span removal."""
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    span = " ".join(f"lic{i}" for i in range(12))
+    rows = [
+        (1, span + " plus commentary making doc one clearly longer", "en"),
+        (2, span, "en"),  # doc 2 IS the span -> hollowed to ""
+        (3, "an unrelated document with its own set of fresh words", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = prepare_corpus(docs, min_tokens=5, remove_spans=True, span_tokens=12)
+    kept = sorted(r.doc_id for r in out["decontaminated"].select("doc_id").collect())
+    assert kept == [1, 3]
+    packed_ids = sorted(r.doc_id for r in out["packed"].select("doc_id").collect())
+    assert packed_ids == [1, 3]

@@ -204,3 +204,15 @@ class TestFilterByDomain:
         out = filter_by_domain(self._df(spark), block={"nope.net"})
         assert out.columns == ["doc_id", "url"]
         assert out.count() == 5
+
+
+def test_dedup_key_null_for_blank_urls(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "https://example.com/x")],
+        "doc_id long, url string",
+    )
+    rows = {r.doc_id: r.k for r in df.select(
+        "doc_id", url_dedup_key(F.col("url")).alias("k")).collect()}
+    # NULL/blank URLs carry no dedup evidence: NULL key, never md5("")
+    assert rows[1] is None and rows[2] is None and rows[3] is None
+    assert rows[4] is not None
