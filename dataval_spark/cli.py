@@ -125,6 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --prepare-corpus: explode documents longer "
                         "than --window-tokens into window-sized chunks "
                         "before packing")
+    p.add_argument("--corpus-report", action="store_true",
+                   help="print a one-pass per-(lang, source) corpus "
+                        "profile of --input as JSON lines (doc/token "
+                        "counts, length percentiles, quality, estimated "
+                        "dup ratio) and exit 0")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -223,6 +228,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     df = spark.read.parquet(args.input)
+
+    if args.corpus_report:
+        from dataval_spark.operators.corpus import corpus_report
+
+        df = spark.read.parquet(args.input)
+        for row in corpus_report(df).collect():
+            print(json.dumps(row.asDict()))
+        return 0
 
     if args.prepare_corpus:
         from dataval_spark.operators.corpus import prepare_corpus

@@ -372,3 +372,48 @@ def prepare_corpus(
         "packed": packed,
         "stats": stats,
     }
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    dims: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """One-pass per-dimension corpus profile — the documents-side analog
+    of the validation suite's partition metrics: doc/token counts,
+    token-length percentiles (approx_percentile sketch), mean quality,
+    and an HLL-estimated exact-dup ratio. Dimensions missing from the
+    frame are skipped (whole-corpus row when none exist). One shuffle,
+    all JVM built-ins."""
+    present = [d for d in dims if d in df.columns]
+    tc = X.token_count(F.col(text_col))
+    base = df.select(
+        *present,
+        F.col(text_col).alias("_t"),
+        tc.alias("_n"),
+        X.quality_score(F.col(text_col)).alias("_q"),
+        F.md5(X.normalize(F.col(text_col))).alias("_fp"),
+    )
+    agg = (
+        base.groupBy(*present)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("_t").isNull(), 1)).alias("n_null_text"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_tokens"),
+            F.round(F.avg("_n"), 2).alias("avg_tokens"),
+            F.expr("approx_percentile(_n, 0.5)").alias("p50_tokens"),
+            F.expr("approx_percentile(_n, 0.95)").alias("p95_tokens"),
+            F.round(F.avg("_q"), 4).alias("avg_quality"),
+            F.approx_count_distinct("_fp").alias("approx_distinct"),
+        )
+    )
+    return agg.withColumn(
+        "est_dup_ratio",
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                1 - F.col("approx_distinct") / F.col("n_docs"),
+            ),
+            4,
+        ),
+    )

@@ -388,3 +388,22 @@ def test_spark_submit_py_files_deploy(spark, tmp_path):
     )
     assert proc.returncode == 4, proc.stderr[-2000:]
     assert "partitions passed" in proc.stderr or "partitions passed" in proc.stdout
+
+
+def test_cli_corpus_report(spark, tmp_path, capsys):
+    import json as _json
+
+    rows = [(1, "alpha beta gamma delta epsilon", "en", "web"),
+            (2, "alpha beta gamma delta epsilon", "en", "web"),
+            (3, "uno dos tres cuatro cinco seis siete", "es", "wiki")]
+    d = str(tmp_path / "docs_rep")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(d)
+    rc = cli_main(["--input", d, "--corpus-report", "--cpus", "4"])
+    assert rc == 0
+    lines = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    by_key = {(r["lang"], r["source"]): r for r in lines}
+    assert by_key[("en", "web")]["n_docs"] == 2
+    assert by_key[("en", "web")]["est_dup_ratio"] == 0.5
+    assert by_key[("es", "wiki")]["n_tokens"] == 7

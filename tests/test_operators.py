@@ -1250,3 +1250,26 @@ def test_prepare_corpus_regates_hollowed_docs(spark):
     assert kept == [1, 3]
     packed_ids = sorted(r.doc_id for r in out["packed"].select("doc_id").collect())
     assert packed_ids == [1, 3]
+
+
+def test_corpus_report(spark):
+    from dataval_spark.operators.corpus import corpus_report
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "web"),
+        (2, "alpha beta gamma delta epsilon", "en", "web"),   # exact dup
+        (3, "zeta eta theta iota kappa lambda mu nu", "en", "wiki"),
+        (4, None, "en", "wiki"),
+        (5, "uno dos tres cuatro cinco seis", "es", "web"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    rep = {(r.lang, r.source): r.asDict() for r in corpus_report(df).collect()}
+    assert set(rep) == {("en", "web"), ("en", "wiki"), ("es", "web")}
+    enweb = rep[("en", "web")]
+    assert enweb["n_docs"] == 2 and enweb["n_tokens"] == 10
+    assert enweb["est_dup_ratio"] == 0.5          # 2 docs, 1 distinct
+    enwiki = rep[("en", "wiki")]
+    assert enwiki["n_null_text"] == 1 and enwiki["n_tokens"] == 8
+    # dims missing from the frame -> whole-corpus single row
+    whole = corpus_report(df.drop("lang", "source")).collect()
+    assert len(whole) == 1 and whole[0].n_docs == 5
