@@ -1273,3 +1273,41 @@ def test_corpus_report(spark):
     # dims missing from the frame -> whole-corpus single row
     whole = corpus_report(df.drop("lang", "source")).collect()
     assert len(whole) == 1 and whole[0].n_docs == 5
+
+
+def test_split_long_docs_roundtrip_property(spark):
+    """Randomized invariants in one batched job: chunk token arrays
+    concatenate back to the original token sequence, every chunk is
+    <= window tokens, chunk_idx is dense from 0, and the closed-form
+    count_col equals the actual token count of the rebuilt chunk."""
+    import random
+
+    from dataval_spark.operators.packing import split_long_docs
+
+    rng = random.Random(99)
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(rng.randint(0, 60))) or None
+         if rng.random() < 0.05 else
+         " ".join(f"t{i}x{j}" for j in range(rng.randint(0, 60))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_long_docs(df, window_tokens=16, count_col="k").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    orig = dict(rows)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        texts = [c.text for c in chunks]
+        if orig[doc_id] is None:
+            assert texts == [None] and chunks[0].k is None
+            continue
+        toks = orig[doc_id].split()
+        rebuilt = [t for c in texts for t in c.split()]
+        assert rebuilt == toks, doc_id
+        for c in chunks:
+            n = len(c.text.split()) if c.text.strip() else 0
+            assert n <= 16
+            assert c.k == n, (doc_id, c.chunk_idx, c.k, n)

@@ -216,3 +216,33 @@ def test_dedup_key_null_for_blank_urls(spark):
     # NULL/blank URLs carry no dedup evidence: NULL key, never md5("")
     assert rows[1] is None and rows[2] is None and rows[3] is None
     assert rows[4] is not None
+
+
+def test_canonical_url_idempotent_on_randomized_urls(spark):
+    """canonical(canonical(u)) == canonical(u): the canonical form is a
+    fixed point, so re-canonicalizing stored keys can never re-shuffle
+    dedup groups. One batched Spark job over 500 generated URLs."""
+    import random
+
+    rng = random.Random(1234)
+    schemes = ["http", "https", "HTTP", "ftp"]
+    hosts = ["Example.COM", "a.b.co.uk", "192.168.1.1", "x.org:8080",
+             "y.net:80", "z.io:443", "user:pw@secret.org"]
+    paths = ["", "/", "/a", "/a/", "/a/b.html", "/p?q=1", "/p?utm_source=x",
+             "/p?utm_source=x&keep=1", "/p?keep=1&utm_medium=m&fbclid=f",
+             "/p?a=1#frag", "#fragonly"]
+    urls = [
+        f"{rng.choice(schemes)}://{rng.choice(hosts)}{rng.choice(paths)}"
+        for _ in range(480)
+    ] + ["", "   ", "not a url", "relative/path?utm_source=x"]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    bad = (
+        df.select(
+            "u",
+            canonical_url(F.col("u")).alias("c1"),
+            canonical_url(canonical_url(F.col("u"))).alias("c2"),
+        )
+        .where(~(F.col("c1").eqNullSafe(F.col("c2"))))
+        .collect()
+    )
+    assert bad == [], [(r.u, r.c1, r.c2) for r in bad[:5]]
