@@ -33,14 +33,16 @@ __all__ = [
     "sample_to_budget",
 ]
 
-_HEX_DIGITS = 15  # 60 bits: exact in a double, uniform enough for rates
+_HEX_DIGITS = 13  # 52 bits: genuinely exact in a double's 53-bit mantissa
 
 
 def uniform_hash(col: Column, seed: int = 0) -> Column:
-    """Deterministic uniform in [0, 1): the top 60 bits of
-    md5(seed | id). Unlike rand(seed), the value depends only on row
-    CONTENT, so it is stable under repartitioning, AQE re-plans, and
-    cluster-size changes."""
+    """Deterministic uniform in [0, 1): the top 52 bits of
+    md5(seed | id) — 13 hex digits, below the double mantissa width, so
+    conv().cast('double') is EXACT (no rounding between the Spark and
+    any mirror implementation). Unlike rand(seed), the value depends
+    only on row CONTENT, so it is stable under repartitioning, AQE
+    re-plans, and cluster-size changes."""
     h = F.substring(
         F.md5(F.concat_ws("|", F.lit(str(seed)), col.cast("string"))),
         1,

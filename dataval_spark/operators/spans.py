@@ -165,9 +165,20 @@ def remove_repeated_spans(
             )
         )
     )
+    # Rebuild LINEARLY: surviving indices = array_except(0..n-1, covered)
+    # (hash-set membership, order-preserving on the first array), then a
+    # gather. The earlier per-token array_contains(covered, i) filter was
+    # a linear scan of `covered` PER TOKEN — O(tokens * covered) in one
+    # task, ~10^11 comparisons for a heavily-templated 1M-token doc.
     kept = _bind(
         covered,
-        lambda cov: F.filter(toks, lambda t, i: ~F.array_contains(cov, i)),
+        lambda cov: _bind(
+            toks,
+            lambda t: F.transform(
+                F.array_except(F.sequence(F.lit(0), F.size(t) - F.lit(1)), cov),
+                lambda i: F.element_at(t, i + F.lit(1)),
+            ),
+        ),
     )
     rebuilt = F.when(
         F.col("_starts").isNull(), F.col(text_col)

@@ -27,8 +27,10 @@ def _mk(spark):
 
 
 def _u(doc_id: str, seed: int) -> float:
-    h = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:15]
-    return int(h, 16) / float(16**15)
+    # 13 hex digits = 52 bits: exact in a double, so == (not approx)
+    # comparison against the Spark side is legitimate
+    h = hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:13]
+    return int(h, 16) / float(16**13)
 
 
 @pytest.fixture(scope="module")
