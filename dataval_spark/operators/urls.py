@@ -17,14 +17,22 @@ Canonical form (documented spec, mirrored by the tests):
      deeper trailing slashes are preserved; /a/ and /a are different
      resources).
 
-`registrable_domain` approximates the public-suffix list with the
-common multi-part suffixes embedded below — the full PSL is a data
-file, not an algorithm; swap `MULTI_PART_SUFFIXES` for a broadcast
-lookup against the real list in production. IP hosts pass through
-unchanged.
+`registrable_domain` evaluates Public Suffix List rules (normal,
+``*.`` wildcard, ``!`` exception — publicsuffix.org's public grammar)
+against an embedded snapshot (`data/public_suffixes.py`, ~460 rules
+covering the high-traffic registries + common private hosting
+suffixes). The rule sets compile to Catalyst ``isin`` predicates, which
+the optimizer converts to hash-set ``InSet`` lookups — O(1) per row, no
+join, no shuffle, fused into the scan; the set ships to executors once
+with the serialized plan. Production seam: ``load_suffix_rules(path)``
+parses a full downloaded ``public_suffix_list.dat`` (same grammar) and
+the result drops into every function here via the ``rules`` parameter.
+IP hosts pass through unchanged.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -32,6 +40,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "url_host",
     "canonical_url",
+    "load_suffix_rules",
     "registrable_domain",
     "url_dedup_key",
     "filter_by_domain",
@@ -39,6 +48,8 @@ __all__ = [
 
 _TRACKING = r"(?:utm_[^=&#]*|fbclid|gclid|msclkid|igshid|mc_cid|mc_eid|ref_src)"
 
+# Deprecated (pre-PSL approximation), kept for import compatibility; the
+# engine now evaluates real PSL rules from data/public_suffixes.py.
 MULTI_PART_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "co.jp", "ne.jp", "or.jp", "ac.jp",
@@ -46,6 +57,37 @@ MULTI_PART_SUFFIXES = (
     "com.br", "com.cn", "com.mx", "com.tr", "com.ar", "com.sg",
     "co.in", "co.kr", "co.za", "co.nz", "co.id",
 )
+
+
+@lru_cache(maxsize=8)
+def load_suffix_rules(path: str | None = None) -> tuple:
+    """Parse Public Suffix List rules into
+    ``(normal, wildcard_bases, exceptions)`` frozensets of lowercase
+    rules. Default: the embedded snapshot. ``path``: a full downloaded
+    ``public_suffix_list.dat`` (the PSL's own plain-text grammar: one
+    rule per line, ``//`` comments, ``*.`` wildcards, ``!`` exceptions).
+    A wildcard ``*.ck`` is stored as its base ``ck``; an exception
+    ``!www.ck`` is stored as ``www.ck``."""
+    if path is None:
+        from dataval_spark.data.public_suffixes import PSL_SNAPSHOT
+
+        text = PSL_SNAPSHOT
+    else:
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+    normal, wild, exc = set(), set(), set()
+    for line in text.splitlines():
+        line = line.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        rule = line.split()[0]  # the PSL spec: rule ends at whitespace
+        if rule.startswith("!"):
+            exc.add(rule[1:])
+        elif rule.startswith("*."):
+            wild.add(rule[2:])
+        else:
+            normal.add(rule)
+    return frozenset(normal), frozenset(wild), frozenset(exc)
 
 
 def url_host(url: Column) -> Column:
@@ -99,25 +141,64 @@ def canonical_url(url: Column) -> Column:
     return u
 
 
-def registrable_domain(url: Column) -> Column:
-    """eTLD+1 under the embedded suffix approximation: the last two host
-    labels, or three when the last two are a known multi-part suffix.
-    IPv4 hosts and single-label hosts pass through unchanged."""
+def registrable_domain(url: Column, rules: tuple | None = None) -> Column:
+    """eTLD+1 under Public Suffix List semantics: the public suffix is
+    the LONGEST matching rule (wildcard ``*.x`` matches any single label
+    under ``x``; exception ``!y.x`` re-opens ``y.x`` for registration and
+    always prevails), and the registrable domain is the suffix plus one
+    more label. IPv4 hosts, single-label hosts, and hosts that ARE a
+    public suffix pass through unchanged (the last so blocklists keyed
+    on a suffix still see it; subdomains of it each map to their own
+    registrable domain, which is the PSL-correct behavior the flat
+    last-two-labels approximation got wrong — foo.github.io must key as
+    foo.github.io, not github.io).
+
+    ``rules``: a `load_suffix_rules` result; default = the embedded
+    snapshot. The rule sets become ``isin`` predicates grouped by label
+    count — Catalyst compiles each to a hash-set ``InSet`` (O(1)/row,
+    scan-fused, no shuffle)."""
+    normal, wild, exc = rules if rules is not None else load_suffix_rules()
     host = url_host(url)
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(
-        ".", F.element_at(parts, -2), F.element_at(parts, -1)
-    )
-    last3 = F.concat_ws(
-        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
-    )
+
+    def lastk(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(parts, -i) for i in range(k, 0, -1)]
+        )
+
+    def by_labels(rs):
+        out: dict[int, list[str]] = {}
+        for r in rs:
+            out.setdefault(r.count(".") + 1, []).append(r)
+        return out
+
+    # suffix length in labels; every TLD is implicitly a 1-label suffix.
+    # Candidates are folded ascending by effective length so the longest
+    # matching rule ends up on top of the when-chain (PSL: longest wins).
+    candidates: list[tuple[int, Column, int]] = []
+    for k, rs in by_labels(normal).items():
+        candidates.append((k, (n >= k) & lastk(k).isin(*rs), k))
+    for k, bases in by_labels(wild).items():
+        # *.base: one extra label under the base is part of the suffix
+        candidates.append((k + 1, (n >= k + 1) & lastk(k).isin(*bases), k + 1))
+    sl = F.lit(1)
+    for _, cond, length in sorted(candidates, key=lambda c: c[0]):
+        sl = F.when(cond, F.lit(length)).otherwise(sl)
+    # exceptions prevail over everything: the public suffix is the rule
+    # minus its leftmost label
+    for k, rs in by_labels(exc).items():
+        sl = F.when((n >= k) & lastk(k).isin(*rs), F.lit(k - 1)).otherwise(sl)
+
+    # registrable domain = last (suffix_len + 1) labels = strip the
+    # first n - sl - 1 labels off the host (suffix lengths are dynamic,
+    # so slice the array rather than enumerating element_at per length)
+    dom = F.concat_ws(".", F.slice(parts, n - sl, sl + F.lit(1)))
     is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
     return (
         F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(is_ip | (n < 2), host)
-        .when((n >= 3) & last2.isin(*MULTI_PART_SUFFIXES), last3)
-        .otherwise(last2)
+        .when(is_ip | (n <= sl), host)
+        .otherwise(dom)
     )
 
 
@@ -137,6 +218,7 @@ def filter_by_domain(
     block=None,
     allow=None,
     keep_null: bool = True,
+    rules: tuple | None = None,
 ):
     """Drop rows whose registrable domain is blocklisted (C4's badwords
     domains, RefinedWeb's URL filtering) and/or outside an allowlist.
@@ -152,10 +234,13 @@ def filter_by_domain(
     evidence and are KEPT — the same no-evidence-keeps contract as
     NULL-URL dedup and dirty-vector LSH. Set False to drop them (strict
     allowlist deployments).
+
+    ``rules``: `load_suffix_rules` output for a custom/full PSL file;
+    default = the embedded snapshot.
     """
     from pyspark.sql import DataFrame as _DF
 
-    dom = registrable_domain(F.col(url_col))
+    dom = registrable_domain(F.col(url_col), rules=rules)
     out = df.withColumn("_dom", dom)
     null_ok = F.col("_dom").isNull() & F.lit(keep_null)
     if block is not None:

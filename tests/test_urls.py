@@ -10,8 +10,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from dataval_spark.operators.urls import (
-    MULTI_PART_SUFFIXES,
     canonical_url,
+    load_suffix_rules,
     registrable_domain,
     url_dedup_key,
     url_host,
@@ -88,17 +88,46 @@ def mirror_host(url):
     return netloc.split(":", 1)[0] or None
 
 
+def _mirror_rules():
+    """Independent parse of the same embedded snapshot text."""
+    from dataval_spark.data.public_suffixes import PSL_SNAPSHOT
+
+    normal, wild, exc = set(), set(), set()
+    for raw in PSL_SNAPSHOT.splitlines():
+        raw = raw.strip().lower()
+        if not raw or raw.startswith("//"):
+            continue
+        if raw.startswith("!"):
+            exc.add(raw[1:])
+        elif raw.startswith("*."):
+            wild.add(raw[2:])
+        else:
+            normal.add(raw)
+    return normal, wild, exc
+
+
 def mirror_domain(url):
+    """Independent PSL longest-match over the label list."""
     h = mirror_host(url)
     if h is None:
         return None
     labels = h.split(".")
-    if len(labels) < 2 or all(p.isdigit() for p in labels):
+    if len(labels) == 1 or all(p.isdigit() for p in labels):
         return h
-    last2 = ".".join(labels[-2:])
-    if len(labels) >= 3 and last2 in MULTI_PART_SUFFIXES:
-        return ".".join(labels[-3:])
-    return last2
+    normal, wild, exc = _mirror_rules()
+    sl = 1  # every TLD is implicitly a public suffix
+    for k in range(1, len(labels) + 1):
+        cand = ".".join(labels[-k:])
+        if cand in normal:
+            sl = max(sl, k)
+        if k + 1 <= len(labels) and cand in wild:
+            sl = max(sl, k + 1)
+    for k in range(1, len(labels) + 1):
+        if ".".join(labels[-k:]) in exc:
+            sl = k - 1  # exception prevails outright
+    if len(labels) <= sl:
+        return h  # host IS a public suffix: passthrough
+    return ".".join(labels[-(sl + 1):])
 
 
 @pytest.fixture(scope="module")
@@ -124,6 +153,75 @@ def test_host_and_domain_match_mirror(urls_df):
     for r in rows:
         assert r["h"] == mirror_host(r["url"]), r["url"]
         assert r["d"] == mirror_domain(r["url"]), r["url"]
+
+
+def test_psl_cases_the_flat_approximation_got_wrong(spark):
+    """The round-4 embedded approximation mis-rooted exactly these
+    shapes: private hosting suffixes (github.io), ccTLD second-levels
+    outside the short list (com.ng, co.th), wildcard registries (*.ck)
+    and their exceptions (!www.ck)."""
+    cases = [
+        ("https://alice.github.io/blog", "alice.github.io"),
+        ("https://deep.sub.alice.github.io/x", "alice.github.io"),
+        ("https://shop.example.com.ng/x", "example.com.ng"),
+        ("https://www.example.co.th/x", "example.co.th"),
+        ("https://foo.bar.ck/x", "foo.bar.ck"),  # *.ck: bar.ck is a suffix
+        ("https://www.ck/x", "www.ck"),  # !www.ck re-opens www.ck
+        ("https://a.www.ck/x", "www.ck"),
+        ("https://x.example.np/x", "x.example.np"),  # *.np: example.np is a suffix
+        ("https://b.blogspot.com/p", "b.blogspot.com"),
+        ("https://data.s3.amazonaws.com/k", "data.s3.amazonaws.com"),
+        ("https://github.io/", "github.io"),  # host IS a suffix: passthrough
+        ("https://news.bbc.co.uk/story", "bbc.co.uk"),
+        ("https://example.com/x", "example.com"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    bad = (
+        df.select("url", "want", registrable_domain(F.col("url")).alias("got"))
+        .where(~F.col("got").eqNullSafe(F.col("want")))
+        .collect()
+    )
+    assert bad == [], [(r.url, r.want, r.got) for r in bad]
+
+
+def test_full_psl_file_seam(spark, tmp_path):
+    """load_suffix_rules(path) parses a real public_suffix_list.dat: the
+    same grammar, so dropping in the full downloaded file changes rule
+    coverage without code changes."""
+    psl = tmp_path / "public_suffix_list.dat"
+    psl.write_text(
+        "// test file in the PSL's own format\n"
+        "com\nuk\nco.uk\n"
+        "koobideh.example\n"  # a rule the snapshot lacks
+        "*.sch.uk\n"
+        "!open.sch.uk\n"
+    )
+    rules = load_suffix_rules(str(psl))
+    cases = [
+        ("https://a.b.koobideh.example/x", "b.koobideh.example"),
+        ("https://x.leeds.sch.uk/x", "x.leeds.sch.uk"),  # *.sch.uk
+        ("https://a.open.sch.uk/x", "open.sch.uk"),  # exception
+        ("https://news.bbc.co.uk/x", "bbc.co.uk"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    bad = (
+        df.select(
+            "url", "want",
+            registrable_domain(F.col("url"), rules=rules).alias("got"),
+        )
+        .where(~F.col("got").eqNullSafe(F.col("want")))
+        .collect()
+    )
+    assert bad == [], [(r.url, r.want, r.got) for r in bad]
+    # domain filtering honors the custom rules end-to-end
+    from dataval_spark.operators.urls import filter_by_domain
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.open.sch.uk/x"), (2, "https://b.leeds.sch.uk/x")],
+        "doc_id long, url string",
+    )
+    out = filter_by_domain(docs, block={"open.sch.uk"}, rules=rules)
+    assert [r.doc_id for r in out.collect()] == [2]
 
 
 def test_dedup_key_collapses_equivalent_urls(spark):
