@@ -89,6 +89,8 @@ def prepare_corpus(
     mixing_tau: float = 0.7,
     source_col: str = "source",
     mixing_seed: int = 0,
+    quantize_embeddings: bool = False,
+    persist_stages: bool = False,
 ) -> dict:
     """Run the full preparation flow. NOTE: the near-dedup phase
     (SimHash code materialization + connected-components iteration) runs
@@ -97,10 +99,15 @@ def prepare_corpus(
     use reliable checkpoint() (executor-loss-safe) instead of
     localCheckpoint (see connected_components).
 
-    Returns a dict with the per-stage frames and a ``stats`` callable
-    computing the attrition funnel — one count() per stage, each
-    re-deriving its (un-persisted) upstream chain, so call it for audit
-    runs, not in a hot loop.
+    Returns a dict with the per-stage frames, a ``stats`` callable
+    computing the attrition funnel, and a ``release`` callable. By
+    default each stats() count re-derives its (un-persisted) upstream
+    chain — fine for a one-off audit, but an 8-stage funnel recomputed
+    8x is a real bill at 100 TB. ``persist_stages=True`` pins every
+    stage frame (MEMORY_AND_DISK, the same level Suite.clean uses), so
+    each stage's plan executes ONCE no matter how many downstream
+    consumers (stats(), the next stage, user writes) read it; call
+    ``release()`` when done to unpersist them all.
 
     Keys: quality_pass (n_url_deduped in stats when ``dedup_url_col``
     is set), exact_deduped, near_deduped (post-semantic-dedup
@@ -124,8 +131,30 @@ def prepare_corpus(
     paragraph (Dolma's layer); ``remove_spans`` adds the substring-level
     ExactSubstr-style pass (>= ``span_tokens``-token spans duplicated
     corpus-wide, first occurrence spared) — both after document
-    near-dedup, coarse to fine.
+    near-dedup, coarse to fine. ``quantize_embeddings`` runs the
+    semantic stage over int8-quantized vectors (absmax per vector;
+    cosine is scale-invariant so thresholds carry over up to rounding) —
+    4x less embedding bytes stored, joined, and shuffled through
+    SemDeDup, the realized saving at 100-TB embedding stores.
     """
+    persisted: list[DataFrame] = []
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        if persist_stages:
+            from pyspark.storagelevel import StorageLevel
+
+            frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(frame)
+        return frame
+
+    def release() -> None:
+        """Unpersist every stage frame pinned by persist_stages=True."""
+        for frame in persisted:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped
+
     raw = docs
     if strip_boilerplate:
         from dataval_spark.operators.boilerplate import remove_boilerplate_lines
@@ -141,13 +170,13 @@ def prepare_corpus(
         # (no URL evidence — same contract as the dirty-vector rule).
         # Each such doc gets a per-row key so the keep-first window never
         # sorts one giant no-URL partition.
-        docs = D.dedup_keep_first(
+        docs = _pin(D.dedup_keep_first(
             docs, id_col,
             key=F.coalesce(
                 url_dedup_key(F.col(dedup_url_col)),
                 F.concat(F.lit("\x00nourl:"), F.col(id_col).cast("string")),
             ),
-        )
+        ))
     url_deduped = docs  # BEFORE the domain filter: each funnel stage
     # gets its own count so attrition is attributed to the right stage
     if (domain_block is not None or domain_allow is not None):
@@ -158,9 +187,9 @@ def prepare_corpus(
                 "domain_block/domain_allow need dedup_url_col to name "
                 "the URL column"
             )
-        docs = filter_by_domain(
+        docs = _pin(filter_by_domain(
             docs, dedup_url_col, block=domain_block, allow=domain_allow
-        )
+        ))
     tc = X.token_count(F.col(text_col))
     gate = (
         F.col(text_col).isNotNull()
@@ -187,6 +216,7 @@ def prepare_corpus(
         quality_pass = quality_pass.withColumn(
             text_col, X.redact_pii(F.col(text_col))
         )
+    quality_pass = _pin(quality_pass)
 
     # persist: everything downstream (the simhash cache materialization,
     # the CC seed checkpoint, the strict orphan check, stats(), and the
@@ -214,6 +244,15 @@ def prepare_corpus(
         emb = embeddings.select(
             F.col(emb_id_col).alias(id_col), F.col(emb_vec_col).alias("_emb")
         )
+        if quantize_embeddings:
+            from dataval_spark.operators.quantize import quantize_vec
+
+            # int8 vectors flow through the join + SemDeDup shuffles at
+            # 1/4 the bytes; cosine's per-vector scale cancellation means
+            # the threshold needs no adjustment beyond rounding noise
+            emb = emb.select(
+                id_col, quantize_vec(F.col("_emb")).alias("_emb")
+            )
         # left join: docs without an embedding carry a NULL vector,
         # which the dedup family treats as "no near-dup evidence" and
         # always keeps
@@ -269,6 +308,7 @@ def prepare_corpus(
         near_deduped = near_deduped.where(
             X.token_count(F.col(text_col)) >= min_tokens
         )
+    near_deduped = _pin(near_deduped)
 
     decontaminated = near_deduped
     if benchmark is not None:
@@ -282,7 +322,9 @@ def prepare_corpus(
             .union(fuzzy_hits.select(id_col))
             .distinct()
         )
-        decontaminated = near_deduped.join(contaminated, id_col, "left_anti")
+        decontaminated = _pin(
+            near_deduped.join(contaminated, id_col, "left_anti")
+        )
 
     sized = decontaminated.withColumn("n_tok", X.token_count(F.col(text_col)))
 
@@ -302,6 +344,8 @@ def prepare_corpus(
 
     sampled_frame = sized  # what "sampled"/n_sampled report: the
     # budget-sampled corpus in DOCUMENT rows, before any chunk explode
+    if budget_tokens is not None:
+        sampled_frame = sized = _pin(sampled_frame)
     pack_order = id_col
     if split_long:
         from dataval_spark.operators.packing import split_long_docs
@@ -334,10 +378,12 @@ def prepare_corpus(
     )
     if split_long:
         packed = packed.drop("_pack_order")
+    packed = _pin(packed)
 
     def stats() -> dict:
-        # one count() per stage; each re-derives its upstream chain
-        # (audit-run cost, documented in the prepare_corpus docstring)
+        # one count() per stage; with persist_stages each reads its
+        # stage's cache instead of re-deriving the upstream chain
+        # (audit-run cost otherwise, documented in the docstring)
         return {
             "n_input": raw.count(),
             **(
@@ -371,6 +417,7 @@ def prepare_corpus(
         "mixture": mixture,
         "packed": packed,
         "stats": stats,
+        "release": release,
     }
 
 

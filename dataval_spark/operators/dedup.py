@@ -395,44 +395,69 @@ def _star_rounds(edges: DataFrame, _ckpt, max_iter: int) -> DataFrame:
     * small-star: per node u (over edges pointing down), hook u and all
       its smaller neighbors to m = min(N_smaller(u) + {u}).
 
-    Both steps are a groupBy-min + an equi-join per direction — the same
-    shuffle shape as the path-halving round, but convergence is
-    O(log^2 n) on ADVERSARIAL graphs (long chains of skewed components)
-    where halving's per-round neighbor-min can stall on high-degree
-    hubs. Edges only ever move toward smaller ids, so the per-round
-    checksum fixed point is a true termination proof, not a heuristic.
+    Each star step is a window-min over the edge partition key instead
+    of a groupBy-min + join back (one shuffle, one consumer of the
+    upstream frame), and the two emitted edge directions come out of a
+    single ``explode`` projection instead of a self-union (one consumer
+    again). That makes the WHOLE round one linear chain, so it needs no
+    mid-round checkpoint and pays exactly ONE driver action: the
+    round-end signature aggregation, which doubles as the lazy
+    localCheckpoint's materialization. Convergence is O(log^2 n) on
+    ADVERSARIAL graphs (long chains of skewed components) where
+    halving's per-round neighbor-min can stall on high-degree hubs.
+    Edges only ever move toward smaller ids, so the per-round checksum
+    fixed point is a true termination proof, not a heuristic.
     """
     edges = edges.where(F.col("a") != F.col("b")).select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).distinct()
     prev_sig = None
+    w_a = Window.partitionBy("a")
+    w_hi = Window.partitionBy("hi")
     for _ in range(max_iter):
         # -------- large-star --------
-        bidir = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        mn = bidir.groupBy("a").agg(F.min("b").alias("_mn"))
-        # m = min(N(u) + {u}); attach every larger neighbor to m
+        # both directions from ONE pass over the checkpoint blocks
+        bidir = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        ).select("_e.a", "_e.b")
+        # m = min(N(u) + {u}); attach every larger neighbor to m.
+        # Window-min, not groupBy+join: same shuffle key, half the
+        # shuffles, and `bidir` is consumed exactly once.
         ls = (
-            bidir.join(mn, "a")
+            bidir.withColumn("_mn", F.min("b").over(w_a))
             .where(F.col("b") > F.col("a"))
             .select(
                 F.least(F.col("a"), F.col("_mn")).alias("a"),
                 F.col("b").alias("b"),
             )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
         )
-        # checkpointed: the small-star step consumes this frame TWICE
-        # (the per-hi min agg and the join back) — uncheckpointed, the
-        # large-star join+agg would re-execute per consumer
-        edges = _ckpt(ls.where(F.col("a") != F.col("b")).distinct())
         # -------- small-star --------
-        # direct every edge from its larger endpoint down: (hi, lo)
-        dn = edges.select(F.col("b").alias("hi"), F.col("a").alias("lo"))
-        mn2 = dn.groupBy("hi").agg(F.min("lo").alias("_m"))
-        joined = dn.join(mn2, "hi")
+        # direct every edge from its larger endpoint down: (hi, lo);
+        # m = min over the hi-partition; emit (m, lo) and (m, hi) from
+        # one explode so the window output has a single consumer
         ss = (
-            joined.select(F.col("_m").alias("a"), F.col("lo").alias("b"))
-            .union(joined.select(F.col("_m").alias("a"), F.col("hi").alias("b")))
+            ls.select(F.col("b").alias("hi"), F.col("a").alias("lo"))
+            .withColumn("_m", F.min("lo").over(w_hi))
+            .select(
+                F.col("_m").alias("a"),
+                F.explode(F.array("lo", "hi")).alias("b"),
+            )
         )
-        edges = _ckpt(ss.where(F.col("a") != F.col("b")).distinct())
+        # the round-end checkpoint is LAZY: the signature aggregation
+        # below is the round's ONLY driver action and doubles as the
+        # checkpoint materialization (local mode). Reliable-dir mode
+        # stays eager: a lazy reliable checkpoint would recompute the
+        # frame to write it after the action.
+        edges = _ckpt(
+            ss.where(F.col("a") != F.col("b")).distinct(), eager_needed=False
+        )
         # fixed point: count + two independent order-insensitive hash
         # sums (one driver action; edges monotonically descend toward
         # component minima so a stable signature IS convergence).
@@ -512,9 +537,22 @@ def connected_components(
     if checkpoint_dir is not None:
         sc = ids.sparkSession.sparkContext
         sc.setCheckpointDir(checkpoint_dir)
-        _ckpt = lambda df: df.checkpoint()  # noqa: E731
+
+        def _ckpt(df: DataFrame, eager_needed: bool = True) -> DataFrame:
+            # reliable checkpoints are ALWAYS eager: lazy would recompute
+            # the (unpersisted) frame a second time to write the files
+            return df.checkpoint()
     else:
-        _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
+
+        def _ckpt(df: DataFrame, eager_needed: bool = True) -> DataFrame:
+            # eager_needed=False defers materialization to the caller's
+            # own convergence action (count/agg), folding the two driver
+            # round-trips per iteration into one. Only safe when the
+            # caller runs exactly one action before the frame fans out
+            # into a multi-consumer job (a localCheckpoint-marked RDD
+            # consumed twice WITHIN one job would be computed twice,
+            # racing the block store).
+            return df.localCheckpoint(eager=eager_needed)
     raw = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = _ckpt(
         raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -587,7 +625,13 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        halved = _ckpt(halved)
+        # lazy checkpoint + fold: the changed-count below is the round's
+        # ONLY driver action — it materializes the checkpoint blocks the
+        # next round's two label consumers read. Previously eager
+        # checkpoint + count = two actions per round; the fixed driver
+        # round-trip cost dominates shallow-graph CC at small SF and
+        # adds up over deep components at scale.
+        halved = _ckpt(halved, eager_needed=False)
         changed = halved.where(F.col("label") != F.col("old")).count()
         labels = halved.select("doc", "label")
         if changed == 0:

@@ -563,6 +563,36 @@ def test_connected_components_equivalence_on_graph_shapes(spark, algorithm):
         assert got == _uf_clusters(n, edges), f"{algorithm} on {name}"
 
 
+@pytest.mark.parametrize("algorithm", ["halving", "star"])
+def test_connected_components_one_action_per_round(spark, monkeypatch, algorithm):
+    """Driver round-trip fold: each CC round pays exactly ONE action —
+    the per-round localCheckpoint is LAZY (eager=False) and is
+    materialized by the round's own convergence count/aggregation; only
+    the two init checkpoints (edges, labels) are eager. For a 2-node
+    single-edge graph, halving takes exactly 2 rounds (one that changes
+    node 1's label, one that confirms the fixed point), so the recorded
+    call sequence is [True, True, False, False]."""
+    ids = spark.createDataFrame([(0,), (1,)], "doc long")
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    calls: list[bool] = []
+    cls = type(ids)  # patch the concrete class (classic DataFrame)
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(bool(eager))
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    got = {r.doc: r.cluster for r in D.connected_components(
+        ids, pairs, algorithm=algorithm, strict=False).collect()}
+    assert got == {0: 0, 1: 0}
+    assert calls[:2] == [True, True], calls  # init edges + labels: eager
+    rounds = calls[2:]
+    assert rounds and all(e is False for e in rounds), calls
+    if algorithm == "halving":
+        assert len(rounds) == 2, calls  # change round + confirm round
+
+
 def test_star_cc_converges_fast_on_long_chain(spark):
     """Large-star/small-star is the adversarial-diameter fallback: a
     256-node chain (diameter 255) converges by pointer doubling in
@@ -1080,6 +1110,91 @@ def test_prepare_corpus_web_stages(spark):
     # the boilerplate line (3 occurrences > max 2) is gone from survivors
     assert all("Accept cookies" not in t for t in kept.values())
     assert kept[1].startswith("alpha")
+
+
+def test_prepare_corpus_persist_stages_single_pass(spark):
+    """persist_stages=True pins every stage frame so stats() reads each
+    stage's cache instead of re-deriving the whole upstream chain per
+    count (the round-4 '8-stage funnel recomputed 8x' bill). Funnel
+    values are identical either way; the stats-visible frames must
+    resolve to InMemoryTableScan with no upstream Exchange in the
+    executed plan."""
+    from pyspark.sql import functions as F
+
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base + " one", "en"),
+        (2, base + " one", "en"),  # exact dup
+        (3, "short", "en"),        # fails gate
+        (4, base + " completely different continuation of words", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plain = prepare_corpus(docs, min_tokens=5)
+    pinned = prepare_corpus(docs, min_tokens=5, persist_stages=True)
+    try:
+        assert pinned["stats"]() == plain["stats"]()
+        for key in ("quality_pass", "near_deduped", "decontaminated", "packed"):
+            frame = pinned[key]
+            assert frame.storageLevel.useMemory, key
+            # a fresh consumer of the stage frame plans straight out of
+            # the cache: the chain (scan, window, CC joins) is gone
+            plan = (
+                frame.select(F.count(F.lit(1)))
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "InMemoryTableScan" in plan, (key, plan)
+    finally:
+        pinned["release"]()
+    assert not pinned["decontaminated"].storageLevel.useMemory  # released
+
+
+def test_prepare_corpus_quantized_semantic_stage(spark):
+    """quantize_embeddings=True runs SemDeDup over int8 vectors: same
+    survivors at the tested threshold (cosine is scale-invariant, so the
+    per-vector absmax scale cancels), 4x fewer embedding bytes through
+    the join + pair shuffles."""
+    from dataval_spark.operators.corpus import prepare_corpus
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    distinct2 = (
+        "an entirely separate second document whose words overlap nothing "
+        "from before because every token here is new and occurs just once"
+    )
+    rows = [
+        (1, base + " one", "en"),
+        (3, distinct2, "en"),
+        (4, distinct2 + " tail marker", "en"),  # semantic dup of 3
+        (5, base + " totally reworded into unrelated fresh prose today", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    emb = spark.createDataFrame(
+        [
+            (1, [10.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 9.5, 0.5, 0.0]),
+            (4, [0.0, 9.5, 0.5, 0.0]),
+            (5, [0.0, 0.0, 10.0, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    kw = dict(min_tokens=5, embeddings=emb, emb_dim=4, semantic_k=3,
+              semantic_threshold=0.99)
+    plain = prepare_corpus(docs, **kw)
+    quant = prepare_corpus(docs, quantize_embeddings=True, **kw)
+    ids_plain = sorted(
+        r.doc_id for r in plain["near_deduped"].select("doc_id").collect()
+    )
+    ids_quant = sorted(
+        r.doc_id for r in quant["near_deduped"].select("doc_id").collect()
+    )
+    assert ids_quant == ids_plain == [1, 3, 5]
 
 
 def test_prepare_corpus_span_removal(spark):
