@@ -91,6 +91,10 @@ def prepare_corpus(
     mixing_seed: int = 0,
     quantize_embeddings: bool = False,
     persist_stages: bool = False,
+    ppl_lm=None,
+    max_ppl: float | None = None,
+    split_spec: dict[str, float] | None = None,
+    split_seed: int = 0,
 ) -> dict:
     """Run the full preparation flow. NOTE: the near-dedup phase
     (SimHash code materialization + connected-components iteration) runs
@@ -136,6 +140,16 @@ def prepare_corpus(
     cosine is scale-invariant so thresholds carry over up to rounding) —
     4x less embedding bytes stored, joined, and shuffled through
     SemDeDup, the realized saving at 100-TB embedding stores.
+
+    ``ppl_lm`` + ``max_ppl`` add the CCNet model tier to the quality
+    stage: documents scoring above ``max_ppl`` perplexity under the
+    reference n-gram LM (train_ngram_lm on a trusted corpus) are
+    dropped via a semi-join before dedup ever sees them. ``split_spec``
+    (e.g. {"train": .98, "val": .01, "test": .01}) assigns every
+    document a deterministic content-hash split BEFORE chunking and
+    packs within (lang, split) — chunks follow their document, no
+    training window ever mixes splits, and membership survives reruns
+    and cluster resizes (the eval-contamination guard).
     """
     persisted: list[DataFrame] = []
 
@@ -212,6 +226,23 @@ def prepare_corpus(
             .where((tc < gopher_min_tokens) | F.col("repetition_ok"))
             .select(*docs.columns)  # metrics are gate-internal
         )
+    if (ppl_lm is None) != (max_ppl is None):
+        raise ValueError("ppl_lm and max_ppl must be set together")
+    if ppl_lm is not None:
+        from dataval_spark.operators.ngram_lm import score_perplexity
+
+        # CCNet's model tier on top of the heuristic gates: drop docs the
+        # reference LM finds implausible. Folded into the quality stage
+        # of the funnel (it IS a quality filter); the semi-join keeps
+        # only ids whose perplexity clears the ceiling — docs the LM
+        # cannot score (empty text) are already gone via min_tokens
+        keep = (
+            score_perplexity(quality_pass, ppl_lm, id_col=id_col,
+                             text_col=text_col)
+            .where(F.col("ppl") <= F.lit(float(max_ppl)))
+            .select(id_col)
+        )
+        quality_pass = quality_pass.join(keep, id_col, "left_semi")
     if redact:
         quality_pass = quality_pass.withColumn(
             text_col, X.redact_pii(F.col(text_col))
@@ -346,6 +377,22 @@ def prepare_corpus(
     # budget-sampled corpus in DOCUMENT rows, before any chunk explode
     if budget_tokens is not None:
         sampled_frame = sized = _pin(sampled_frame)
+    pack_group = lang_col
+    if split_spec is not None:
+        from dataval_spark.operators.mixing import assign_split
+
+        # deterministic content-hash routing (stable across reruns and
+        # cluster resizes — the anti-eval-contamination property), BEFORE
+        # any chunk explode so every chunk of a document lands in its
+        # document's split, and folded into the pack GROUP key so no
+        # training window ever mixes splits
+        sized = sized.withColumn(
+            "split",
+            assign_split(F.col(id_col).cast("string"), split_spec, split_seed),
+        ).withColumn(
+            "_pack_group", F.concat_ws("|", F.col(lang_col), F.col("split"))
+        )
+        pack_group = "_pack_group"
     pack_order = id_col
     if split_long:
         from dataval_spark.operators.packing import split_long_docs
@@ -373,11 +420,13 @@ def prepare_corpus(
     # the packing sort's parallelism — size ~ cores / n_langs (see
     # packing.pack_greedy)
     packed = pack_greedy(
-        sized, "n_tok", window_tokens, lang_col, pack_order,
+        sized, "n_tok", window_tokens, pack_group, pack_order,
         n_shards=pack_shards,
     )
     if split_long:
         packed = packed.drop("_pack_order")
+    if split_spec is not None:
+        packed = packed.drop("_pack_group")
     packed = _pin(packed)
 
     def stats() -> dict:

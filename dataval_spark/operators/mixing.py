@@ -31,6 +31,7 @@ __all__ = [
     "temperature_weights",
     "MixtureStats",
     "sample_to_budget",
+    "assign_split",
 ]
 
 _HEX_DIGITS = 13  # 52 bits: genuinely exact in a double's 53-bit mantissa
@@ -149,3 +150,45 @@ def sample_to_budget(
         & (uniform_hash(F.col(id_col), seed) < F.coalesce(rate_col, F.lit(0.0)))
     )
     return sampled, MixtureStats(budget=int(budget_tokens), sources=stats)
+
+
+def assign_split(
+    id_col: Column,
+    splits: dict[str, float] | None = None,
+    seed: int = 0,
+) -> Column:
+    """Deterministic train/val/test assignment as a COLUMN expression —
+    the last cut before a corpus ships. The row's uniform content-hash
+    draw (same ``uniform_hash`` contract as the budget sampler: stable
+    under repartitioning, AQE re-plans, and cluster resizes, which
+    seeded rand() is not) is bucketed against the cumulative split
+    boundaries, so membership is a pure function of (id, seed): reruns,
+    resumes, and incremental appends all route a given document to the
+    SAME split — the property that stops eval contamination when the
+    corpus is rebuilt. Zero shuffle: the expression fuses into whatever
+    scan or projection it is attached to.
+
+    ``splits`` maps name -> fraction, summing to 1 (±1e-9); iteration
+    order fixes the bucket layout, so pass an explicit dict and keep it
+    stable across runs. Default {"train": .98, "val": .01, "test": .01}.
+    """
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not splits or any(v < 0 for v in splits.values()):
+        raise ValueError(f"split fractions must be >= 0, got {splits}")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    u = uniform_hash(id_col, seed)
+    names = list(splits)
+    bounds: list[tuple[str, float]] = []
+    hi = 0.0
+    for name in names[:-1]:
+        hi += splits[name]
+        bounds.append((name, hi))
+    expr = F.lit(names[-1])  # last bucket absorbs the u ~ 1.0 edge
+    # build innermost-last so the FIRST split's (smallest) boundary is
+    # the outermost condition of the when-chain
+    for name, b in reversed(bounds):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return expr

@@ -116,3 +116,71 @@ def test_sample_filter_adds_no_shuffle(docs):
     sampled, _ = sample_to_budget(docs, 100_000, tau=1.0)
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------
+# assign_split: deterministic train/val/test routing
+# ---------------------------------------------------------------------
+
+def _mirror_split(doc_id: str, splits: dict[str, float], seed: int) -> str:
+    u = _u(doc_id, seed)
+    hi = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        hi += splits[name]
+        if u < hi:
+            return name
+    return names[-1]
+
+
+def test_assign_split_matches_hashlib_mirror(spark):
+    from dataval_spark.operators.mixing import assign_split
+
+    splits = {"train": 0.8, "val": 0.15, "test": 0.05}
+    df = spark.createDataFrame(
+        [(f"doc-{i:05d}",) for i in range(3000)], "doc_id string"
+    )
+    got = {
+        r["doc_id"]: r["split"]
+        for r in df.select(
+            "doc_id", assign_split(F.col("doc_id"), splits, seed=7).alias("split")
+        ).collect()
+    }
+    for doc_id, split in got.items():
+        assert split == _mirror_split(doc_id, splits, 7), doc_id
+    # every bucket is populated at roughly its fraction (3000 draws)
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert abs(c["train"] / 3000 - 0.8) < 0.03
+    assert abs(c["val"] / 3000 - 0.15) < 0.03
+    assert abs(c["test"] / 3000 - 0.05) < 0.02
+
+
+def test_assign_split_stable_under_repartition_and_zero_shuffle(spark):
+    from dataval_spark.operators.mixing import assign_split
+
+    df = spark.createDataFrame(
+        [(f"doc-{i:04d}",) for i in range(500)], "doc_id string"
+    )
+    sel = lambda d: {  # noqa: E731
+        r["doc_id"]: r["split"]
+        for r in d.select(
+            "doc_id", assign_split(F.col("doc_id")).alias("split")
+        ).collect()
+    }
+    assert sel(df) == sel(df.repartition(17))
+    plan = (
+        df.select("doc_id", assign_split(F.col("doc_id")).alias("split"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_assign_split_validates_fractions():
+    from dataval_spark.operators.mixing import assign_split
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_split(F.col("x"), {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match=">= 0"):
+        assign_split(F.col("x"), {"a": 1.5, "b": -0.5})
