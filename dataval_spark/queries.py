@@ -697,31 +697,78 @@ _BPE_SQL = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
 @query(
     "q24_token_stats",
     f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN length(t) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(t, ' ') END AS w
+      FROM norm
+    ),
+    padded AS (
+      SELECT doc_id,
+             CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE list_prepend(chr(2), list_append(w, chr(3))) END AS p
+      FROM toks
+    ),
+    pairs AS (
+      SELECT doc_id, p[i] AS ctx, p[i+1] AS wd
+      FROM padded, UNNEST(range(1, len(p))) AS r(i)
+    ),
+    tr AS (SELECT ctx, wd, count(*) AS c FROM pairs WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+    ctxt AS (SELECT ctx, sum(c) AS c_ctx FROM tr GROUP BY 1),
+    v AS (SELECT count(DISTINCT wd) AS vs FROM tr),
+    sc AS (
+      SELECT p.doc_id,
+             avg(ln((coalesce(t.c, 0) + 0.1) / (coalesce(cx.c_ctx, 0) + 0.1 * (vs + 1)))) AS dl
+      FROM pairs p LEFT JOIN tr t USING (ctx, wd) LEFT JOIN ctxt cx USING (ctx) CROSS JOIN v
+      GROUP BY 1
+    )
     SELECT lang,
            count(*) AS n_docs,
            CAST(sum({_TOKN_SQL}) AS BIGINT) AS total_tokens,
            round(avg({_TOKN_SQL}), 4) AS avg_tokens,
            round(avg(length(text)), 4) AS avg_chars,
            CAST(sum({_BPE_SQL}) AS BIGINT) AS total_bpe_tokens,
-           round(avg({_BPE_SQL}), 4) AS avg_bpe_tokens
-    FROM documents GROUP BY lang
+           round(avg({_BPE_SQL}), 4) AS avg_bpe_tokens,
+           round(avg(sc.dl), 4) AS avg_logp_lm
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    GROUP BY lang
     """,
 )
 def q24(spark, sf_dir):
     """Token counting over the documents table: whitespace tokenizer AND
     BPE-style pre-tokenization (letter runs / digit runs / punctuation,
     operators/text.py::bpe_ish_count, JVM-side regexp_extract_all) in one
-    aggregation pass (round-4 registry fold of the former q49)."""
+    aggregation pass (round-4 registry fold of the former q49) — plus the
+    CCNet model tier (round 5): a bigram LM trained on the deterministic
+    doc_id%10==0 slice scores every document
+    (operators/ngram_lm.py::score_perplexity, broadcast-LM path) and the
+    per-lang mean of per-doc avg log-probability certifies the whole
+    train+score stack against the oracle's CTE re-derivation. avg_logp
+    (bounded, ~-2..-10) aggregates instead of ppl=exp(-avg_logp) so the
+    4-decimal round is safely inside both engines' float noise."""
+    from dataval_spark.operators.ngram_lm import score_perplexity, train_ngram_lm
+
     d = t(spark, sf_dir, "documents")
+    lm = train_ngram_lm(d.where(F.col("doc_id") % 10 == 0), n=2)
+    sc = score_perplexity(d, lm, broadcast_lm=True).select("doc_id", "avg_logp")
+    # release immediately: vocab_size is already a collected int and the
+    # returned frame recomputes the (tiny) count lineage on collect —
+    # correct either way, and no cache survives the query callable
+    lm.release()
     n = X.token_count(F.col("text"))
     b = X.bpe_ish_count(F.col("text"))
-    return d.groupBy("lang").agg(
+    return d.join(sc, "doc_id", "left").groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n).alias("total_tokens"),
         F.round(F.avg(n), 4).alias("avg_tokens"),
         F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
         F.sum(b.cast("long")).alias("total_bpe_tokens"),
         F.round(F.avg(b), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg("avg_logp"), 4).alias("avg_logp_lm"),
     )
 
 
@@ -1123,9 +1170,15 @@ def q35(spark, sf_dir):
 @query(
     "q37_stratified_sample",
     """
-    SELECT lang, doc_id, fp_rank FROM (
+    SELECT lang, doc_id, fp_rank,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
       SELECT lang, doc_id,
-             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS fp_rank
+             row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS fp_rank,
+             CAST(concat('0x', substr(md5(concat('7|', CAST(doc_id AS VARCHAR))), 1, 13)) AS UBIGINT)
+               / 4503599627370496.0 AS u
       FROM documents
     ) WHERE fp_rank <= 5
     """,
@@ -1135,13 +1188,28 @@ def q37(spark, sf_dir):
     content hash — the reproducible analog of the reference's
     ORDER BY RANDOM() LIMIT 5000 trim
     (/root/reference/notes/trim_input_todo.py:29-40; seed precedent
-    /root/reference/dataval/dataval.py:79)."""
+    /root/reference/dataval/dataval.py:79). Round 5 adds the
+    train/val/test routing column (operators/mixing.py::assign_split):
+    the oracle re-derives the same top-52-bits-of-md5 uniform draw
+    (13 hex digits = 2^52, exact in a double on both engines, so the
+    bucket comparisons agree bit-for-bit) and the same cumulative
+    boundary buckets — certifying split assignment hash-green."""
+    from dataval_spark.operators.mixing import assign_split
+
     d = t(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
     return (
         d.withColumn("fp_rank", F.row_number().over(w))
         .where(F.col("fp_rank") <= 5)
-        .select("lang", "doc_id", "fp_rank")
+        .withColumn(
+            "split",
+            assign_split(
+                F.col("doc_id").cast("string"),
+                {"train": 0.8, "val": 0.15, "test": 0.05},
+                seed=7,
+            ),
+        )
+        .select("lang", "doc_id", "fp_rank", "split")
     )
 
 
