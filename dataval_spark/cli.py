@@ -130,6 +130,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "profile of --input as JSON lines (doc/token "
                         "counts, length percentiles, quality, estimated "
                         "dup ratio) and exit 0")
+    p.add_argument("--anomaly-scan", default=None, metavar="RUN_ID",
+                   help="with --manifest: modified-z-score scan of this "
+                        "run's per-partition metrics against prior-run "
+                        "history; prints anomalous rows as JSON lines, "
+                        "exits 3 when any metric is anomalous, else 0")
+    p.add_argument("--anomaly-z", type=float, default=3.5,
+                   help="modified z-score threshold for --anomaly-scan")
+    p.add_argument("--suggest-suite", default=None, metavar="OUT.json",
+                   help="profile --input and write a suggested suite spec "
+                        "(loadable via --suite) to OUT.json; prints the "
+                        "per-constraint rationale JSON and exits 0 "
+                        "(Deequ-style constraint suggestion)")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -216,6 +228,26 @@ def main(argv: list[str] | None = None) -> int:
     master = args.master or (f"local[{args.cpus}]" if args.cpus else None)
     spark = get_spark(app_name="dataval_spark_cli", master=master)
 
+    if args.anomaly_scan:
+        from dataval_spark.manifest import anomaly_scan
+
+        if not args.manifest:
+            print("--anomaly-scan requires --manifest", file=sys.stderr)
+            return 2
+        scan = anomaly_scan(
+            spark, args.manifest, args.anomaly_scan, z_threshold=args.anomaly_z
+        ).collect()
+        n_anom = 0
+        for row in scan:
+            if row.anomalous:
+                n_anom += 1
+                print(json.dumps(row.asDict()))
+        print(
+            json.dumps({"checked": len(scan), "anomalous": n_anom}),
+            file=sys.stderr,
+        )
+        return 3 if n_anom else 0
+
     if args.compare:
         from dataval_spark.manifest import compare_runs
 
@@ -228,6 +260,26 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     df = spark.read.parquet(args.input)
+
+    if args.suggest_suite:
+        from dataval_spark.constraints.suggest import profile_table, suggest_spec
+
+        prof = profile_table(df)
+        spec, rationale = suggest_spec(
+            prof, reject_ratio_fail=args.reject_ratio or 0.10
+        )
+        # fail fast if the suggestion would not load back through --suite
+        from dataval_spark.spec import suite_from_spec
+
+        suite_from_spec(spec)
+        with open(args.suggest_suite, "w") as f:
+            json.dump(spec, f, indent=2)
+        print(json.dumps({
+            "spec": args.suggest_suite,
+            "n_constraints": len(spec["constraints"]),
+            "rationale": rationale,
+        }))
+        return 0
 
     if args.corpus_report:
         from dataval_spark.operators.corpus import corpus_report

@@ -269,6 +269,104 @@ def compare_runs(
     return spark.createDataFrame(out, schema=schema)
 
 
+def anomaly_scan(
+    spark: SparkSession,
+    manifest_path: str,
+    run_id: str,
+    min_history: int = 3,
+    z_threshold: float = 3.5,
+    metrics: list[str] | None = None,
+) -> DataFrame:
+    """Metric time-series anomaly detection over the manifest's run
+    history — Deequ's anomaly-detection face (Schelter et al., VLDB
+    2018): every validation run already persists its per-partition
+    metrics, so "did anything change in a way no single-run threshold
+    would catch" is a pure manifest read.
+
+    For each (part, numeric metric) of ``run_id``, compares the value
+    against that metric's history for the SAME part across all prior
+    runs (latest row per (run, part), committed before this run's row)
+    using the modified z-score |0.6745 (x - median) / MAD| (Iglewicz &
+    Hoaglin 1993) — median/MAD so one past bad run cannot shift the
+    baseline the way a mean/stddev detector would. MAD == 0 (constant
+    history) flags ANY deviation. Fewer than ``min_history`` prior
+    observations -> n_history recorded, never anomalous (no evidence,
+    no alarm).
+
+    Driver-side over O(runs x parts) manifest rows — the same legitimate
+    smallness as compare_runs; the 100-TB input is never touched.
+    Generalizes the reference's two-run raw-vs-corrected noise
+    comparison (/root/reference/dataval/noise_metrics.py:220-240) to the
+    full run history.
+
+    ``metrics``: restrict to these metric names (default: every numeric
+    metric the run recorded).
+    """
+    m = read_manifest(spark, manifest_path)
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {manifest_path}")
+    rows = m.collect()
+    current = _latest_per_part([r for r in rows if r["run_id"] == run_id])
+    if not current:
+        raise ValueError(f"run_id {run_id!r} not in manifest {manifest_path}")
+
+    # latest row per (run, part) among prior runs, keyed by part
+    by_run_part: dict[tuple[str, int], dict] = {}
+    for r in sorted(rows, key=lambda r: (r["committed_at"] or 0.0)):
+        if r["run_id"] != run_id:
+            by_run_part[(r["run_id"], int(r["part"]))] = r.asDict()
+
+    def numeric_metrics(d: dict) -> dict[str, float]:
+        out = {}
+        for k, v in json.loads(d["metrics_json"] or "{}").items():
+            if k == "part" or isinstance(v, bool) or not isinstance(v, (int, float)):
+                continue
+            if metrics is not None and k not in metrics:
+                continue
+            out[k] = float(v)
+        return out
+
+    out = []
+    for part, cur in sorted(current.items()):
+        cur_at = cur["committed_at"] or float("inf")
+        hist_rows = [
+            d
+            for (_rid, p), d in by_run_part.items()
+            if p == part and (d["committed_at"] or 0.0) < cur_at
+        ]
+        hists: dict[str, list[float]] = {}
+        for d in hist_rows:
+            for k, v in numeric_metrics(d).items():
+                hists.setdefault(k, []).append(v)
+        for k, x in sorted(numeric_metrics(cur).items()):
+            h = sorted(hists.get(k, []))
+            n = len(h)
+            if n < min_history:
+                out.append({
+                    "part": part, "metric": k, "value": x, "n_history": n,
+                    "median": None, "mad": None, "robust_z": None,
+                    "anomalous": False,
+                })
+                continue
+            med = (h[(n - 1) // 2] + h[n // 2]) / 2.0
+            dev = sorted(abs(v - med) for v in h)
+            mad = (dev[(n - 1) // 2] + dev[n // 2]) / 2.0
+            if mad == 0.0:
+                z = 0.0 if x == med else float("inf")
+            else:
+                z = abs(0.6745 * (x - med) / mad)
+            out.append({
+                "part": part, "metric": k, "value": x, "n_history": n,
+                "median": med, "mad": mad, "robust_z": z,
+                "anomalous": z > z_threshold,
+            })
+    schema = (
+        "part int, metric string, value double, n_history int, "
+        "median double, mad double, robust_z double, anomalous boolean"
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def run_resumable(
     spark: SparkSession,
     df: DataFrame,

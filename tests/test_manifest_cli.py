@@ -407,3 +407,117 @@ def test_cli_corpus_report(spark, tmp_path, capsys):
     assert by_key[("en", "web")]["n_docs"] == 2
     assert by_key[("en", "web")]["est_dup_ratio"] == 0.5
     assert by_key[("es", "wiki")]["n_tokens"] == 7
+
+
+# ---------------------------------------------------------------------------
+# anomaly scan over run history
+
+
+def _write_manifest(spark, path, runs):
+    """runs: list of (run_id, committed_at, {part: {metric: value}})."""
+    import json as _json
+
+    from dataval_spark.manifest import MANIFEST_SCHEMA
+
+    rows = []
+    for run_id, at, parts in runs:
+        for part, metrics in parts.items():
+            rows.append({
+                "run_id": run_id, "suite_hash": "h", "part": part,
+                "n_rows": 100, "n_approved": 90, "n_rejected": 10,
+                "passed": True, "metrics_json": _json.dumps(metrics),
+                "input_fp": "", "committed_at": at,
+            })
+    spark.createDataFrame(rows, schema=MANIFEST_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_anomaly_scan_flags_shifted_metric(spark, tmp_path):
+    from dataval_spark.manifest import anomaly_scan
+
+    mp = str(tmp_path / "m")
+    hist = [
+        ("r1", 1.0, {0: {"null_rate": 0.010, "avg_len": 100.0},
+                     1: {"null_rate": 0.012, "avg_len": 101.0}}),
+        ("r2", 2.0, {0: {"null_rate": 0.011, "avg_len": 99.0},
+                     1: {"null_rate": 0.010, "avg_len": 100.5}}),
+        ("r3", 3.0, {0: {"null_rate": 0.012, "avg_len": 101.0},
+                     1: {"null_rate": 0.011, "avg_len": 99.5}}),
+        ("r4", 4.0, {0: {"null_rate": 0.010, "avg_len": 100.0},
+                     1: {"null_rate": 0.012, "avg_len": 100.0}}),
+        # current run: part 1's null_rate jumps an order of magnitude
+        ("r5", 5.0, {0: {"null_rate": 0.011, "avg_len": 100.2},
+                     1: {"null_rate": 0.31, "avg_len": 100.1}}),
+    ]
+    _write_manifest(spark, mp, hist)
+    rows = {(r.part, r.metric): r for r in anomaly_scan(spark, mp, "r5").collect()}
+    assert rows[(1, "null_rate")].anomalous
+    assert rows[(1, "null_rate")].n_history == 4
+    assert not rows[(0, "null_rate")].anomalous
+    assert not rows[(0, "avg_len")].anomalous
+    assert not rows[(1, "avg_len")].anomalous
+
+
+def test_anomaly_scan_min_history_and_constant_mad(spark, tmp_path):
+    from dataval_spark.manifest import anomaly_scan
+
+    mp = str(tmp_path / "m2")
+    _write_manifest(spark, mp, [
+        ("a", 1.0, {0: {"x": 5.0, "y": 1.0}}),
+        ("b", 2.0, {0: {"x": 5.0, "y": 1.1}}),
+        ("c", 3.0, {0: {"x": 5.0, "y": 0.9}}),
+        # current: x deviates from a CONSTANT history (MAD=0) -> flagged;
+        # y has history but cur value is typical -> clean
+        ("d", 4.0, {0: {"x": 5.5, "y": 1.0, "z": 9.9}}),
+    ])
+    rows = {(r.part, r.metric): r for r in anomaly_scan(spark, mp, "d").collect()}
+    assert rows[(0, "x")].anomalous  # MAD=0, any deviation flags
+    assert not rows[(0, "y")].anomalous
+    # z appears only in the current run: no history, never anomalous
+    assert rows[(0, "z")].n_history == 0 and not rows[(0, "z")].anomalous
+    # history shorter than min_history is never anomalous
+    rows2 = {
+        (r.part, r.metric): r
+        for r in anomaly_scan(spark, mp, "d", min_history=5).collect()
+    }
+    assert not rows2[(0, "x")].anomalous
+
+
+def test_anomaly_scan_uses_only_rows_committed_before(spark, tmp_path):
+    """A LATER run must not pollute an earlier run's baseline."""
+    from dataval_spark.manifest import anomaly_scan
+
+    mp = str(tmp_path / "m3")
+    _write_manifest(spark, mp, [
+        ("r1", 1.0, {0: {"x": 1.0}}),
+        ("r2", 2.0, {0: {"x": 1.0}}),
+        ("r3", 3.0, {0: {"x": 1.0}}),
+        ("cur", 4.0, {0: {"x": 1.0}}),
+        ("future", 5.0, {0: {"x": 50.0}}),  # after cur: excluded
+    ])
+    rows = {(r.part, r.metric): r for r in anomaly_scan(spark, mp, "cur").collect()}
+    assert rows[(0, "x")].n_history == 3
+    assert not rows[(0, "x")].anomalous
+
+
+def test_cli_anomaly_scan(spark, tmp_path, input_dir, capsys):
+    import json as _json
+
+    mp = str(tmp_path / "m4")
+    _write_manifest(spark, mp, [
+        ("r1", 1.0, {0: {"x": 1.0}}),
+        ("r2", 2.0, {0: {"x": 1.02}}),
+        ("r3", 3.0, {0: {"x": 0.98}}),
+        ("r4", 4.0, {0: {"x": 42.0}}),
+    ])
+    rc = cli_main(["--input", input_dir, "--manifest", mp,
+                   "--anomaly-scan", "r4"])
+    assert rc == 3
+    out = capsys.readouterr().out.strip().splitlines()
+    anom = [_json.loads(x) for x in out]
+    assert any(r["metric"] == "x" and r["anomalous"] for r in anom)
+    # clean run exits 0 and prints nothing anomalous
+    rc2 = cli_main(["--input", input_dir, "--manifest", mp,
+                    "--anomaly-scan", "r4", "--anomaly-z", "1e9"])
+    assert rc2 == 0

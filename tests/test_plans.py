@@ -80,13 +80,26 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
 
 
 def test_single_pass_aggregation_queries(spark, sf_dir):
-    """Scan -> one shuffle -> result: the per-group noise-model and
-    BPE-token queries must stay single-aggregation plans (an accidental
-    join/window would add exchanges that scale with the base table)."""
-    for name in ("q46_noise_model", "q24_token_stats"):
-        df = QUERIES[name](spark, sf_dir)
-        df.collect()
-        assert E.shuffle_count(df) == 1, f"{name}: {E.physical_plan(df)}"
+    """Scan -> one shuffle -> result: the per-group noise-model query
+    must stay a single-aggregation plan (an accidental join/window would
+    add exchanges that scale with the base table)."""
+    df = QUERIES["q46_noise_model"](spark, sf_dir)
+    df.collect()
+    assert E.shuffle_count(df) == 1, f"q46: {E.physical_plan(df)}"
+
+
+def test_q24_lm_fold_plan_budget(spark, sf_dir):
+    """q24 after the round-5 LM fold: the n-gram LM train path adds a
+    bounded number of aggregation shuffles (ngram counts, context
+    totals, per-doc score, final per-lang agg) but the doc-side score
+    join MUST be broadcast — a shuffled sort-merge join there would
+    re-shuffle the full documents table and scale with the corpus."""
+    df = QUERIES["q24_token_stats"](spark, sf_dir)
+    df.collect()
+    plan = E.physical_plan(df)
+    assert E.shuffle_count(df) <= 5, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_ivf_assignment_adds_no_shuffle(spark):
