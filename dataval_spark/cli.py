@@ -130,6 +130,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "profile of --input as JSON lines (doc/token "
                         "counts, length percentiles, quality, estimated "
                         "dup ratio) and exit 0")
+    p.add_argument("--dedup-increment", default=None, metavar="OUT_DIR",
+                   help="dedup the --input batch (doc_id/text schema) "
+                        "against the --store signature store, write "
+                        "survivors to OUT_DIR and append their "
+                        "signatures to the store; prints the counts "
+                        "JSON (continuous-crawl ingestion step)")
+    p.add_argument("--store", default=None, metavar="DIR",
+                   help="signature-store directory for --dedup-increment")
+    p.add_argument("--increment-id", default=None,
+                   help="idempotency key for --dedup-increment (re-running "
+                        "with the same id replaces that increment's output "
+                        "instead of appending; default: a fresh uuid)")
+    p.add_argument("--exact-only", action="store_true",
+                   help="with --dedup-increment: skip the near-dup layer")
     p.add_argument("--anomaly-scan", default=None, metavar="RUN_ID",
                    help="with --manifest: modified-z-score scan of this "
                         "run's per-partition metrics against prior-run "
@@ -278,6 +292,41 @@ def main(argv: list[str] | None = None) -> int:
             "spec": args.suggest_suite,
             "n_constraints": len(spec["constraints"]),
             "rationale": rationale,
+        }))
+        return 0
+
+    if args.dedup_increment:
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from dataval_spark.streaming.increment import (
+            increment_batch_writer,
+            read_store,
+        )
+
+        if not args.store:
+            print("--dedup-increment requires --store", file=sys.stderr)
+            return 2
+        inc_id = args.increment_id or uuid.uuid4().hex
+        n_store_before = read_store(spark, args.store).count()
+        writer = increment_batch_writer(
+            args.store, args.dedup_increment, run_id=inc_id,
+            near=not args.exact_only,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        writer(df, 0)
+        n_kept = spark.read.parquet(args.dedup_increment).where(
+            F.col("batch").startswith(
+                hashlib.sha1(inc_id.encode()).hexdigest()[:12]
+            )
+        ).count()
+        print(json.dumps({
+            "n_batch": df.count(),
+            "n_kept": n_kept,
+            "n_store_before": n_store_before,
+            "n_store_after": read_store(spark, args.store).count(),
+            "increment_id": inc_id,
         }))
         return 0
 

@@ -1,0 +1,130 @@
+"""Streaming incremental dedup: crash-replay idempotency at the
+foreachBatch seam, serial-batch == global equivalence, a real
+Structured Streaming run, and the CLI batch mode."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataval_spark.cli import main as cli_main
+from dataval_spark.streaming.increment import (
+    increment_batch_writer,
+    read_store,
+)
+
+
+def _text(seed: int, extra: str | None = None) -> str:
+    toks = [f"s{seed}w{i % 40}" for i in range(160)]
+    if extra is not None:
+        toks.append(extra)
+    return " ".join(toks)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BATCH0 = [(1, _text(0)), (2, _text(1)), (3, _text(0))]          # 3 dups 1
+BATCH1 = [(11, _text(0)), (12, _text(2)), (13, _text(2))]       # 11 dups 1
+
+
+def _kept_ids(spark, out):
+    try:
+        return {r.doc_id for r in spark.read.parquet(out).collect()}
+    except Exception:
+        return set()
+
+
+def test_serial_batches_match_global(spark, tmp_path):
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    w = increment_batch_writer(store, out, run_id="r")
+    w(_docs(spark, BATCH0), 0)
+    w(_docs(spark, BATCH1), 1)
+    # batch 0: doc 3 is an exact dup of 1 -> kept {1, 2}
+    # batch 1: 11 dups stored 1, 13 dups 12 within-batch -> kept {12}
+    assert _kept_ids(spark, out) == {1, 2, 12}
+    srows = read_store(spark, store).collect()
+    assert len(srows) == 3
+    assert len({r.batch for r in srows}) == 2  # one partition per batch
+
+
+def test_crash_replay_is_idempotent_and_not_self_poisoned(spark, tmp_path):
+    """Re-invoking the SAME batch id (crash between writes and the
+    checkpoint commit) must replace the batch's outputs — and must NOT
+    treat its own previous delta as 'already accepted' corpus."""
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    w = increment_batch_writer(store, out, run_id="r")
+    w(_docs(spark, BATCH0), 0)
+    first_kept = _kept_ids(spark, out)
+    first_store = sorted((r.fp, r.code) for r in read_store(spark, store).collect())
+    w(_docs(spark, BATCH0), 0)  # replay
+    assert _kept_ids(spark, out) == first_kept == {1, 2}
+    assert (
+        sorted((r.fp, r.code) for r in read_store(spark, store).collect())
+        == first_store
+    )
+    # a later batch still sees exactly one copy of the store
+    w(_docs(spark, BATCH1), 1)
+    assert _kept_ids(spark, out) == {1, 2, 12}
+
+
+def test_streaming_end_to_end_available_now(spark, tmp_path):
+    src = str(tmp_path / "src")
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df0 = _docs(spark, BATCH0)
+    df0.write.parquet(src)
+    stream = spark.readStream.schema(df0.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            increment_batch_writer(store, out, run_id="stream-e2e")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _kept_ids(spark, out) == {1, 2}
+    # second wave of files -> new micro-batch dedups against the store
+    _docs(spark, BATCH1).write.mode("append").parquet(src)
+    q2 = (
+        spark.readStream.schema(df0.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            increment_batch_writer(store, out, run_id="stream-e2e")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert _kept_ids(spark, out) == {1, 2, 12}
+
+
+def test_cli_dedup_increment(spark, tmp_path, capsys):
+    inp0 = str(tmp_path / "b0")
+    inp1 = str(tmp_path / "b1")
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    _docs(spark, BATCH0).write.parquet(inp0)
+    _docs(spark, BATCH1).write.parquet(inp1)
+    rc = cli_main(["--input", inp0, "--dedup-increment", out, "--store", store,
+                   "--increment-id", "inc0"])
+    assert rc == 0
+    r0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (r0["n_batch"], r0["n_kept"], r0["n_store_before"]) == (3, 2, 0)
+    rc = cli_main(["--input", inp1, "--dedup-increment", out, "--store", store,
+                   "--increment-id", "inc1"])
+    assert rc == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (r1["n_batch"], r1["n_kept"], r1["n_store_before"]) == (3, 1, 2)
+    assert r1["n_store_after"] == 3
+    assert _kept_ids(spark, out) == {1, 2, 12}
+    # same increment id re-run = replace, not append
+    rc = cli_main(["--input", inp1, "--dedup-increment", out, "--store", store,
+                   "--increment-id", "inc1"])
+    assert rc == 0
+    assert _kept_ids(spark, out) == {1, 2, 12}
+    assert read_store(spark, store).count() == 3
