@@ -255,7 +255,14 @@ def main(argv: list[str] | None = None) -> int:
         for row in scan:
             if row.anomalous:
                 n_anom += 1
-                print(json.dumps(row.asDict()))
+                d = row.asDict()
+                # MAD=0 anomalies carry robust_z = inf, which json.dumps
+                # would emit as bare `Infinity` — invalid strict JSON,
+                # breaking consumers exactly on the alert lines; the
+                # anomalous flag + mad=0 carry the signal
+                if d["robust_z"] is not None and d["robust_z"] == float("inf"):
+                    d["robust_z"] = None
+                print(json.dumps(d))
         print(
             json.dumps({"checked": len(scan), "anomalous": n_anom}),
             file=sys.stderr,
@@ -280,7 +287,10 @@ def main(argv: list[str] | None = None) -> int:
 
         prof = profile_table(df)
         spec, rationale = suggest_spec(
-            prof, reject_ratio_fail=args.reject_ratio or 0.10
+            prof,
+            reject_ratio_fail=(
+                0.10 if args.reject_ratio is None else args.reject_ratio
+            ),
         )
         # fail fast if the suggestion would not load back through --suite
         from dataval_spark.spec import suite_from_spec
@@ -296,12 +306,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.dedup_increment:
-        import hashlib
-
-        from pyspark.sql import functions as F
-
         from dataval_spark.streaming.increment import (
             increment_batch_writer,
+            increment_key,
             read_store,
         )
 
@@ -316,11 +323,16 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint_dir,
         )
         writer(df, 0)
-        n_kept = spark.read.parquet(args.dedup_increment).where(
-            F.col("batch").startswith(
-                hashlib.sha1(inc_id.encode()).hexdigest()[:12]
-            )
-        ).count()
+        # count THIS increment's survivors from its own batch directory
+        # (shared key derivation — the writer's scheme cannot silently
+        # diverge from this read); a zero-survivor increment writes an
+        # empty dir, which reads as zero rows under the batch schema
+        key = increment_key(inc_id, 0)
+        n_kept = (
+            spark.read.schema(df.schema)
+            .parquet(f"{args.dedup_increment}/batch={key}")
+            .count()
+        )
         print(json.dumps({
             "n_batch": df.count(),
             "n_kept": n_kept,

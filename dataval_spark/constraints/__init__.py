@@ -11,6 +11,7 @@ from dataval_spark.constraints.core import (
     Unique,
 )
 from dataval_spark.constraints.drift import Drift
+from dataval_spark.constraints.suggest import profile_table, suggest_spec, suggest_suite
 
 __all__ = [
     "Constraint",
@@ -24,4 +25,7 @@ __all__ = [
     "Stats",
     "Unique",
     "Drift",
+    "profile_table",
+    "suggest_spec",
+    "suggest_suite",
 ]

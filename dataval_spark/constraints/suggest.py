@@ -284,7 +284,10 @@ def suggest_spec(
 
     st = cols.get("status")
     if st is not None and "domain" in st:
-        ok = [int(v) for v in st["domain"] if v is not None]
+        # values pass through natively (int OR string status columns) —
+        # spec._build_constraint's isin works with either; int() here
+        # would crash on a string-typed status domain
+        ok = [v for v in st["domain"] if v is not None]
         constraints.append({"type": "status_gate", "col": "status", "ok_values": ok})
         rationale.append(
             f"status_gate: observed value set {ok} becomes the OK set — "

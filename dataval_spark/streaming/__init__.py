@@ -1,6 +1,11 @@
+from dataval_spark.streaming.increment import increment_batch_writer
 from dataval_spark.streaming.validate_stream import (
     stateless_flags,
     windowed_partition_verdicts,
 )
 
-__all__ = ["stateless_flags", "windowed_partition_verdicts"]
+__all__ = [
+    "stateless_flags",
+    "windowed_partition_verdicts",
+    "increment_batch_writer",
+]

@@ -14,10 +14,14 @@ streaming/validate_stream.manifest_batch_writer): Structured Streaming
 re-invokes foreachBatch with the SAME batch_id when a crash lands
 between the writes and the checkpoint commit, so
 
-* both outputs are ``batch``-partitioned datasets written with DYNAMIC
-  partition overwrite (the run_resumable verdict pattern) — a
-  re-executed batch REPLACES exactly its own partition, never appends a
-  duplicate and never touches another batch's files;
+* both outputs are ``batch=<key>``-scoped directory writes with
+  overwrite (the manifest_batch_writer pattern) — a re-executed batch
+  REPLACES exactly its own directory, never appends a duplicate and
+  never touches another batch's files. A directory write (not dynamic
+  partition overwrite of a ``batch`` column) because a re-execution
+  that keeps ZERO docs must still clear its previous attempt's output:
+  dynamic overwrite of an empty frame writes no partitions and would
+  leave the stale files in place;
 * the store read for batch B filters out B's own partition — a
   re-executed batch must not see the delta its crashed attempt already
   wrote (it would drop every one of its docs as "already accepted" and
@@ -47,9 +51,27 @@ from pyspark.sql import functions as F
 
 from dataval_spark.operators.incremental import dedup_increment
 
-__all__ = ["STORE_SCHEMA_BATCHED", "read_store", "increment_batch_writer"]
+__all__ = [
+    "STORE_SCHEMA_BATCHED",
+    "increment_key",
+    "read_store",
+    "increment_batch_writer",
+]
 
 STORE_SCHEMA_BATCHED = "fp string, code long, batch string"
+
+
+def increment_key(run_id: str, batch_id: int) -> str:
+    """The ``batch=`` directory key for (run, micro-batch) — ONE
+    derivation shared by the writer and every consumer that filters on
+    it (cli --dedup-increment), so the scheme cannot silently diverge.
+    The run id is hashed because raw ids may contain path separators."""
+    return f"{hashlib.sha1(run_id.encode()).hexdigest()[:12]}_{batch_id}"
+
+
+def _path_missing(exc: Exception) -> bool:
+    s = str(exc)
+    return "PATH_NOT_FOUND" in s or "Path does not exist" in s
 
 
 def read_store(
@@ -57,11 +79,18 @@ def read_store(
 ) -> DataFrame:
     """The signature store as a DataFrame (empty when the path does not
     exist yet); ``exclude_key`` drops the partition a crashed attempt of
-    the current batch already wrote."""
+    the current batch already wrote.
+
+    ONLY a missing path maps to the empty store — any other read
+    failure (permissions, corrupt footer, transient FS error) must
+    propagate: swallowing it would dedup the batch against nothing and
+    silently accept duplicates of the whole corpus."""
     try:
         store = spark.read.schema(STORE_SCHEMA_BATCHED).parquet(store_path)
-    except Exception:
-        return spark.createDataFrame([], STORE_SCHEMA_BATCHED)
+    except Exception as e:
+        if _path_missing(e):
+            return spark.createDataFrame([], STORE_SCHEMA_BATCHED)
+        raise
     if exclude_key is not None:
         store = store.where(F.col("batch") != exclude_key)
     return store
@@ -82,11 +111,9 @@ def increment_batch_writer(
     (original columns) under ``out_path`` and their signature rows under
     ``store_path``, each as the ``batch=<run>_<id>`` partition of its
     dataset."""
-    run_key = hashlib.sha1(run_id.encode()).hexdigest()[:12]
-
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        key = f"{run_key}_{batch_id}"
+        key = increment_key(run_id, batch_id)
         store = read_store(spark, store_path, exclude_key=key)
         res = dedup_increment(
             batch_df,
@@ -100,14 +127,12 @@ def increment_batch_writer(
         )
         # kept docs first, store delta last: a crash between the two
         # leaves this batch's docs unclaimed in the store, and the
-        # re-execution redoes both writes from the same store state
-        res.kept.withColumn("batch", F.lit(key)).write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("batch").parquet(out_path)
-        res.store_delta.withColumn("batch", F.lit(key)).write.mode(
-            "overwrite"
-        ).option("partitionOverwriteMode", "dynamic").partitionBy("batch").parquet(
-            store_path
+        # re-execution redoes both writes from the same store state.
+        # Directory-scoped overwrite (not dynamic partition overwrite):
+        # an EMPTY result must still replace a previous attempt's files.
+        res.kept.write.mode("overwrite").parquet(f"{out_path}/batch={key}")
+        res.store_delta.write.mode("overwrite").parquet(
+            f"{store_path}/batch={key}"
         )
 
     return _process

@@ -506,18 +506,27 @@ def test_cli_anomaly_scan(spark, tmp_path, input_dir, capsys):
 
     mp = str(tmp_path / "m4")
     _write_manifest(spark, mp, [
-        ("r1", 1.0, {0: {"x": 1.0}}),
-        ("r2", 2.0, {0: {"x": 1.02}}),
-        ("r3", 3.0, {0: {"x": 0.98}}),
-        ("r4", 4.0, {0: {"x": 42.0}}),
+        ("r1", 1.0, {0: {"x": 1.0, "c": 7.0}}),
+        ("r2", 2.0, {0: {"x": 1.02, "c": 7.0}}),
+        ("r3", 3.0, {0: {"x": 0.98, "c": 7.0}}),
+        # x shifts; c deviates from a CONSTANT history (MAD=0 -> inf z)
+        ("r4", 4.0, {0: {"x": 42.0, "c": 7.5}}),
     ])
     rc = cli_main(["--input", input_dir, "--manifest", mp,
                    "--anomaly-scan", "r4"])
     assert rc == 3
     out = capsys.readouterr().out.strip().splitlines()
-    anom = [_json.loads(x) for x in out]
+    # every alert line must be STRICT json (json.loads rejects nothing,
+    # and the inf robust_z of the constant-history metric is sanitized)
+    anom = [_json.loads(x, parse_constant=lambda _: pytest.fail("bare Infinity")) for x in out]
     assert any(r["metric"] == "x" and r["anomalous"] for r in anom)
-    # clean run exits 0 and prints nothing anomalous
+    c_row = next(r for r in anom if r["metric"] == "c")
+    assert c_row["anomalous"] and c_row["robust_z"] is None and c_row["mad"] == 0.0
+    # a run with insufficient history exits 0 (no evidence, no alarm);
+    # note a HUGE --anomaly-z would not silence r4: the constant-history
+    # metric's inf z exceeds any threshold by design
+    capsys.readouterr()
     rc2 = cli_main(["--input", input_dir, "--manifest", mp,
-                    "--anomaly-scan", "r4", "--anomaly-z", "1e9"])
+                    "--anomaly-scan", "r3"])
     assert rc2 == 0
+    assert capsys.readouterr().out.strip() == ""

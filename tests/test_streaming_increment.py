@@ -71,6 +71,35 @@ def test_crash_replay_is_idempotent_and_not_self_poisoned(spark, tmp_path):
     assert _kept_ids(spark, out) == {1, 2, 12}
 
 
+def test_zero_survivor_replay_clears_stale_output(spark, tmp_path):
+    """A re-executed batch that keeps ZERO docs (e.g. its docs were all
+    retracted/corrected to already-accepted content) must still REPLACE
+    its previous attempt's files — the empty-frame case dynamic
+    partition overwrite gets wrong and directory overwrite gets right."""
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    w = increment_batch_writer(store, out, run_id="r")
+    w(_docs(spark, BATCH0), 0)          # store: sigs of 1, 2
+    w(_docs(spark, BATCH1), 1)          # kept {12}
+    assert _kept_ids(spark, out) == {1, 2, 12}
+    # corrected batch 1 replay: every doc is already accepted corpus
+    w(_docs(spark, [(21, _text(0)), (22, _text(1))]), 1)
+    assert _kept_ids(spark, out) == {1, 2}      # 12 retracted
+    assert read_store(spark, store).count() == 2  # batch-1 sigs cleared
+
+
+def test_read_store_missing_vs_broken(spark, tmp_path):
+    """Missing store -> empty frame; an EXISTING store whose files are
+    unreadable must raise at evaluation, never silently dedup against
+    nothing (that would re-accept the whole corpus as 'new')."""
+    missing = str(tmp_path / "nope")
+    assert read_store(spark, missing).count() == 0
+    broken = tmp_path / "broken" / "batch=x"
+    broken.mkdir(parents=True)
+    (broken / "part-0000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        read_store(spark, str(tmp_path / "broken")).count()
+
+
 def test_streaming_end_to_end_available_now(spark, tmp_path):
     src = str(tmp_path / "src")
     store, out = str(tmp_path / "store"), str(tmp_path / "out")
@@ -128,3 +157,9 @@ def test_cli_dedup_increment(spark, tmp_path, capsys):
     assert rc == 0
     assert _kept_ids(spark, out) == {1, 2, 12}
     assert read_store(spark, store).count() == 3
+    # an increment whose docs are ALL already accepted: n_kept 0, no crash
+    rc = cli_main(["--input", inp0, "--dedup-increment", out, "--store", store,
+                   "--increment-id", "inc2"])
+    assert rc == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["n_kept"] == 0 and r2["n_store_after"] == 3

@@ -107,7 +107,6 @@ def test_seq_cutoffs_respected(small):
     # dup/gap rates are 0 -> suggested; ts regression 14% -> NOT suggested
     assert "unique" in kinds and "sequence" in kinds
     assert "monotonic_ts" not in kinds
-    assert any("not_null(text): SKIPPED" not in r for r in rationale)
     # text dirt = 2/7 = 0.29 > 0.05 -> not_null(text) skipped, surfaced
     assert not any(
         c["type"] == "not_null" and c.get("col") == "text"
