@@ -1,5 +1,7 @@
 from dataval_spark.constraints.core import (
     Constraint,
+    ConversationShape,
+    RoleTransition,
     CrossField,
     Domain,
     Envelope,
@@ -15,6 +17,8 @@ from dataval_spark.constraints.suggest import profile_table, suggest_spec, sugge
 
 __all__ = [
     "Constraint",
+    "ConversationShape",
+    "RoleTransition",
     "CrossField",
     "Domain",
     "Envelope",

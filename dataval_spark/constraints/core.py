@@ -72,6 +72,20 @@ class Constraint:
         """Driver-side partition gate over the collected metrics row."""
         return None
 
+    def lag_helpers(self) -> list[str]:
+        """Names of helper columns whose previous-row value (within the
+        suite's one conversation window) this constraint needs; enrich
+        adds each as ``_prev_<name>`` in the SAME window pass — no
+        second shuffle."""
+        return []
+
+    def wants_conv_count(self) -> bool:
+        """True when the constraint needs ``_conv_n`` (the conversation's
+        total turn count). Computed as an unbounded-frame count over the
+        window's partition key during enrich — reuses the existing
+        Exchange, adds no shuffle."""
+        return False
+
     def identity(self) -> dict:
         """Deterministic description of this constraint's configuration,
         used by the manifest settings guard (manifest.suite_hash).
@@ -347,4 +361,139 @@ class Stats(Constraint):
             # whole fused agg out of codegen (see class docstring) — only
             # enable when distinctness is actually needed.
             out[f"approx_distinct_{self.col}"] = F.approx_count_distinct(F.col(self.col))
+        return out
+
+
+def transition_violation(
+    prev: Column, cur: Column, allowed: Sequence[str], has_prev: Column
+) -> Column:
+    """The transition-legality expression shared by RoleTransition and
+    the q20 driver census: ``has_prev`` marks rows with a predecessor
+    ROW (never derived from the predecessor's value — a NULL value
+    mid-sequence must still count as a break); concat propagates NULL so
+    either side NULL -> pair_ok NULL -> coalesce pins it to violation."""
+    pair_ok = F.concat(prev, F.lit(">"), cur).isin(*allowed)
+    return has_prev & ~F.coalesce(pair_ok, F.lit(False))
+
+
+@dataclass
+class RoleTransition(Constraint):
+    """(previous role -> role) must be an allowed transition within the
+    conversation — the dialogue-protocol face of sequence integrity
+    (e.g. a tool turn only after an assistant turn). Evaluated against
+    the suite's ONE conversation window via the generic lag-helper
+    mechanism, so it adds no shuffle.
+
+    ``allowed`` is the legal transition set as ``"prev>cur"`` strings.
+    The first turn has no predecessor and is exempt here —
+    ``ConversationShape(first_roles=...)`` owns conversation openings.
+    A NULL role mid-conversation breaks the chain and is flagged (the
+    NULL itself is additionally NotNull/Domain's business).
+
+    Analog of the reference's cadence-vs-datasource consistency rules
+    (/root/reference/dataval/release.py:398-411): a per-row value judged
+    against its sequential context, not in isolation.
+    """
+
+    col: str = "role"
+    allowed: Sequence[str] = ()
+    flag: QualityFlag | None = QualityFlag.InvalidTransition
+    needs_sequence: bool = True
+
+    def __post_init__(self):
+        self.name = f"role_transition_{self.col}"
+        if not self.allowed:
+            raise ValueError(
+                "RoleTransition.allowed is empty — every transition would "
+                "be flagged; list the legal 'prev>cur' pairs"
+            )
+        bad = [t for t in self.allowed if ">" not in t]
+        if bad:
+            raise ValueError(f"allowed entries must be 'prev>cur' strings: {bad}")
+
+    def helper_columns(self) -> dict[str, Column]:
+        return {f"_tr_{self.col}": F.col(self.col)}
+
+    def lag_helpers(self) -> list[str]:
+        return [f"_tr_{self.col}"]
+
+    def row_condition(self, df: DataFrame) -> Column:
+        cur = F.col(f"_tr_{self.col}")
+        prev = F.col(f"_prev__tr_{self.col}")
+        # "has a predecessor ROW" comes from _prev_idx, not from the
+        # predecessor's role: a NULL role mid-conversation would
+        # otherwise exempt the FOLLOWING row, hiding the second break of
+        # the chain (NULL>assistant). (A NULL predecessor turn_idx is
+        # indistinguishable from a first row here; NULL order keys are
+        # SequenceIntegrity's business.)
+        return transition_violation(
+            prev, cur, self.allowed, F.col("_prev_idx").isNotNull()
+        )
+
+
+@dataclass
+class ConversationShape(Constraint):
+    """Conversation-level shape rules, evaluated without any extra
+    shuffle: opening/closing role sets use the first/last-row markers
+    the window pass already computes (``_prev_idx``/``_next_idx`` NULL),
+    and turn-count bounds use ``_conv_n`` (an unbounded-frame count over
+    the same window partition key — same Exchange).
+
+    Flag targets: a bad opening flags the FIRST row, a bad closing flags
+    the LAST row, and an out-of-bounds turn count flags EVERY row of the
+    conversation (the whole conversation is the defect; per-row flags
+    keep the verdict algebra row-local).
+
+    Analog of the reference's per-target completeness checks — "does
+    this target's file set have the expected shape"
+    (/root/reference/dataval/dataval.py:543-547) — lifted to the
+    conversation grain.
+    """
+
+    col: str = "role"
+    first_roles: Sequence[str] | None = None
+    last_roles: Sequence[str] | None = None
+    min_turns: int | None = None
+    max_turns: int | None = None
+    flag: QualityFlag | None = QualityFlag.InvalidConvShape
+    needs_sequence: bool = True
+    name: str = "conversation_shape"
+
+    def __post_init__(self):
+        if (
+            self.first_roles is None
+            and self.last_roles is None
+            and self.min_turns is None
+            and self.max_turns is None
+        ):
+            raise ValueError("ConversationShape with no rules is vacuous")
+
+    def helper_columns(self) -> dict[str, Column]:
+        if self.first_roles is None and self.last_roles is None:
+            return {}
+        return {f"_cs_{self.col}": F.col(self.col)}
+
+    def wants_conv_count(self) -> bool:
+        return self.min_turns is not None or self.max_turns is not None
+
+    def row_condition(self, df: DataFrame) -> Column:
+        conds: list[Column] = []
+        cur = F.col(f"_cs_{self.col}")
+        if self.first_roles is not None:
+            conds.append(
+                F.col("_prev_idx").isNull()
+                & ~F.coalesce(cur.isin(*self.first_roles), F.lit(False))
+            )
+        if self.last_roles is not None:
+            conds.append(
+                F.col("_next_idx").isNull()
+                & ~F.coalesce(cur.isin(*self.last_roles), F.lit(False))
+            )
+        if self.min_turns is not None:
+            conds.append(F.col("_conv_n") < F.lit(int(self.min_turns)))
+        if self.max_turns is not None:
+            conds.append(F.col("_conv_n") > F.lit(int(self.max_turns)))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
         return out

@@ -145,16 +145,38 @@ def profile_table(
 
     if sequence_evidence and n and conv_col in dtypes and order_col in dtypes:
         w = Window.partitionBy(conv_col).orderBy(order_col)
+        # role-protocol evidence rides the same window pass, but ONLY
+        # when the role domain is small (the transition vocabulary is
+        # bounded by domain^2; an unbounded role column would make the
+        # collected sets a driver hazard)
+        role_ok = (
+            "role" in dtypes
+            and dtypes["role"].split("(")[0] == "string"
+            and 0 < columns["role"]["approx_distinct"] <= max_domain * 1.2
+        )
         enr = df.select(
             conv_col,
             order_col,
             *( [ts_col] if ts_col in dtypes else [] ),
+            *( ["role"] if role_ok else [] ),
         ).select(
             F.col(order_col).alias("t"),
             F.lag(order_col).over(w).alias("p"),
             *(
                 [F.col(ts_col).alias("ts"), F.lag(ts_col).over(w).alias("pts")]
                 if ts_col in dtypes
+                else []
+            ),
+            *(
+                [
+                    F.col("role").alias("r"),
+                    F.lag("role").over(w).alias("pr"),
+                    # row-existence marker for "last turn" — lead of the
+                    # ORDER key, not of role (a NULL role on the next row
+                    # must not make this row look final)
+                    F.lead(order_col).over(w).alias("nt"),
+                ]
+                if role_ok
                 else []
             ),
         )
@@ -173,12 +195,34 @@ def profile_table(
                     (F.col("pts").isNotNull() & (F.col("ts") < F.col("pts"))).cast("long")
                 ).alias("ts_regress")
             )
+        if role_ok:
+            cap = max_domain * max_domain + 1
+            pair = F.concat(F.col("pr"), F.lit(">"), F.col("r"))
+            seq_aggs += [
+                F.slice(
+                    F.array_sort(
+                        F.collect_set(F.when(F.col("pr").isNotNull(), pair))
+                    ), 1, cap,
+                ).alias("transitions"),
+                F.array_sort(
+                    F.collect_set(F.when(F.col("p").isNull(), F.col("r")))
+                ).alias("first_roles"),
+                F.array_sort(
+                    F.collect_set(F.when(F.col("nt").isNull(), F.col("r")))
+                ).alias("last_roles"),
+            ]
         srow = enr.agg(*seq_aggs).collect()[0].asDict()
         out.setdefault("sequence", {})
         out["sequence"]["dup_rate"] = srow["dup"] / n
         out["sequence"]["gap_rate"] = srow["gap"] / n
         if "ts_regress" in srow:
             out["sequence"]["ts_regress_rate"] = srow["ts_regress"] / n
+        if role_ok:
+            cap = max_domain * max_domain
+            if len(srow["transitions"]) <= cap:
+                out["sequence"]["transitions"] = list(srow["transitions"])
+            out["sequence"]["first_roles"] = list(srow["first_roles"])
+            out["sequence"]["last_roles"] = list(srow["last_roles"])
     return out
 
 
@@ -280,6 +324,28 @@ def suggest_spec(
         rationale.append(
             f"domain({c}): {st['approx_distinct']} distinct values "
             f"(cutoff-bounded set collected exactly)"
+        )
+
+    trans = seq.get("transitions")
+    if trans:
+        constraints.append({"type": "transition", "allowed": sorted(trans)})
+        rationale.append(
+            f"transition(role): observed complete pair set "
+            f"({len(trans)} transitions) becomes the allowed set — prune "
+            "by hand to the intended protocol (suggestion cannot know "
+            "which observed transitions are accidents)"
+        )
+    firsts, lasts = seq.get("first_roles"), seq.get("last_roles")
+    if firsts or lasts:
+        entry = {"type": "conv_shape"}
+        if firsts:
+            entry["first_roles"] = sorted(firsts)
+        if lasts:
+            entry["last_roles"] = sorted(lasts)
+        constraints.append(entry)
+        rationale.append(
+            f"conv_shape: observed opening roles {sorted(firsts or [])} / "
+            f"closing roles {sorted(lasts or [])}"
         )
 
     st = cols.get("status")

@@ -38,6 +38,8 @@ class QualityFlag(enum.IntFlag):
     BadStatus = 512            # conversation status not in (OK, WARNING)
     DriftedPartition = 1024    # partition failed KS/PSI drift check
     InvalidConvId = 2048       # conv_id NULL/empty or malformed
+    InvalidTransition = 4096   # (prev_role -> role) outside the allowed set
+    InvalidConvShape = 8192    # conversation opening/closing/turn-count shape
 
     @classmethod
     def flag_names(cls) -> list[str]:
@@ -59,6 +61,10 @@ DEFAULT_BITMASK: int = int(
     | QualityFlag.TextTooLong
     | QualityFlag.InvalidTimestamp
     | QualityFlag.InvalidConvId
+    # dialogue-protocol violations are structural like the above; the
+    # bits are only ever set when the opt-in constraints run
+    | QualityFlag.InvalidTransition
+    | QualityFlag.InvalidConvShape
 )
 
 

@@ -549,35 +549,65 @@ def q19(spark, sf_dir):
     )
 
 
+_EVENT_TRANSITIONS = (
+    "signup>view", "view>view", "view>click", "click>view",
+    "click>click", "click>purchase", "purchase>view", "error>view",
+)
+
+
 @query(
     "q20_sessionization",
-    """
+    f"""
     WITH marked AS (
       SELECT user_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-                  THEN 1 ELSE 0 END AS is_start
+                  THEN 1 ELSE 0 END AS is_start,
+             CASE WHEN lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
+                       AND NOT coalesce(
+                             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               || '>' || event_type
+                             IN ({", ".join(f"'{x}'" for x in _EVENT_TRANSITIONS)}),
+                             FALSE)
+                  THEN 1 ELSE 0 END AS is_illegal
       FROM events
     )
     SELECT count(DISTINCT user_id) AS n_users,
            CAST(sum(is_start) AS BIGINT) AS n_sessions,
-           count(*) AS n_events
+           count(*) AS n_events,
+           CAST(sum(is_illegal) AS BIGINT) AS n_illegal_transitions
     FROM marked
     """,
 )
 def q20(spark, sf_dir):
     """Sessionization via lag-gap window — per-conversation sequence
-    analysis at scale (gap threshold 30 min)."""
+    analysis at scale (gap threshold 30 min). Round 5 folds in the
+    transition-legality census over the SAME window: the shared
+    constraints.core.transition_violation expression (the engine of the
+    RoleTransition dialogue-protocol constraint) counts event-type
+    transitions outside the allowed funnel set, certified against the
+    oracle's lag/concat/IN re-derivation."""
+    from dataval_spark.constraints.core import transition_violation
+
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     is_start = F.when(
         prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800), 1
     ).otherwise(0)
-    return ev.withColumn("is_start", is_start).agg(
+    illegal = transition_violation(
+        F.lag("event_type").over(w),
+        F.col("event_type"),
+        _EVENT_TRANSITIONS,
+        F.lag("event_id").over(w).isNotNull(),
+    )
+    return ev.withColumn("is_start", is_start).withColumn(
+        "is_illegal", illegal.cast("long")
+    ).agg(
         F.countDistinct("user_id").alias("n_users"),
         F.sum("is_start").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_illegal").alias("n_illegal_transitions"),
     )
 
 

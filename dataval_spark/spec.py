@@ -42,11 +42,13 @@ from pyspark.sql import functions as F
 
 from dataval_spark.constraints.core import (
     Constraint,
+    ConversationShape,
     CrossField,
     Domain,
     Envelope,
     MonotonicTs,
     NotNull,
+    RoleTransition,
     SequenceIntegrity,
     Stats,
     StatusGate,
@@ -119,6 +121,21 @@ def _build_constraint(c: dict) -> Constraint:
     if kind == "status_gate":
         return StatusGate(
             col=c.get("col", "status"), ok_values=tuple(c.get("ok_values", (1, 3)))
+        )
+    if kind == "transition":
+        return RoleTransition(
+            col=c.get("col", "role"),
+            allowed=tuple(c["allowed"]),
+            flag=_flag(c.get("flag", "InvalidTransition")),
+        )
+    if kind == "conv_shape":
+        return ConversationShape(
+            col=c.get("col", "role"),
+            first_roles=tuple(c["first_roles"]) if c.get("first_roles") else None,
+            last_roles=tuple(c["last_roles"]) if c.get("last_roles") else None,
+            min_turns=c.get("min_turns"),
+            max_turns=c.get("max_turns"),
+            flag=_flag(c.get("flag", "InvalidConvShape")),
         )
     if kind == "stats":
         return Stats(col=c["col"], approx_distinct=c.get("approx_distinct", False))

@@ -244,17 +244,32 @@ class Suite:
         return df.select(*keep)
 
     def enrich(self, df: DataFrame) -> DataFrame:
-        """Single window pass adding _prev_idx/_next_idx/_prev_ts."""
+        """Single window pass adding _prev_idx/_next_idx/_prev_ts, plus
+        any constraint-requested helper lags (``_prev_<helper>``) and
+        the conversation turn count ``_conv_n`` — all over the SAME
+        window partitioning, so extra requests add expressions to the
+        one sort/Exchange, never a second shuffle."""
         if not any(c.needs_sequence for c in self.constraints):
             return df
         w = Window.partitionBy(self.conv_col).orderBy(
             F.col(self.order_col).asc_nulls_first(), F.col(self.ts_col).asc_nulls_first()
         )
-        return (
+        out = (
             df.withColumn("_prev_idx", F.lag(self.order_col).over(w))
             .withColumn("_next_idx", F.lead(self.order_col).over(w))
             .withColumn("_prev_ts", F.lag(self.ts_col).over(w))
         )
+        lagged: set[str] = set()
+        for c in self.constraints:
+            for h in getattr(c, "lag_helpers", lambda: [])():
+                if h in lagged:
+                    continue
+                lagged.add(h)
+                out = out.withColumn(f"_prev_{h}", F.lag(h).over(w))
+        if any(getattr(c, "wants_conv_count", lambda: False)() for c in self.constraints):
+            wp = Window.partitionBy(self.conv_col)
+            out = out.withColumn("_conv_n", F.count(F.lit(1)).over(wp))
+        return out
 
     def flag_rows(self, df: DataFrame) -> DataFrame:
         """Final flag combination: row-local bits (from project) ORed with

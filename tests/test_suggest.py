@@ -55,6 +55,10 @@ def test_profile_matches_mirror(small):
     assert s["ts_regress_rate"] == pytest.approx(1 / 7)
     # conv_id is never collected as a domain, whatever its cardinality
     assert "domain" not in c["conv_id"]
+    # role-protocol evidence from the same window pass
+    assert s["transitions"] == ["assistant>tool", "user>assistant"]
+    assert s["first_roles"] == ["user"]
+    assert s["last_roles"] == ["assistant", "tool"]
 
 
 def test_profile_single_agg_plan(small):
@@ -98,6 +102,12 @@ def test_suggest_spec_rules(small):
         c["type"] == "not_null" and c.get("col") == "tool"
         for c in spec["constraints"]
     )
+    # dialogue-protocol suggestions from the observed evidence
+    tr = next(c for c in spec["constraints"] if c["type"] == "transition")
+    assert tr["allowed"] == ["assistant>tool", "user>assistant"]
+    cs = next(c for c in spec["constraints"] if c["type"] == "conv_shape")
+    assert cs["first_roles"] == ["user"]
+    assert cs["last_roles"] == ["assistant", "tool"]
 
 
 def test_seq_cutoffs_respected(small):
