@@ -1,0 +1,90 @@
+"""Conversation-level duplicate detection — the reference's
+duplicate-target check (/root/reference/dataval/dataval.py:568-585:
+same target appearing under multiple entries, resolved to one canonical)
+lifted to the transcript grain: two conv_ids carrying the SAME ordered
+turn contents are duplicates of each other, whatever their ids say.
+
+Shape: one groupBy(conv_id) building an order-insensitive-to-ingestion,
+order-SENSITIVE-to-dialogue fingerprint (per-turn content hashes,
+sorted by (turn_idx, hash), concatenated, hashed), then a tiny
+aggregation over fingerprints. The first shuffle is keyed on the same
+conversation id the validation suite's window uses — co-partitioned in
+a pipeline that does both. The fingerprint is 32 bytes/conversation, so
+the duplicate-group pass at 10^12 turns aggregates ~10^9-10^10 narrow
+rows, not the turn table.
+
+Contract:
+* rows with a NULL ``order_col`` are excluded from the fingerprint
+  (their position is undefined; NULL order keys are SequenceIntegrity's
+  violation to flag) — both engines agree instead of inheriting
+  opposite NULL-sort defaults.
+* NULL text hashes to a sentinel distinct from the empty string, so
+  (NULL) and ('') conversations do not collide.
+* ties on duplicate ``turn_idx`` break by content hash — deterministic
+  even on data that Unique would flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["turn_hash", "conversation_fingerprints", "duplicate_conversations"]
+
+_NULL_SENTINEL = "\x00null"
+
+
+def turn_hash(text: Column) -> Column:
+    """Per-turn content hash; NULL-safe (sentinel, not empty string)."""
+    return F.md5(F.coalesce(text.cast("string"), F.lit(_NULL_SENTINEL)))
+
+
+def conversation_fingerprints(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv, conv_fp, n_turns) — one groupBy(conv)."""
+    entry = F.struct(
+        F.col(order_col).alias("i"), turn_hash(F.col(text_col)).alias("h")
+    )
+    return (
+        df.where(F.col(order_col).isNotNull())
+        .groupBy(F.col(conv_col).alias("conv"))
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(entry)), lambda x: x["h"]
+                    ),
+                )
+            ).alias("conv_fp"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+
+
+def duplicate_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv, conv_fp, group_size, canonical) for every member of a
+    duplicate group — keep ``conv == canonical`` (min id, the engine's
+    standard keep-first survivor rule) to dedup, or anti-join the rest
+    away."""
+    fps = conversation_fingerprints(df, conv_col, order_col, text_col)
+    groups = (
+        fps.groupBy("conv_fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("conv").alias("canonical"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+    return fps.join(groups, "conv_fp").select(
+        "conv", "conv_fp", "group_size", "canonical"
+    )

@@ -95,19 +95,68 @@ def q01(spark, sf_dir):
 @query(
     "q02_uniqueness_duplicates",
     """
-    SELECT l_orderkey, l_partkey, count(*) AS dup_cnt
+    WITH th AS (
+      SELECT l_orderkey AS conv, l_linenumber AS i,
+             md5(CAST(CAST(l_quantity AS INT) % 5 AS VARCHAR)) AS h
+      FROM lineitem WHERE l_linenumber IS NOT NULL
+    ),
+    fp AS (
+      SELECT conv, md5(string_agg(h, '|' ORDER BY i, h)) AS conv_fp
+      FROM th GROUP BY conv
+    ),
+    g AS (
+      SELECT conv_fp, count(*) AS group_size, min(conv) AS canonical
+      FROM fp GROUP BY conv_fp HAVING count(*) > 1
+    )
+    SELECT 'key_dup' AS kind, CAST(l_orderkey AS VARCHAR) AS k,
+           CAST(l_partkey AS VARCHAR) AS sub, count(*) AS n,
+           CAST(NULL AS VARCHAR) AS canonical
     FROM lineitem GROUP BY l_orderkey, l_partkey HAVING count(*) > 1
+    UNION ALL
+    SELECT 'conv_dup' AS kind, CAST(conv AS VARCHAR) AS k,
+           conv_fp AS sub, group_size AS n,
+           CAST(canonical AS VARCHAR) AS canonical
+    FROM fp JOIN g USING (conv_fp)
     """,
 )
 def q02(spark, sf_dir):
     """Uniqueness constraint: GROUP BY HAVING COUNT>1
-    (reference /root/reference/dataval/camera_overlap.py:31)."""
+    (reference /root/reference/dataval/camera_overlap.py:31) — plus the
+    round-5 conversation-grain duplicate-target fold: lineitem read as
+    transcripts (order=conversation, linenumber=turn) with a QUANTIZED
+    per-turn token (quantity mod 5) so whole-conversation duplicates
+    genuinely exist at test SF, certifying
+    operators/convdup.py::duplicate_conversations (ordered-fingerprint
+    groupBy + duplicate-group join, incl. the canonical=min survivor)
+    against the oracle's string_agg re-derivation."""
+    from dataval_spark.operators.convdup import duplicate_conversations
+
     li = t(spark, sf_dir, "lineitem")
-    return (
+    key_dups = (
         li.groupBy("l_orderkey", "l_partkey")
-        .agg(F.count(F.lit(1)).alias("dup_cnt"))
-        .where(F.col("dup_cnt") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select(
+            F.lit("key_dup").alias("kind"),
+            F.col("l_orderkey").cast("string").alias("k"),
+            F.col("l_partkey").cast("string").alias("sub"),
+            F.col("n"),
+            F.lit(None).cast("string").alias("canonical"),
+        )
     )
+    conv = li.select(
+        F.col("l_orderkey").alias("conv_id"),
+        F.col("l_linenumber").alias("turn_idx"),
+        (F.col("l_quantity").cast("int") % 5).cast("string").alias("text"),
+    )
+    conv_dups = duplicate_conversations(conv).select(
+        F.lit("conv_dup").alias("kind"),
+        F.col("conv").cast("string").alias("k"),
+        F.col("conv_fp").alias("sub"),
+        F.col("group_size").cast("long").alias("n"),
+        F.col("canonical").cast("string").alias("canonical"),
+    )
+    return key_dups.unionByName(conv_dups)
 
 
 @query(
