@@ -44,165 +44,273 @@ STATE_SCHEMA = (
     "contig int, max_idx int, n_seen long, last_ts double, "
     "pend_idx array<int>, pend_flags array<int>"
 )
+# transition-aware variant: pending roles + the role at the prefix head
+# (known flag separate from value — a NULL role VALUE is still "known"
+# and breaks the chain, while an unknown predecessor is exempt)
+STATE_SCHEMA_T = STATE_SCHEMA + (
+    ", pend_roles array<string>, last_role string, last_role_known boolean"
+)
 
 _DUP = int(QualityFlag.DuplicateTurn)
 _GAP = int(QualityFlag.SequenceGap)
 _OOO = int(QualityFlag.NonMonotonicTs)
+_TRN = int(QualityFlag.InvalidTransition)
 
 MAX_PENDING = 1024
 
 
-def validate_conversation(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    """Grouped stateful kernel: one call per (conv_id, micro-batch)."""
-    (conv_id,) = key
-    cols = ["conv_id", "turn_idx", "dataval", "max_idx_seen", "n_seen"]
-    if state.hasTimedOut:
-        state.remove()
-        # yield an empty typed frame rather than bare-return: a generator
-        # that never yields leaves the Arrow stream unterminated and
-        # hard-crashes the Python worker on PySpark 4.1.2
-        yield pd.DataFrame(columns=cols)
-        return
+def make_validator(allowed_transitions=None):
+    """Build the grouped stateful kernel. With ``allowed_transitions``
+    (a set of "prev>cur" strings) the kernel ALSO checks dialogue
+    transitions along the contiguous prefix — the streaming face of
+    RoleTransition: a turn's transition is evaluated exactly when its
+    immediate predecessor's role is known (in-order arrivals:
+    immediately; gap-filled turns: re-emitted at heal time, same
+    update-mode last-write-wins contract as gap healing; turns past a
+    watermark eviction whose predecessor never arrived: exempt, the
+    batch suite is authoritative there)."""
+    allowed = None if allowed_transitions is None else set(allowed_transitions)
 
-    # NB: GroupState.get is a property in PySpark (not a method)
-    if state.exists:
-        contig, max_idx, n_seen, last_ts, pend_idx, pend_flags = state.get
-        pending = dict(zip(pend_idx, pend_flags))
-    else:
-        contig, max_idx, n_seen, last_ts, pending = -1, -1, 0, float("-inf"), {}
+    def pair_ok(prev_role, cur_role) -> bool:
+        # NULL on either side is never a legal pair (batch parity:
+        # concat propagates NULL -> coalesce pins to violation)
+        if prev_role is None or cur_role is None:
+            return False
+        return f"{prev_role}>{cur_role}" in allowed
 
-    out_rows = []
-    out_frames = []
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
+    def validate(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        cols = ["conv_id", "turn_idx", "dataval", "max_idx_seen", "n_seen"]
+        if state.hasTimedOut:
+            state.remove()
+            # yield an empty typed frame rather than bare-return: a generator
+            # that never yields leaves the Arrow stream unterminated and
+            # hard-crashes the Python worker on PySpark 4.1.2
+            yield pd.DataFrame(columns=cols)
+            return
 
-        # Vectorized fast path for the healthy-stream common case: no
-        # pending holes, clean values, and the batch is exactly the next
-        # contiguous run of indexes. Then no turn can be a duplicate or a
-        # gap, so only the out-of-order-ts flag needs computing — one
-        # numpy cummax instead of the Python row loop (measured 5x on a
-        # 10k-turn in-order batch: 27 ms -> 5 ms per batch).
-        if not pending and len(pdf) and pdf["turn_idx"].notna().all():
-            idxs = pdf["turn_idx"].to_numpy(dtype="int64", na_value=-1)
-            ts_col = pdf["ts"]
-            if (
-                idxs[0] == contig + 1
-                and (np.diff(idxs) == 1).all()
-                and pd.api.types.is_datetime64_any_dtype(ts_col)
-                and ts_col.notna().all()
-            ):
-                n = len(idxs)
-                # normalize the unit first: Arrow hands pandas
-                # datetime64[us], where astype(int64) would be micros
-                ts_s = ts_col.to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9
-                prev_max = np.maximum.accumulate(
-                    np.concatenate(([last_ts], ts_s))
-                )[:-1]
-                flags = np.where(ts_s < prev_max, _OOO, 0).astype("int64")
-                out_frames.append(
-                    pd.DataFrame(
-                        {
-                            "conv_id": conv_id,
-                            "turn_idx": idxs,
-                            "dataval": flags,
-                            "max_idx_seen": np.maximum(idxs, max_idx),
-                            "n_seen": n_seen + np.arange(1, n + 1),
-                        }
+        # NB: GroupState.get is a property in PySpark (not a method)
+        pend_role: dict[int, object] = {}
+        last_role, last_role_known = None, False
+        if state.exists:
+            if allowed is None:
+                contig, max_idx, n_seen, last_ts, pend_idx, pend_flags = state.get
+            else:
+                (
+                    contig, max_idx, n_seen, last_ts, pend_idx, pend_flags,
+                    pend_roles, last_role, last_role_known,
+                ) = state.get
+                pend_role = dict(zip(pend_idx, pend_roles))
+            pending = dict(zip(pend_idx, pend_flags))
+        else:
+            contig, max_idx, n_seen, last_ts, pending = -1, -1, 0, float("-inf"), {}
+
+        def norm_role(r):
+            # Arrow hands NULL strings as None or NaN depending on dtype
+            return None if r is None or r != r else str(r)
+
+        out_rows = []
+        out_frames = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
+
+            # Vectorized fast path for the healthy-stream common case: no
+            # pending holes, clean values, and the batch is exactly the next
+            # contiguous run of indexes. Then no turn can be a duplicate or a
+            # gap, so only the out-of-order-ts flag needs computing — one
+            # numpy cummax instead of the Python row loop (measured 5x on a
+            # 10k-turn in-order batch: 27 ms -> 5 ms per batch).
+            if not pending and len(pdf) and pdf["turn_idx"].notna().all():
+                idxs = pdf["turn_idx"].to_numpy(dtype="int64", na_value=-1)
+                ts_col = pdf["ts"]
+                if (
+                    idxs[0] == contig + 1
+                    and (np.diff(idxs) == 1).all()
+                    and pd.api.types.is_datetime64_any_dtype(ts_col)
+                    and ts_col.notna().all()
+                ):
+                    n = len(idxs)
+                    # normalize the unit first: Arrow hands pandas
+                    # datetime64[us], where astype(int64) would be micros
+                    ts_s = ts_col.to_numpy(dtype="datetime64[ns]").astype("int64") / 1e9
+                    prev_max = np.maximum.accumulate(
+                        np.concatenate(([last_ts], ts_s))
+                    )[:-1]
+                    flags = np.where(ts_s < prev_max, _OOO, 0).astype("int64")
+                    if allowed is not None:
+                        roles = [norm_role(r) for r in pdf["role"]]
+                        prevs = [last_role] + roles[:-1]
+                        has_prev = [contig >= 0 and last_role_known] + [True] * (n - 1)
+                        trn = np.array(
+                            [
+                                _TRN if hp and not pair_ok(p, c) else 0
+                                for hp, p, c in zip(has_prev, prevs, roles)
+                            ],
+                            dtype="int64",
+                        )
+                        flags = flags | trn
+                        last_role, last_role_known = roles[-1], True
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "conv_id": conv_id,
+                                "turn_idx": idxs,
+                                "dataval": flags,
+                                "max_idx_seen": np.maximum(idxs, max_idx),
+                                "n_seen": n_seen + np.arange(1, n + 1),
+                            }
+                        )
                     )
+                    contig = int(idxs[-1])
+                    max_idx = max(max_idx, contig)
+                    n_seen += n
+                    last_ts = max(last_ts, float(ts_s.max()))
+                    continue
+
+            role_iter = pdf["role"] if allowed is not None else [None] * len(pdf)
+            for turn_idx, ts, role in zip(pdf["turn_idx"], pdf["ts"], role_iter):
+                # dirty rows must not kill the query: a NULL turn_idx arrives
+                # as NaN (Arrow nullable int -> pandas float) and cannot be
+                # sequenced — skip it (NotNull in the batch suite owns it);
+                # a NULL/NaT ts keeps index sequencing but neither flags OOO
+                # nor advances the ts watermark.
+                if turn_idx is None or turn_idx != turn_idx:
+                    continue
+                idx = int(turn_idx)
+                if ts is None or ts != ts:
+                    ts_s = last_ts
+                else:
+                    ts_s = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+                flags = 0
+                if ts_s < last_ts:
+                    flags |= _OOO
+                if idx <= contig or idx in pending:
+                    flags |= _DUP  # genuinely seen before: replay
+                else:
+                    if idx > contig + 1 and (idx - 1) not in pending:
+                        flags |= _GAP  # immediate predecessor missing so far
+                    # heal: this arrival is the missing predecessor of a
+                    # previously gap-flagged turn -> re-emit it, bit cleared
+                    nxt = pending.get(idx + 1)
+                    if nxt is not None and nxt & _GAP:
+                        pending[idx + 1] = nxt & ~_GAP
+                        out_rows.append(
+                            (conv_id, idx + 1, nxt & ~_GAP, max(max_idx, idx), n_seen + 1)
+                        )
+                    pending[idx] = flags
+                    if allowed is not None:
+                        pend_role[idx] = norm_role(role)
+
+                    # advance the contiguous prefix; pruned entries need no
+                    # further healing so they leave the state. In the
+                    # transition variant each advance step is exactly the
+                    # moment the turn's predecessor role becomes known —
+                    # evaluate there: the CURRENT arrival folds the flag
+                    # into its own emission below; an older gap-filled turn
+                    # is RE-emitted (same contract as gap healing).
+                    def _advance():
+                        nonlocal contig, last_role, last_role_known, flags
+                        while (contig + 1) in pending:
+                            contig += 1
+                            fl = pending.pop(contig)
+                            if allowed is not None:
+                                r = pend_role.pop(contig, None)
+                                has_prev = contig > 0 and last_role_known
+                                if has_prev and not pair_ok(last_role, r):
+                                    fl |= _TRN
+                                    if contig == idx:
+                                        # current arrival: fold into its
+                                        # own emission below
+                                        flags |= _TRN
+                                    else:
+                                        out_rows.append(
+                                            (conv_id, contig, fl, max_idx, n_seen)
+                                        )
+                                last_role, last_role_known = r, True
+
+                    _advance()
+                    if len(pending) > MAX_PENDING:
+                        # WATERMARK eviction: evict the lowest pending index
+                        # and advance the prefix past it — "everything at or
+                        # below the watermark is assumed seen". Evicting the
+                        # highest would evict the just-inserted index on an
+                        # in-order stream (every new turn misflagged); plain
+                        # evict-lowest would strand a hole the prefix can
+                        # never cross. With the watermark, a mid-conversation
+                        # attach drains pending after the first eviction, and
+                        # replays below the window flag as duplicates (the
+                        # conservative degradation) instead of gaps.
+                        evicted = min(pending)
+                        pending.pop(evicted)
+                        contig = max(contig, evicted)
+                        if allowed is not None:
+                            # the evicted turn's own predecessor never
+                            # arrived -> its transition is exempt, but ITS
+                            # role seeds the chain for what follows
+                            last_role = pend_role.pop(evicted, None)
+                            last_role_known = last_role is not None
+                        _advance()
+                max_idx = max(max_idx, idx)
+                last_ts = max(last_ts, ts_s)
+                n_seen += 1
+                out_rows.append((conv_id, idx, flags, max_idx, n_seen))
+
+        if allowed is None:
+            state.update(
+                (
+                    contig,
+                    max_idx,
+                    n_seen,
+                    last_ts,
+                    sorted(pending),
+                    [pending[i] for i in sorted(pending)],
                 )
-                contig = int(idxs[-1])
-                max_idx = max(max_idx, contig)
-                n_seen += n
-                last_ts = max(last_ts, float(ts_s.max()))
-                continue
+            )
+        else:
+            order = sorted(pending)
+            state.update(
+                (
+                    contig,
+                    max_idx,
+                    n_seen,
+                    last_ts,
+                    order,
+                    [pending[i] for i in order],
+                    [pend_role.get(i) for i in order],
+                    last_role,
+                    bool(last_role_known),
+                )
+            )
+        state.setTimeoutDuration(24 * 3600 * 1000)  # evict idle conversations
+        if out_rows:
+            out_frames.append(pd.DataFrame(out_rows, columns=cols))
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True) if len(out_frames) > 1 else out_frames[0]
+        else:
+            yield pd.DataFrame(columns=cols)
 
-        for turn_idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
-            # dirty rows must not kill the query: a NULL turn_idx arrives
-            # as NaN (Arrow nullable int -> pandas float) and cannot be
-            # sequenced — skip it (NotNull in the batch suite owns it);
-            # a NULL/NaT ts keeps index sequencing but neither flags OOO
-            # nor advances the ts watermark.
-            if turn_idx is None or turn_idx != turn_idx:
-                continue
-            idx = int(turn_idx)
-            if ts is None or ts != ts:
-                ts_s = last_ts
-            else:
-                ts_s = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
-            flags = 0
-            if ts_s < last_ts:
-                flags |= _OOO
-            if idx <= contig or idx in pending:
-                flags |= _DUP  # genuinely seen before: replay
-            else:
-                if idx > contig + 1 and (idx - 1) not in pending:
-                    flags |= _GAP  # immediate predecessor missing so far
-                # heal: this arrival is the missing predecessor of a
-                # previously gap-flagged turn -> re-emit it, bit cleared
-                nxt = pending.get(idx + 1)
-                if nxt is not None and nxt & _GAP:
-                    pending[idx + 1] = nxt & ~_GAP
-                    out_rows.append(
-                        (conv_id, idx + 1, nxt & ~_GAP, max(max_idx, idx), n_seen + 1)
-                    )
-                pending[idx] = flags
-                # advance the contiguous prefix; pruned entries need no
-                # further healing so they leave the state
-                while (contig + 1) in pending:
-                    contig += 1
-                    pending.pop(contig)
-                if len(pending) > MAX_PENDING:
-                    # WATERMARK eviction: evict the lowest pending index
-                    # and advance the prefix past it — "everything at or
-                    # below the watermark is assumed seen". Evicting the
-                    # highest would evict the just-inserted index on an
-                    # in-order stream (every new turn misflagged); plain
-                    # evict-lowest would strand a hole the prefix can
-                    # never cross. With the watermark, a mid-conversation
-                    # attach drains pending after the first eviction, and
-                    # replays below the window flag as duplicates (the
-                    # conservative degradation) instead of gaps.
-                    evicted = min(pending)
-                    pending.pop(evicted)
-                    contig = max(contig, evicted)
-                    while (contig + 1) in pending:
-                        contig += 1
-                        pending.pop(contig)
-            max_idx = max(max_idx, idx)
-            last_ts = max(last_ts, ts_s)
-            n_seen += 1
-            out_rows.append((conv_id, idx, flags, max_idx, n_seen))
-
-    state.update(
-        (
-            contig,
-            max_idx,
-            n_seen,
-            last_ts,
-            sorted(pending),
-            [pending[i] for i in sorted(pending)],
-        )
-    )
-    state.setTimeoutDuration(24 * 3600 * 1000)  # evict idle conversations
-    if out_rows:
-        out_frames.append(pd.DataFrame(out_rows, columns=cols))
-    if out_frames:
-        yield pd.concat(out_frames, ignore_index=True) if len(out_frames) > 1 else out_frames[0]
-    else:
-        yield pd.DataFrame(columns=cols)
+    return validate
 
 
-def streaming_sequence_verdicts(stream):
-    """Wire the kernel onto a transcript-shaped stream."""
+# the default kernel — behavior identical to the pre-factory version
+validate_conversation = make_validator()
+
+
+def streaming_sequence_verdicts(stream, allowed_transitions=None):
+    """Wire the kernel onto a transcript-shaped stream. With
+    ``allowed_transitions`` the stream must carry ``role`` and verdicts
+    include InvalidTransition along the contiguous prefix."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    with_roles = allowed_transitions is not None
+    cols = ["conv_id", "turn_idx", "ts"] + (["role"] if with_roles else [])
     return (
-        stream.select("conv_id", "turn_idx", "ts")
+        stream.select(*cols)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            validate_conversation,
+            make_validator(allowed_transitions) if with_roles else validate_conversation,
             outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA,
+            stateStructType=STATE_SCHEMA_T if with_roles else STATE_SCHEMA,
             # "update", not "append": append-mode flatMapGroupsWithState
             # requires event-time watermark plumbing this operator does
             # not carry; with append the Python worker hard-crashes
