@@ -22,6 +22,14 @@ Contract:
   (NULL) and ('') conversations do not collide.
 * ties on duplicate ``turn_idx`` break by content hash — deterministic
   even on data that Unique would flag.
+* identity is the CONTENT SEQUENCE, not the index values: ``turn_idx``
+  defines the order of the turns and then drops out, so a re-ingested
+  copy with offset or gapped numbering ([(0,x),(5,y)]) collapses with
+  the original ([(0,x),(1,y)]). Deliberate: index structure is the
+  sequence suite's dimension (SequenceIntegrity flags the gaps), and a
+  duplicate-target check that a renumbering defeats is not a duplicate
+  check. Callers who want index-structural identity can fingerprint
+  ``concat(turn_idx, ':', text)`` as the text column.
 """
 
 from __future__ import annotations

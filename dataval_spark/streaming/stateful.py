@@ -70,6 +70,13 @@ def make_validator(allowed_transitions=None):
     watermark eviction whose predecessor never arrived: exempt, the
     batch suite is authoritative there)."""
     allowed = None if allowed_transitions is None else set(allowed_transitions)
+    if allowed is not None and not allowed:
+        # mirror RoleTransition's constructor guard: an empty set would
+        # flag every non-first turn — fail fast, same as the batch face
+        raise ValueError(
+            "allowed_transitions is empty — every transition would be "
+            "flagged; pass None to disable the check"
+        )
 
     def pair_ok(prev_role, cur_role) -> bool:
         # NULL on either side is never a legal pair (batch parity:
@@ -111,6 +118,35 @@ def make_validator(allowed_transitions=None):
 
         out_rows = []
         out_frames = []
+
+        def _advance(cur_idx, cur_flags):
+            """Advance the contiguous prefix; pruned entries need no
+            further healing so they leave the state. In the transition
+            variant each advance step also hands the popped turn its
+            predecessor's role — turns whose pair was already judged at
+            arrival/heal time carry _TRN in their pending flags and are
+            not re-emitted here (same verdict either way; the guard just
+            avoids a duplicate row). The CURRENT arrival folds its flag
+            into its own emission (returned); older turns are RE-emitted
+            (same contract as gap healing)."""
+            nonlocal contig, last_role, last_role_known
+            while (contig + 1) in pending:
+                contig += 1
+                fl = pending.pop(contig)
+                if allowed is not None:
+                    r = pend_role.pop(contig, None)
+                    has_prev = contig > 0 and last_role_known
+                    if has_prev and not (fl & _TRN) and not pair_ok(last_role, r):
+                        fl |= _TRN
+                        if contig == cur_idx:
+                            cur_flags |= _TRN
+                        else:
+                            out_rows.append(
+                                (conv_id, contig, fl, max(max_idx, cur_idx), n_seen + 1)
+                            )
+                    last_role, last_role_known = r, True
+            return cur_flags
+
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["turn_idx", "ts"], kind="mergesort")
 
@@ -189,46 +225,33 @@ def make_validator(allowed_transitions=None):
                 else:
                     if idx > contig + 1 and (idx - 1) not in pending:
                         flags |= _GAP  # immediate predecessor missing so far
-                    # heal: this arrival is the missing predecessor of a
-                    # previously gap-flagged turn -> re-emit it, bit cleared
+                    r_cur = norm_role(role) if allowed is not None else None
+                    # own transition the moment the predecessor's role is
+                    # known — including a predecessor that is itself still
+                    # PENDING (prefix not reached): both roles exist now
+                    if allowed is not None and (idx - 1) in pend_role:
+                        if not pair_ok(pend_role[idx - 1], r_cur):
+                            flags |= _TRN
+                    # this arrival is the missing predecessor of a pending
+                    # turn: heal its gap bit AND judge its transition —
+                    # ONE re-emission carrying the merged verdict
                     nxt = pending.get(idx + 1)
-                    if nxt is not None and nxt & _GAP:
-                        pending[idx + 1] = nxt & ~_GAP
-                        out_rows.append(
-                            (conv_id, idx + 1, nxt & ~_GAP, max(max_idx, idx), n_seen + 1)
-                        )
+                    if nxt is not None:
+                        new_fl = nxt & ~_GAP
+                        if allowed is not None and not pair_ok(
+                            r_cur, pend_role.get(idx + 1)
+                        ):
+                            new_fl |= _TRN
+                        if new_fl != nxt:
+                            pending[idx + 1] = new_fl
+                            out_rows.append(
+                                (conv_id, idx + 1, new_fl, max(max_idx, idx), n_seen + 1)
+                            )
                     pending[idx] = flags
                     if allowed is not None:
-                        pend_role[idx] = norm_role(role)
+                        pend_role[idx] = r_cur
 
-                    # advance the contiguous prefix; pruned entries need no
-                    # further healing so they leave the state. In the
-                    # transition variant each advance step is exactly the
-                    # moment the turn's predecessor role becomes known —
-                    # evaluate there: the CURRENT arrival folds the flag
-                    # into its own emission below; an older gap-filled turn
-                    # is RE-emitted (same contract as gap healing).
-                    def _advance():
-                        nonlocal contig, last_role, last_role_known, flags
-                        while (contig + 1) in pending:
-                            contig += 1
-                            fl = pending.pop(contig)
-                            if allowed is not None:
-                                r = pend_role.pop(contig, None)
-                                has_prev = contig > 0 and last_role_known
-                                if has_prev and not pair_ok(last_role, r):
-                                    fl |= _TRN
-                                    if contig == idx:
-                                        # current arrival: fold into its
-                                        # own emission below
-                                        flags |= _TRN
-                                    else:
-                                        out_rows.append(
-                                            (conv_id, contig, fl, max_idx, n_seen)
-                                        )
-                                last_role, last_role_known = r, True
-
-                    _advance()
+                    flags = _advance(idx, flags)
                     if len(pending) > MAX_PENDING:
                         # WATERMARK eviction: evict the lowest pending index
                         # and advance the prefix past it — "everything at or
@@ -246,10 +269,13 @@ def make_validator(allowed_transitions=None):
                         if allowed is not None:
                             # the evicted turn's own predecessor never
                             # arrived -> its transition is exempt, but ITS
-                            # role seeds the chain for what follows
+                            # role seeds the chain for what follows.
+                            # Known-ness = "did we observe the row", NOT
+                            # value-is-not-None: an observed NULL role is
+                            # known and must break the next pair
+                            last_role_known = evicted in pend_role
                             last_role = pend_role.pop(evicted, None)
-                            last_role_known = last_role is not None
-                        _advance()
+                        flags = _advance(idx, flags)
                 max_idx = max(max_idx, idx)
                 last_ts = max(last_ts, ts_s)
                 n_seen += 1

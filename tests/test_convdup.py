@@ -68,6 +68,17 @@ def test_duplicate_groups_and_canonical(spark):
         assert cid not in dups
 
 
+def test_identity_is_content_sequence_not_index_values(spark):
+    """Documented contract: offset/gapped numbering with the same
+    content sequence IS a duplicate (index structure belongs to the
+    sequence suite, not the duplicate check)."""
+    d = {"o1": [(0, "x"), (1, "y")], "o2": [(0, "x"), (5, "y")]}
+    dups = {
+        r.conv: r.canonical for r in duplicate_conversations(_df(spark, d)).collect()
+    }
+    assert dups == {"o1": "o1", "o2": "o1"}
+
+
 def test_duplicate_turn_idx_ties_deterministic(spark):
     """Duplicate (conv, idx) pairs (Unique's violation) still fingerprint
     deterministically — ties break by content hash, so the two orderings

@@ -106,6 +106,53 @@ def test_null_role_breaks_chain_both_sides():
     assert flags[2] & _TRN == _TRN       # NULL>assistant
 
 
+def test_pending_pair_judged_without_prefix_reach():
+    """Review regression: arrivals 0(user), 5(assistant), 4(assistant)
+    with 1-3 never arriving — the 4>5 pair is fully known once 4 lands,
+    so turn 5 must be re-emitted with InvalidTransition even though the
+    contiguous prefix never reaches it."""
+    b = [
+        _pdf([(0, "user")]),
+        _pdf([(5, "assistant")]),
+        _pdf([(4, "assistant")]),
+    ]
+    flags, _ = _run(b)
+    assert flags[5] & _TRN == _TRN
+    assert flags[5] & _GAP == 0          # and its gap healed by 4
+    assert flags[4] & _GAP == _GAP       # 4's own predecessor still missing
+    assert flags[4] & _TRN == 0          # ...so 4's own pair is exempt
+
+
+def test_pending_predecessor_judges_arrival_immediately():
+    """A turn whose predecessor is PENDING (not yet contiguous) is judged
+    at its own arrival, not deferred to the prefix."""
+    b = [_pdf([(3, "assistant")]), _pdf([(4, "assistant")])]
+    flags, _ = _run(b)
+    assert flags[3] & _TRN == 0          # predecessor 2 unknown: exempt
+    assert flags[4] & _TRN == _TRN       # 3>4 judged from pending roles
+
+
+def test_evicted_null_role_still_breaks_chain():
+    """Review regression: an evicted turn whose role is an observed NULL
+    is KNOWN — the successor's NULL>role pair must flag, matching the
+    batch RoleTransition semantics."""
+    import dataval_spark.streaming.stateful as S
+
+    old = S.MAX_PENDING
+    S.MAX_PENDING = 2
+    try:
+        flags, _ = _run([_pdf([(2, None), (3, "assistant"), (4, "user")])])
+    finally:
+        S.MAX_PENDING = old
+    assert flags[3] & _TRN == _TRN       # NULL>assistant, judged at arrival
+    assert flags[4] & _TRN == 0          # assistant>user legal
+
+
+def test_empty_allowed_set_rejected():
+    with pytest.raises(ValueError):
+        make_validator(set())
+
+
 def test_fast_and_slow_paths_agree():
     """datetime ts engages the fast path; float ts forces the row loop —
     identical flags either way."""
