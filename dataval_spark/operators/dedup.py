@@ -384,6 +384,76 @@ def simhash_near_pairs(
 
 
 # ------------------------------------------------- dedup cluster assembly
+def _pin_round(df: DataFrame) -> DataFrame:
+    """Pin an intra-probe intermediate (MEMORY_AND_DISK). Every later
+    reference resolves to the SAME InMemoryRelation, and the block
+    manager's per-partition compute locks (getOrElseUpdate) guarantee
+    each partition is computed ONCE even when several downstream stages
+    of the one probe job consume it — the property that lets a probe
+    materialize TWO propagation rounds with a single driver action
+    without re-deriving round 1 per consumer. Disk-backed, so a huge
+    label/edge frame degrades to spill, not OOM."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _star_round(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """ONE large-star + small-star alternation (Kiveris et al., SoCC'14).
+    Returns (round_output, pinned_intermediate) — the caller unpersists
+    the pin after its probe action has run.
+
+    Both star steps are a groupBy-min + equi-join back on the same key,
+    NOT a window-min: a window forces every row of one key into a single
+    task's sort buffer, and AQE skew-splitting applies to joins, not
+    windows — a high-degree hub (exactly the adversarial-skew case this
+    path exists for) would become an unsplittable single-task straggler.
+    The groupBy side is map-side combinable and the join AQE-splittable,
+    so a hub key costs a skew-split join, never a one-task spill. The
+    join-back means each step consumes its input twice (agg + probe),
+    which is why the large-star output is pinned (computed once, block
+    locks) instead of recomputed per consumer.
+    """
+    # both directions from ONE pass over the upstream blocks
+    bidir = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
+    # -------- large-star -------- m = min(N(u) + {u}); attach every
+    # larger neighbor to m. groupBy-min (map-side combine) + equi-join.
+    mn = bidir.groupBy("a").agg(F.min("b").alias("_mn"))
+    ls = (
+        bidir.join(mn, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(
+            F.least(F.col("a"), F.col("_mn")).alias("a"),
+            F.col("b").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ls = _pin_round(ls)
+    # -------- small-star -------- direct every edge down: (hi, lo);
+    # m = min(N_smaller(hi) + {hi}) = min over the lo side; emit
+    # (m, lo) and (m, hi) from one explode over the joined row.
+    down = ls.select(F.col("b").alias("hi"), F.col("a").alias("lo"))
+    m = down.groupBy("hi").agg(F.min("lo").alias("_m"))
+    ss = (
+        down.join(m, "hi")
+        .select(
+            F.col("_m").alias("a"),
+            F.explode(F.array("lo", "hi")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return ss, ls
+
+
 def _star_rounds(edges: DataFrame, _ckpt, max_iter: int) -> DataFrame:
     """Alternating large-star/small-star rounds (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14 — public
@@ -395,69 +465,33 @@ def _star_rounds(edges: DataFrame, _ckpt, max_iter: int) -> DataFrame:
     * small-star: per node u (over edges pointing down), hook u and all
       its smaller neighbors to m = min(N_smaller(u) + {u}).
 
-    Each star step is a window-min over the edge partition key instead
-    of a groupBy-min + join back (one shuffle, one consumer of the
-    upstream frame), and the two emitted edge directions come out of a
-    single ``explode`` projection instead of a self-union (one consumer
-    again). That makes the WHOLE round one linear chain, so it needs no
-    mid-round checkpoint and pays exactly ONE driver action: the
-    round-end signature aggregation, which doubles as the lazy
-    localCheckpoint's materialization. Convergence is O(log^2 n) on
-    ADVERSARIAL graphs (long chains of skewed components) where
-    halving's per-round neighbor-min can stall on high-degree hubs.
-    Edges only ever move toward smaller ids, so the per-round checksum
+    Driver-action economy: each PROBE runs TWO star rounds and pays ONE
+    action — round 1's output is pinned (persist + block-locks: computed
+    once however many round-2 stages read it), round 2 is lazily
+    checkpointed, and the probe-end signature aggregation materializes
+    it. Convergence is monotone (edges only ever move toward smaller
+    ids), so probing every other round never misses the fixed point —
+    the extra round past convergence re-derives the same edge set, the
+    signature repeats, and the loop stops. Halves the per-round driver
+    barrier that dominates deep components. Convergence is O(log^2 n)
+    rounds on ADVERSARIAL graphs (long chains, skewed components) where
+    halving's per-round neighbor-min can stall. The per-probe checksum
     fixed point is a true termination proof, not a heuristic.
     """
     edges = edges.where(F.col("a") != F.col("b")).select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     ).distinct()
     prev_sig = None
-    w_a = Window.partitionBy("a")
-    w_hi = Window.partitionBy("hi")
-    for _ in range(max_iter):
-        # -------- large-star --------
-        # both directions from ONE pass over the checkpoint blocks
-        bidir = edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
-                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
-                )
-            ).alias("_e")
-        ).select("_e.a", "_e.b")
-        # m = min(N(u) + {u}); attach every larger neighbor to m.
-        # Window-min, not groupBy+join: same shuffle key, half the
-        # shuffles, and `bidir` is consumed exactly once.
-        ls = (
-            bidir.withColumn("_mn", F.min("b").over(w_a))
-            .where(F.col("b") > F.col("a"))
-            .select(
-                F.least(F.col("a"), F.col("_mn")).alias("a"),
-                F.col("b").alias("b"),
-            )
-            .where(F.col("a") != F.col("b"))
-            .distinct()
-        )
-        # -------- small-star --------
-        # direct every edge from its larger endpoint down: (hi, lo);
-        # m = min over the hi-partition; emit (m, lo) and (m, hi) from
-        # one explode so the window output has a single consumer
-        ss = (
-            ls.select(F.col("b").alias("hi"), F.col("a").alias("lo"))
-            .withColumn("_m", F.min("lo").over(w_hi))
-            .select(
-                F.col("_m").alias("a"),
-                F.explode(F.array("lo", "hi")).alias("b"),
-            )
-        )
-        # the round-end checkpoint is LAZY: the signature aggregation
-        # below is the round's ONLY driver action and doubles as the
+    for _ in range((max_iter + 1) // 2):
+        r1, pin1 = _star_round(edges)
+        r1 = _pin_round(r1)
+        r2, pin2 = _star_round(r1)
+        # the probe-end checkpoint is LAZY: the signature aggregation
+        # below is the probe's ONLY driver action and doubles as the
         # checkpoint materialization (local mode). Reliable-dir mode
         # stays eager: a lazy reliable checkpoint would recompute the
         # frame to write it after the action.
-        edges = _ckpt(
-            ss.where(F.col("a") != F.col("b")).distinct(), eager_needed=False
-        )
+        edges = _ckpt(r2, eager_needed=False)
         # fixed point: count + two independent order-insensitive hash
         # sums (one driver action; edges monotonically descend toward
         # component minima so a stable signature IS convergence).
@@ -470,6 +504,8 @@ def _star_rounds(edges: DataFrame, _ckpt, max_iter: int) -> DataFrame:
                 F.sum(F.xxhash64("b", "a").cast("decimal(38,0)")),
             ).collect()[0]
         )
+        for p in (pin1, r1, pin2):
+            p.unpersist()
         if sig == prev_sig:
             break
         prev_sig = sig
@@ -588,22 +624,23 @@ def connected_components(
                 "doc", F.coalesce("cluster", F.col("doc")).alias("cluster")
             )
         )
-    for _ in range(max_iter):
+    def _half_round(lbl: DataFrame) -> DataFrame:
+        """One min-label + path-halving propagation round over
+        (doc, old, label) — `old` (the PROBE-start label) rides through
+        untouched so the probe's convergence check is a filter over the
+        probe output instead of a join back onto its starting labels."""
         nbr_min = (
-            edges.join(labels, edges["b"] == labels["doc"])
+            edges.join(lbl, edges["b"] == lbl["doc"])
             .select(F.col("a").alias("doc"), F.col("label").alias("nlbl"))
             .groupBy("doc")
             .agg(F.min("nlbl").alias("nlbl"))
         )
-        # carry the round's starting label through as `old` so the
-        # convergence check is a filter over the (already checkpointed)
-        # round output instead of a third join back onto labels
         new = (
-            labels.alias("l")
+            lbl.alias("l")
             .join(nbr_min.alias("m"), "doc", "left")
             .select(
                 F.col("doc"),
-                F.col("l.label").alias("old"),
+                F.col("l.old").alias("old"),
                 F.least(
                     F.col("l.label"),
                     F.coalesce(F.col("m.nlbl"), F.col("l.label")),
@@ -613,7 +650,7 @@ def connected_components(
         # path halving: label <- min(label, label's label). Labels are
         # always existing doc ids so the self-join resolves; left join
         # keeps rows whose label row is themselves.
-        halved = (
+        return (
             new.alias("x")
             .join(new.alias("y"), F.col("x.label") == F.col("y.doc"), "left")
             .select(
@@ -625,14 +662,25 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        # lazy checkpoint + fold: the changed-count below is the round's
-        # ONLY driver action — it materializes the checkpoint blocks the
-        # next round's two label consumers read. Previously eager
-        # checkpoint + count = two actions per round; the fixed driver
-        # round-trip cost dominates shallow-graph CC at small SF and
-        # adds up over deep components at scale.
-        halved = _ckpt(halved, eager_needed=False)
+
+    # TWO propagation rounds per driver action: round 1's output is
+    # pinned (persist + block-locks — computed once however many round-2
+    # stages consume it), round 2 is lazily checkpointed, and the
+    # probe's changed-count is the ONLY action, materializing the
+    # checkpoint blocks the next probe reads. Convergence is monotone
+    # (labels only ever decrease), so probing every other round cannot
+    # miss the fixed point — changed==0 across a probe means both of its
+    # rounds were no-ops. Halves the per-round driver barrier that
+    # dominates shallow-graph CC at small SF and deep components' round
+    # ladder at scale.
+    for _ in range((max_iter + 1) // 2):
+        start = labels.select(
+            "doc", F.col("label").alias("old"), F.col("label").alias("label")
+        )
+        r1 = _pin_round(_half_round(start))
+        halved = _ckpt(_half_round(r1), eager_needed=False)
         changed = halved.where(F.col("label") != F.col("old")).count()
+        r1.unpersist()
         labels = halved.select("doc", "label")
         if changed == 0:
             break

@@ -590,7 +590,47 @@ def test_connected_components_one_action_per_round(spark, monkeypatch, algorithm
     rounds = calls[2:]
     assert rounds and all(e is False for e in rounds), calls
     if algorithm == "halving":
-        assert len(rounds) == 2, calls  # change round + confirm round
+        assert len(rounds) == 2, calls  # change probe + confirm probe
+
+
+@pytest.mark.parametrize("algorithm", ["halving", "star"])
+def test_connected_components_batched_convergence_probes(
+    spark, monkeypatch, algorithm
+):
+    """Driver-action budget on a DEEP graph: each probe runs TWO
+    propagation rounds and pays one action (round 1 pinned via persist +
+    block-locks, round 2 lazily checkpointed and materialized by the
+    probe's own convergence count/signature) — so a graph needing R
+    rounds costs ceil(R/2)+1 probes, not R+1 actions. Convergence is
+    monotone (labels/edges only descend), so probing every other round
+    cannot miss the fixed point. Chain-64 with halving converges in <= 8
+    propagation rounds (min-label + path halving ~ log2 n); one action
+    per round would be >= 8 driver barriers — the probe count asserted
+    here is the halved budget. Lazy localCheckpoint calls ARE the probe
+    count: exactly one per probe, materialized by that probe's single
+    action (the [True, True, False...] pattern test above pins the
+    eager/lazy split)."""
+    n = 64
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    calls: list[bool] = []
+    cls = type(ids)
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(bool(eager))
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    got = {r.cluster for r in D.connected_components(
+        ids, pairs, algorithm=algorithm, strict=False).collect()}
+    assert got == {0}
+    probes = sum(1 for c in calls if not c)
+    # halving: 4 probes measured (8 rounds) vs >= 8 one-per-round
+    # actions; star: diameter-independent O(log^2) rounds, <= 5 probes
+    assert probes <= 5, (algorithm, probes, calls)
 
 
 def test_star_cc_converges_fast_on_long_chain(spark):
