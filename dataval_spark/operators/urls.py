@@ -19,9 +19,10 @@ Canonical form (documented spec, mirrored by the tests):
 
 `registrable_domain` evaluates Public Suffix List rules (normal,
 ``*.`` wildcard, ``!`` exception — publicsuffix.org's public grammar)
-against an embedded snapshot (`data/public_suffixes.py`, ~460 rules
-covering the high-traffic registries + common private hosting
-suffixes). The rule sets compile to Catalyst ``isin`` predicates, which
+against an embedded snapshot of the COMPLETE list
+(`data/public_suffixes.py`, ~9.5k rules: both the ICANN and PRIVATE
+sections, nested US locality rules, IDN rules in their unicode
+form). The rule sets compile to Catalyst ``isin`` predicates, which
 the optimizer converts to hash-set ``InSet`` lookups — O(1) per row, no
 join, no shuffle, fused into the scan; the set ships to executors once
 with the serialized plan. Production seam: ``load_suffix_rules(path)``
@@ -42,6 +43,7 @@ __all__ = [
     "canonical_url",
     "load_suffix_rules",
     "registrable_domain",
+    "with_registrable_domain",
     "url_dedup_key",
     "filter_by_domain",
 ]
@@ -141,6 +143,143 @@ def canonical_url(url: Column) -> Column:
     return u
 
 
+def _by_labels(rs):
+    out: dict[int, list[str]] = {}
+    for r in rs:
+        out.setdefault(r.count(".") + 1, []).append(r)
+    return out
+
+
+def _suffix_len(n: Column, rules: tuple, member) -> Column:
+    """Suffix length (in labels) under PSL longest-match semantics.
+    ``member(kind, k, sorted_rules)`` builds the membership predicate
+    for the last-k-labels candidate against a rule list (kind in
+    {"normal", "wild", "exc"}) — the Column face passes an ``isin``,
+    the DataFrame face a broadcast-join flag for large groups.
+    Candidates fold ascending by effective length so the longest
+    matching rule ends on top of the when-chain; exceptions prevail
+    outright (suffix = rule minus its leftmost label); every TLD is
+    implicitly a 1-label suffix."""
+    normal, wild, exc = rules
+    candidates: list[tuple[int, Column, int]] = []
+    for k, rs in _by_labels(normal).items():
+        candidates.append((k, (n >= k) & member("normal", k, sorted(rs)), k))
+    for k, bases in _by_labels(wild).items():
+        # *.base: one extra label under the base is part of the suffix
+        candidates.append(
+            (k + 1, (n >= k + 1) & member("wild", k, sorted(bases)), k + 1)
+        )
+    sl = F.lit(1)
+    for _, cond, length in sorted(candidates, key=lambda c: c[0]):
+        sl = F.when(cond, F.lit(length)).otherwise(sl)
+    for k, rs in _by_labels(exc).items():
+        sl = F.when(
+            (n >= k) & member("exc", k, sorted(rs)), F.lit(k - 1)
+        ).otherwise(sl)
+    return sl
+
+
+def _domain_from_suffix_len(host: Column, parts: Column, sl: Column) -> Column:
+    """registrable domain = last (suffix_len + 1) labels; IP hosts,
+    hosts that ARE a public suffix, and NULL hosts pass through."""
+    n = F.size(parts)
+    dom = F.concat_ws(".", F.slice(parts, n - sl, sl + F.lit(1)))
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(is_ip | (n <= sl), host)
+        .otherwise(dom)
+    )
+
+
+# rule groups larger than this become broadcast joins in the DataFrame
+# face; smaller groups stay inline isin/InSet literals
+_JOIN_THRESHOLD = 512
+
+
+def with_registrable_domain(
+    df,
+    url_col: str = "url",
+    out_col: str = "domain",
+    rules: tuple | None = None,
+):
+    """``df`` + an ``out_col`` registrable-domain column — the SCALE
+    path for the full ~9.5k-rule snapshot, same semantics as
+    `registrable_domain`.
+
+    Why a DataFrame transform and not the pure Column: a single Column
+    expression re-embeds the host/label-array subtree inside every rule
+    group's predicate and pays one py4j round-trip per ``isin`` literal
+    — fine at ~100 rules, but at the full snapshot that is seconds of
+    plan build per call and an expression tree past whole-stage
+    codegen's method-size limit (execution silently falls back to the
+    interpreted path, which re-evaluates the host regexps once per
+    branch). Here the host and its label array are projected ONCE, each
+    candidate suffix (last-k labels) once more, and every LARGE rule
+    group is a BROADCAST HASH JOIN against a ~k-row in-memory rules
+    table — set membership is exactly what a broadcast join is, it
+    codegens cleanly, plans in milliseconds, and adds zero shuffle on
+    the data side (the broadcast is a few hundred KB shipped once per
+    executor). Small groups (wildcards, exceptions, the 4/5-label long
+    tail) stay inline hash-set ``InSet`` literals. No UDF anywhere.
+    """
+    normal, wild, exc = rules if rules is not None else load_suffix_rules()
+    spark = df.sparkSession
+    hc, pc = "__rd_host", "__rd_parts"
+    out = df.withColumn(hc, url_host(F.col(url_col))).withColumn(
+        pc, F.split(F.col(hc), r"\.")
+    )
+    n = F.size(F.col(pc))
+    ks = sorted(
+        {r.count(".") + 1 for r in normal}
+        | {b.count(".") + 1 for b in wild}
+        | {e.count(".") + 1 for e in exc}
+    )
+    cand = {k: f"__rd_c{k}" for k in ks}
+    for k in ks:
+        out = out.withColumn(
+            cand[k],
+            F.when(n >= k, F.concat_ws(".", F.slice(F.col(pc), -k, k))),
+        )
+    # one broadcast left join per large normal group: a match leaves the
+    # rule value in __rd_m{k}, whose non-NULLness is the membership flag.
+    # The per-group rules frames are cached on the session (keyed by the
+    # rules tuple identity + k): Arrow-built once, reused by every later
+    # call in the session, so repeat resolutions plan in milliseconds.
+    cache = getattr(spark, "_rd_rules_cache", None)
+    if cache is None:
+        cache = {}
+        spark._rd_rules_cache = cache
+    joined_flags: dict[int, str] = {}
+    for k, rs in _by_labels(normal).items():
+        if len(rs) < _JOIN_THRESHOLD:
+            continue
+        flag = f"__rd_m{k}"
+        ck = (id(rules) if rules is not None else 0, k, len(rs))
+        rules_df = cache.get(ck)
+        if rules_df is None:
+            import pandas as pd
+
+            rules_df = spark.createDataFrame(
+                pd.DataFrame({cand[k]: sorted(rs), flag: True})
+            )
+            cache[ck] = rules_df
+        out = out.join(F.broadcast(rules_df), cand[k], "left")
+        joined_flags[k] = flag
+
+    def member(kind: str, k: int, rs: list[str]) -> Column:
+        if kind == "normal" and k in joined_flags:
+            return F.col(joined_flags[k]).isNotNull()
+        return F.col(cand[k]).isin(*rs)
+
+    sl = _suffix_len(n, (normal, wild, exc), member)
+    dom = _domain_from_suffix_len(F.col(hc), F.col(pc), sl)
+    return (
+        out.withColumn(out_col, dom)
+        .drop(hc, pc, *cand.values(), *joined_flags.values())
+    )
+
+
 def registrable_domain(url: Column, rules: tuple | None = None) -> Column:
     """eTLD+1 under Public Suffix List semantics: the public suffix is
     the LONGEST matching rule (wildcard ``*.x`` matches any single label
@@ -156,50 +295,30 @@ def registrable_domain(url: Column, rules: tuple | None = None) -> Column:
     ``rules``: a `load_suffix_rules` result; default = the embedded
     snapshot. The rule sets become ``isin`` predicates grouped by label
     count — Catalyst compiles each to a hash-set ``InSet`` (O(1)/row,
-    scan-fused, no shuffle)."""
+    scan-fused, no shuffle). NOTE: as a single Column expression this
+    re-embeds the host subtree in every rule group and pays one py4j
+    call per rule literal — at the full ~9.5k-rule default snapshot
+    that is seconds of plan build and a codegen-size fallback. Use
+    `with_registrable_domain` (same semantics, projected-once host +
+    SQL-``IN`` rule sets) anywhere the rule set is large or the plan is
+    rebuilt often; this Column face remains for expression composition
+    and small custom rule sets."""
     normal, wild, exc = rules if rules is not None else load_suffix_rules()
     host = url_host(url)
     parts = F.split(host, r"\.")
     n = F.size(parts)
 
-    def lastk(k: int) -> Column:
-        return F.concat_ws(
+    def member(kind: str, k: int, rs: list[str]) -> Column:
+        cand = F.concat_ws(
             ".", *[F.element_at(parts, -i) for i in range(k, 0, -1)]
         )
+        return cand.isin(*rs)
 
-    def by_labels(rs):
-        out: dict[int, list[str]] = {}
-        for r in rs:
-            out.setdefault(r.count(".") + 1, []).append(r)
-        return out
-
-    # suffix length in labels; every TLD is implicitly a 1-label suffix.
-    # Candidates are folded ascending by effective length so the longest
-    # matching rule ends up on top of the when-chain (PSL: longest wins).
-    candidates: list[tuple[int, Column, int]] = []
-    for k, rs in by_labels(normal).items():
-        candidates.append((k, (n >= k) & lastk(k).isin(*rs), k))
-    for k, bases in by_labels(wild).items():
-        # *.base: one extra label under the base is part of the suffix
-        candidates.append((k + 1, (n >= k + 1) & lastk(k).isin(*bases), k + 1))
-    sl = F.lit(1)
-    for _, cond, length in sorted(candidates, key=lambda c: c[0]):
-        sl = F.when(cond, F.lit(length)).otherwise(sl)
-    # exceptions prevail over everything: the public suffix is the rule
-    # minus its leftmost label
-    for k, rs in by_labels(exc).items():
-        sl = F.when((n >= k) & lastk(k).isin(*rs), F.lit(k - 1)).otherwise(sl)
-
+    sl = _suffix_len(n, (normal, wild, exc), member)
     # registrable domain = last (suffix_len + 1) labels = strip the
     # first n - sl - 1 labels off the host (suffix lengths are dynamic,
     # so slice the array rather than enumerating element_at per length)
-    dom = F.concat_ws(".", F.slice(parts, n - sl, sl + F.lit(1)))
-    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-    return (
-        F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(is_ip | (n <= sl), host)
-        .otherwise(dom)
-    )
+    return _domain_from_suffix_len(host, parts, sl)
 
 
 def url_dedup_key(url: Column) -> Column:
@@ -237,11 +356,14 @@ def filter_by_domain(
 
     ``rules``: `load_suffix_rules` output for a custom/full PSL file;
     default = the embedded snapshot.
+
+    Domain resolution goes through `with_registrable_domain` (the
+    projected-once / SQL-``IN`` path), so this filter stays cheap to
+    plan and codegen-safe at the full default snapshot.
     """
     from pyspark.sql import DataFrame as _DF
 
-    dom = registrable_domain(F.col(url_col), rules=rules)
-    out = df.withColumn("_dom", dom)
+    out = with_registrable_domain(df, url_col, out_col="_dom", rules=rules)
     null_ok = F.col("_dom").isNull() & F.lit(keep_null)
     if block is not None:
         if isinstance(block, _DF):

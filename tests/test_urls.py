@@ -174,6 +174,15 @@ def test_psl_cases_the_flat_approximation_got_wrong(spark):
         ("https://github.io/", "github.io"),  # host IS a suffix: passthrough
         ("https://news.bbc.co.uk/story", "bbc.co.uk"),
         ("https://example.com/x", "example.com"),
+        # cases the round-5 CURATED snapshot missed, covered by the full
+        # embedded list (round 6): nested US locality rules, IDN rules
+        # (unicode form — the PSL's canonical), private-section long tail
+        ("https://lincoln.k12.ca.us/x", "lincoln.k12.ca.us"),  # k12.ca.us
+        ("https://www.district.k12.ca.us/x", "district.k12.ca.us"),
+        ("https://shop.example.移动/x", "example.移动"),  # IDN TLD rule
+        ("https://a.b.手机/x", "b.手机"),
+        ("https://site.example.web.app/x", "example.web.app"),  # private
+        ("https://my.app.vercel.app/x", "app.vercel.app"),  # private tail
     ]
     df = spark.createDataFrame(cases, "url string, want string")
     bad = (
