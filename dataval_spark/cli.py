@@ -316,7 +316,12 @@ def main(argv: list[str] | None = None) -> int:
             print("--dedup-increment requires --store", file=sys.stderr)
             return 2
         inc_id = args.increment_id or uuid.uuid4().hex
-        n_store_before = read_store(spark, args.store).count()
+        # exclude this increment's own prior partition so an idempotent
+        # same-id re-run reports the store it actually deduped against,
+        # not one inflated by its previous attempt's delta
+        n_store_before = read_store(
+            spark, args.store, exclude_key=increment_key(inc_id, 0)
+        ).count()
         writer = increment_batch_writer(
             args.store, args.dedup_increment, run_id=inc_id,
             near=not args.exact_only,

@@ -34,22 +34,38 @@ __all__ = [
     "assign_split",
 ]
 
-_HEX_DIGITS = 13  # 52 bits: genuinely exact in a double's 53-bit mantissa
+# 52 bits: genuinely exact in a double's 53-bit mantissa.
+# HASH BREAK (v2, round 5): this was 15 (60 bits, whose cast('double')
+# ROUNDED, so mirrors disagreed in the last ulp). Dropping to 13 changed
+# every uniform_hash draw, so sample_to_budget membership and
+# assign_split routing from pre-v2 builds do NOT reproduce under v2 —
+# the rerun-stability guarantee holds prospectively from v2 on. To
+# reproduce a pre-v2 corpus, pin hash_version=1 at the call site.
+_HEX_DIGITS = 13
+UNIFORM_HASH_VERSION = 2
+_DIGITS_BY_VERSION = {1: 15, 2: _HEX_DIGITS}
 
 
-def uniform_hash(col: Column, seed: int = 0) -> Column:
+def uniform_hash(
+    col: Column, seed: int = 0, hash_version: int = UNIFORM_HASH_VERSION
+) -> Column:
     """Deterministic uniform in [0, 1): the top 52 bits of
     md5(seed | id) — 13 hex digits, below the double mantissa width, so
     conv().cast('double') is EXACT (no rounding between the Spark and
     any mirror implementation). Unlike rand(seed), the value depends
     only on row CONTENT, so it is stable under repartitioning, AQE
-    re-plans, and cluster-size changes."""
+    re-plans, and cluster-size changes.
+
+    ``hash_version``: draws are versioned because the digit width is
+    part of the value (see the HASH BREAK note above) — pass 1 to
+    reproduce membership decisions made by pre-round-5 builds."""
+    digits = _DIGITS_BY_VERSION[hash_version]
     h = F.substring(
         F.md5(F.concat_ws("|", F.lit(str(seed)), col.cast("string"))),
         1,
-        _HEX_DIGITS,
+        digits,
     )
-    return F.conv(h, 16, 10).cast("double") / float(16**_HEX_DIGITS)
+    return F.conv(h, 16, 10).cast("double") / float(16**digits)
 
 
 def source_token_counts(

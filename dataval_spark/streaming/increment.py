@@ -70,8 +70,25 @@ def increment_key(run_id: str, batch_id: int) -> str:
 
 
 def _path_missing(exc: Exception) -> bool:
-    s = str(exc)
-    return "PATH_NOT_FOUND" in s or "Path does not exist" in s
+    """True only for the analyzer's PATH_NOT_FOUND condition — matched
+    by ERROR CLASS, not message substring: an unrelated failure whose
+    text happens to contain 'Path does not exist' must NOT map to an
+    empty store (the batch would silently dedup against nothing)."""
+    from pyspark.errors import AnalysisException
+
+    if not isinstance(exc, AnalysisException):
+        return False
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):  # 4.x name, then old
+        getter = getattr(exc, attr, None)
+        if getter is not None:
+            try:
+                cond = getter()
+            except Exception:
+                cond = None
+            if cond:
+                break
+    return cond == "PATH_NOT_FOUND"
 
 
 def read_store(

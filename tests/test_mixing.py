@@ -53,6 +53,31 @@ def test_uniform_hash_matches_hashlib_and_is_uniform(spark):
     assert 0.45 < mean < 0.55
 
 
+def test_uniform_hash_v1_reproduces_pre_break_draws(spark):
+    """The 15->13 digit fix (HASH BREAK v2) changed every draw;
+    hash_version=1 must reproduce the old 60-bit values so pre-v2
+    corpora can replay their membership decisions."""
+    df = spark.createDataFrame([(f"row-{i}",) for i in range(64)],
+                               "doc_id string")
+    got = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id",
+            uniform_hash(F.col("doc_id"), seed=7, hash_version=1).alias("u"),
+        ).collect()
+    }
+    for i, u in got.items():
+        want = int(
+            hashlib.md5(f"7|{i}".encode()).hexdigest()[:15], 16
+        ) / float(16**15)
+        assert u == pytest.approx(want, rel=1e-12)
+    # and v1 != v2 bit-exactly on some rows (the break is last-ulp
+    # sized — that is exactly why v2 exists: 60 bits don't fit a
+    # double, so v1's cast rounds and mirrors could disagree)
+    v2 = {i: _u(i, 7) for i in got}
+    assert any(got[i] != v2[i] for i in got)
+
+
 def test_temperature_weights_math():
     counts = {"a": 900, "b": 100}
     assert temperature_weights(counts, tau=1.0) == pytest.approx(

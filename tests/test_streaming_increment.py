@@ -100,6 +100,28 @@ def test_read_store_missing_vs_broken(spark, tmp_path):
         read_store(spark, str(tmp_path / "broken")).count()
 
 
+def test_path_missing_matches_error_class_not_message_text(spark):
+    """Classification is by AnalysisException error class, not message
+    substring: an unrelated failure whose text happens to contain
+    'Path does not exist' must NOT map to the empty store."""
+    from pyspark.errors import AnalysisException
+
+    from dataval_spark.streaming.increment import _path_missing
+
+    assert not _path_missing(
+        RuntimeError("remote fetch: Path does not exist on replica")
+    )
+    assert not _path_missing(
+        RuntimeError("FS error mentioning PATH_NOT_FOUND in passing")
+    )
+    # the real thing, produced by Spark itself
+    try:
+        spark.read.parquet("/definitely/not/here").count()
+        raise AssertionError("read should have failed")
+    except AnalysisException as e:
+        assert _path_missing(e)
+
+
 def test_streaming_end_to_end_available_now(spark, tmp_path):
     src = str(tmp_path / "src")
     store, out = str(tmp_path / "store"), str(tmp_path / "out")
