@@ -293,78 +293,134 @@ def anomaly_scan(
     observations -> n_history recorded, never anomalous (no evidence,
     no alarm).
 
-    Driver-side over O(runs x parts) manifest rows — the same legitimate
-    smallness as compare_runs; the 100-TB input is never touched.
+    Runs entirely as grouped DataFrame aggregations over the manifest —
+    nothing is collected to the driver, so the manifest can be in the
+    10^7-row regime the 10^12-turn partition-sizing rule implies
+    (~200k partitions x hundreds of runs) and the scan stays
+    executor-side; the caller collects only the (small) result it wants,
+    typically the anomalous rows. The 100-TB input is never touched.
     Generalizes the reference's two-run raw-vs-corrected noise
     comparison (/root/reference/dataval/noise_metrics.py:220-240) to the
     full run history.
 
     ``metrics``: restrict to these metric names (default: every numeric
-    metric the run recorded).
+    metric the run recorded; numeric = JSON values try-castable to
+    double, with booleans and the ``part`` key excluded).
     """
     m = read_manifest(spark, manifest_path)
     if m is None:
         raise FileNotFoundError(f"no manifest at {manifest_path}")
-    rows = m.collect()
-    current = _latest_per_part([r for r in rows if r["run_id"] == run_id])
-    if not current:
+
+    # `x or default` semantics of the previous driver implementation:
+    # NULL and 0.0 are both "unset". A current row with unset
+    # committed_at sorts as +inf (its history window is unbounded); an
+    # unset history row sorts as 0.0 (always before any current row).
+    def _at(col, unset):
+        c = F.col(col)
+        return F.when(c.isNull() | (c == 0.0), F.lit(unset)).otherwise(c)
+
+    # latest manifest row per (run, part): re-validated parts append a
+    # fresh row and committed_at orders them (the _latest_per_part
+    # contract, expressed as a max-struct aggregation so it stays
+    # map-side combinable instead of forcing a window buffer).
+    latest = (
+        m.groupBy("run_id", "part")
+        .agg(
+            F.max(
+                F.struct(
+                    _at("committed_at", 0.0).alias("_ord"),
+                    F.col("committed_at").alias("committed_at"),
+                    F.col("metrics_json").alias("metrics_json"),
+                )
+            ).alias("_r")
+        )
+        .select("run_id", "part", "_r.committed_at", "_r.metrics_json")
+    )
+    if latest.where(F.col("run_id") == run_id).isEmpty():
         raise ValueError(f"run_id {run_id!r} not in manifest {manifest_path}")
 
-    # latest row per (run, part) among prior runs, keyed by part
-    by_run_part: dict[tuple[str, int], dict] = {}
-    for r in sorted(rows, key=lambda r: (r["committed_at"] or 0.0)):
-        if r["run_id"] != run_id:
-            by_run_part[(r["run_id"], int(r["part"]))] = r.asDict()
+    # one row per (part, metric, value): explode the metrics JSON map,
+    # keep numeric values only (try_cast: booleans/strings -> NULL),
+    # drop the partition key masquerading as a metric.
+    def _explode(df, at_unset):
+        e = (
+            df.select(
+                "part",
+                _at("committed_at", at_unset).alias("at"),
+                F.explode(
+                    F.coalesce(
+                        F.from_json("metrics_json", "map<string,string>"),
+                        F.expr("map()"),
+                    )
+                ).alias("metric", "_raw"),
+            )
+            .where(
+                (F.col("metric") != "part")
+                & ~F.lower("_raw").isin("true", "false")
+            )
+            .withColumn("value", F.expr("try_cast(_raw as double)"))
+            .where(F.col("value").isNotNull())
+            .drop("_raw")
+        )
+        if metrics is not None:
+            e = e.where(F.col("metric").isin(list(metrics)))
+        return e
 
-    def numeric_metrics(d: dict) -> dict[str, float]:
-        out = {}
-        for k, v in json.loads(d["metrics_json"] or "{}").items():
-            if k == "part" or isinstance(v, bool) or not isinstance(v, (int, float)):
-                continue
-            if metrics is not None and k not in metrics:
-                continue
-            out[k] = float(v)
-        return out
-
-    out = []
-    for part, cur in sorted(current.items()):
-        cur_at = cur["committed_at"] or float("inf")
-        hist_rows = [
-            d
-            for (_rid, p), d in by_run_part.items()
-            if p == part and (d["committed_at"] or 0.0) < cur_at
-        ]
-        hists: dict[str, list[float]] = {}
-        for d in hist_rows:
-            for k, v in numeric_metrics(d).items():
-                hists.setdefault(k, []).append(v)
-        for k, x in sorted(numeric_metrics(cur).items()):
-            h = sorted(hists.get(k, []))
-            n = len(h)
-            if n < min_history:
-                out.append({
-                    "part": part, "metric": k, "value": x, "n_history": n,
-                    "median": None, "mad": None, "robust_z": None,
-                    "anomalous": False,
-                })
-                continue
-            med = (h[(n - 1) // 2] + h[n // 2]) / 2.0
-            dev = sorted(abs(v - med) for v in h)
-            mad = (dev[(n - 1) // 2] + dev[n // 2]) / 2.0
-            if mad == 0.0:
-                z = 0.0 if x == med else float("inf")
-            else:
-                z = abs(0.6745 * (x - med) / mad)
-            out.append({
-                "part": part, "metric": k, "value": x, "n_history": n,
-                "median": med, "mad": mad, "robust_z": z,
-                "anomalous": z > z_threshold,
-            })
-    schema = (
-        "part int, metric string, value double, n_history int, "
-        "median double, mad double, robust_z double, anomalous boolean"
+    cur = _explode(
+        latest.where(F.col("run_id") == run_id), float("inf")
+    ).withColumnRenamed("value", "x")
+    hist = _explode(latest.where(F.col("run_id") != run_id), 0.0).select(
+        "part", "metric", F.col("at").alias("h_at"), "value"
     )
-    return spark.createDataFrame(out, schema=schema)
+
+    # history for a (part, metric) = that metric's values in rows
+    # committed strictly before the current row's committed_at
+    joined = cur.join(hist, ["part", "metric"], "left").where(
+        F.col("h_at").isNull() | (F.col("h_at") < F.col("at"))
+    )
+    med = joined.groupBy("part", "metric", "x").agg(
+        F.count("value").alias("n_history"),
+        F.expr("percentile(value, 0.5)").alias("median"),
+    )
+    # MAD needs a second pass over the history values with the group's
+    # median in hand: re-join, aggregate the absolute deviations.
+    mad = (
+        joined.join(med.select("part", "metric", "median"), ["part", "metric"])
+        .groupBy("part", "metric")
+        .agg(F.expr("percentile(abs(value - median), 0.5)").alias("mad"))
+    )
+    inf = F.lit(float("inf"))
+    short = F.col("n_history") < int(min_history)
+    scored = (
+        med.join(mad, ["part", "metric"], "left")
+        .withColumn(
+            "robust_z",
+            F.when(short, F.lit(None).cast("double"))
+            .when(
+                F.col("mad") == 0.0,
+                F.when(F.col("x") == F.col("median"), F.lit(0.0)).otherwise(inf),
+            )
+            .otherwise(
+                F.abs(0.6745 * (F.col("x") - F.col("median")) / F.col("mad"))
+            ),
+        )
+        .withColumn(
+            "anomalous",
+            F.when(short, F.lit(False)).otherwise(
+                F.col("robust_z") > F.lit(float(z_threshold))
+            ),
+        )
+    )
+    return scored.select(
+        F.col("part").cast("int").alias("part"),
+        "metric",
+        F.col("x").cast("double").alias("value"),
+        F.col("n_history").cast("int").alias("n_history"),
+        F.when(~short, F.col("median")).cast("double").alias("median"),
+        F.when(~short, F.col("mad")).cast("double").alias("mad"),
+        F.col("robust_z").cast("double").alias("robust_z"),
+        "anomalous",
+    )
 
 
 def run_resumable(

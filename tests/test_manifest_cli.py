@@ -530,3 +530,55 @@ def test_cli_anomaly_scan(spark, tmp_path, input_dir, capsys):
                     "--anomaly-scan", "r3"])
     assert rc2 == 0
     assert capsys.readouterr().out.strip() == ""
+
+
+def test_anomaly_scan_million_row_manifest_driver_light(spark, tmp_path):
+    """anomaly_scan at the manifest scale the 10^12-turn sizing rule
+    implies (~200k partitions x hundreds of runs -> 10^6+ manifest
+    rows): the scan is pure grouped aggregation — the manifest is never
+    collected to the driver — and the caller pulls back ONLY the
+    anomalous rows. Generated in-Spark (no driver-side row list)."""
+    from pyspark.sql import functions as F
+
+    from dataval_spark.manifest import anomaly_scan
+
+    mp = str(tmp_path / "mbig")
+    runs, parts = 50, 20_000  # 10^6 manifest rows
+    base = (
+        spark.range(runs * parts)
+        .select(
+            (F.col("id") % parts).cast("int").alias("part"),
+            (F.col("id") / parts).cast("long").alias("run_idx"),
+        )
+        .withColumn("run_id", F.concat(F.lit("r"), F.col("run_idx")))
+        .withColumn("committed_at", F.col("run_idx").cast("double"))
+    )
+    cur = F.col("run_idx") == runs - 1
+    planted = cur & (F.col("part") == 1234)  # one anomalous (part, metric)
+    m = base.select(
+        "run_id",
+        F.lit("h").alias("suite_hash"),
+        "part",
+        F.lit(100).cast("long").alias("n_rows"),
+        F.lit(90).cast("long").alias("n_approved"),
+        F.lit(10).cast("long").alias("n_rejected"),
+        F.lit(True).alias("passed"),
+        F.concat(
+            F.lit('{"null_rate": '),
+            F.when(planted, F.lit(0.9)).otherwise(
+                # stable per-part level + small per-run wiggle
+                F.round((F.col("part") % 7) * 0.01 + (F.col("run_idx") % 3) * 1e-4, 6)
+            ).cast("string"),
+            F.lit(', "avg_len": '),
+            F.round(100 + (F.col("run_idx") % 5) * 0.1, 2).cast("string"),
+            F.lit("}"),
+        ).alias("metrics_json"),
+        F.lit("").alias("input_fp"),
+        "committed_at",
+    )
+    m.write.parquet(mp)
+    scan = anomaly_scan(spark, mp, f"r{runs - 1}")
+    flagged = scan.where("anomalous").collect()  # only alerts come back
+    assert {(r.part, r.metric) for r in flagged} == {(1234, "null_rate")}
+    z = flagged[0]
+    assert z.n_history == runs - 1 and z.robust_z > 3.5
