@@ -34,7 +34,7 @@ Contract:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["turn_hash", "conversation_fingerprints", "duplicate_conversations"]
@@ -52,25 +52,87 @@ def conversation_fingerprints(
     conv_col: str = "conv_id",
     order_col: str = "turn_idx",
     text_col: str = "text",
+    chunk_turns: int | None = None,
 ) -> DataFrame:
-    """(conv, conv_fp, n_turns) — one groupBy(conv)."""
-    entry = F.struct(
-        F.col(order_col).alias("i"), turn_hash(F.col(text_col)).alias("h")
+    """(conv, conv_fp, n_turns) — one groupBy(conv).
+
+    Default path: one aggregation buffer per conversation holding every
+    (idx, hash) struct. Bounded and fast at normal conversation sizes,
+    but a pathological 10^7-turn conversation concentrates its whole
+    struct array in a single task with no spill-friendly path.
+
+    ``chunk_turns``: mega-conversation-safe path. Turns are ranked
+    within the conversation by the same (order, hash) order (row_number
+    over a sort-based window — external sort, spillable; never an
+    in-memory array of the conversation), fingerprinted per fixed-size
+    rank block, then the conversation fingerprint is the hash of its
+    ordered block fingerprints. Peak per-group state drops from
+    O(n_turns) to O(chunk_turns) + O(n_turns / chunk_turns). Rank
+    blocks (not raw-index blocks) keep the content-sequence identity
+    contract: a renumbered duplicate ranks — and therefore chunks —
+    identically, so duplicate GROUPS are identical to the default
+    path's. Fingerprint VALUES differ between the two paths (a chunked
+    fp hashes block fps, not turn hashes); pick one path per corpus.
+    All three stages hash-cluster on ``conv`` (the window's shuffle is
+    reused by both groupBys — one Exchange total).
+    """
+    if chunk_turns is None:
+        entry = F.struct(
+            F.col(order_col).alias("i"), turn_hash(F.col(text_col)).alias("h")
+        )
+        return (
+            df.where(F.col(order_col).isNotNull())
+            .groupBy(F.col(conv_col).alias("conv"))
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.array_sort(F.collect_list(entry)), lambda x: x["h"]
+                        ),
+                    )
+                ).alias("conv_fp"),
+                F.count(F.lit(1)).alias("n_turns"),
+            )
+        )
+    if chunk_turns < 1:
+        raise ValueError(f"chunk_turns must be >= 1, got {chunk_turns}")
+    base = df.where(F.col(order_col).isNotNull()).select(
+        F.col(conv_col).alias("conv"),
+        F.col(order_col).alias("i"),
+        turn_hash(F.col(text_col)).alias("h"),
     )
-    return (
-        df.where(F.col(order_col).isNotNull())
-        .groupBy(F.col(conv_col).alias("conv"))
+    pos = F.row_number().over(Window.partitionBy("conv").orderBy("i", "h")) - 1
+    chunk_fps = (
+        base.withColumn("pos", pos)
+        .withColumn("chunk", (F.col("pos") / chunk_turns).cast("long"))
+        .groupBy("conv", "chunk")
         .agg(
             F.md5(
                 F.concat_ws(
                     "|",
                     F.transform(
-                        F.array_sort(F.collect_list(entry)), lambda x: x["h"]
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "h"))
+                        ),
+                        lambda x: x["h"],
                     ),
                 )
-            ).alias("conv_fp"),
-            F.count(F.lit(1)).alias("n_turns"),
+            ).alias("chunk_fp"),
+            F.count(F.lit(1)).alias("n"),
         )
+    )
+    return chunk_fps.groupBy("conv").agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk", "chunk_fp"))),
+                    lambda x: x["chunk_fp"],
+                ),
+            )
+        ).alias("conv_fp"),
+        F.sum("n").alias("n_turns"),
     )
 
 
@@ -79,12 +141,13 @@ def duplicate_conversations(
     conv_col: str = "conv_id",
     order_col: str = "turn_idx",
     text_col: str = "text",
+    chunk_turns: int | None = None,
 ) -> DataFrame:
     """(conv, conv_fp, group_size, canonical) for every member of a
     duplicate group — keep ``conv == canonical`` (min id, the engine's
     standard keep-first survivor rule) to dedup, or anti-join the rest
-    away."""
-    fps = conversation_fingerprints(df, conv_col, order_col, text_col)
+    away. ``chunk_turns``: see conversation_fingerprints."""
+    fps = conversation_fingerprints(df, conv_col, order_col, text_col, chunk_turns)
     groups = (
         fps.groupBy("conv_fp")
         .agg(

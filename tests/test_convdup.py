@@ -88,3 +88,87 @@ def test_duplicate_turn_idx_ties_deterministic(spark):
     fp1 = conversation_fingerprints(_df(spark, d1)).collect()[0].conv_fp
     fp2 = conversation_fingerprints(_df(spark, d2)).collect()[0].conv_fp
     assert fp1 == fp2
+
+
+@pytest.mark.parametrize("chunk_turns", [1, 2, 1000])
+def test_chunked_path_identical_duplicate_groups(spark, chunk_turns):
+    """The mega-conversation-safe chunked path must produce the SAME
+    duplicate groups and canonicals as the default path on every fixture
+    shape (shuffled ingestion, renumbered copies, NULL idx/text, ties),
+    at chunk sizes below, at, and above the conversation sizes."""
+    df = _df(spark, CONVS)
+    want = {
+        r.conv: (r.group_size, r.canonical)
+        for r in duplicate_conversations(df).collect()
+    }
+    got = {
+        r.conv: (r.group_size, r.canonical)
+        for r in duplicate_conversations(df, chunk_turns=chunk_turns).collect()
+    }
+    assert got == want
+    # n_turns agrees with the default path too
+    n_default = {
+        r.conv: r.n_turns for r in conversation_fingerprints(df).collect()
+    }
+    n_chunked = {
+        r.conv: r.n_turns
+        for r in conversation_fingerprints(df, chunk_turns=chunk_turns).collect()
+    }
+    assert n_chunked == n_default
+
+
+def test_chunked_path_single_exchange(spark):
+    """All three stages (rank window, per-chunk agg, per-conv agg)
+    hash-cluster on conv — the plan carries exactly one Exchange."""
+    df = _df(spark, CONVS)
+    plan = (
+        conversation_fingerprints(df, chunk_turns=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_chunked_path_million_turn_conversation(spark):
+    """Forced 10^6-turn conversation: the chunked path fingerprints it
+    with O(chunk_turns) per-group state (the default path would buffer
+    the million structs in one aggregation buffer). A renumbered+gapped
+    copy of the mega-conversation collapses with it; a copy differing in
+    one middle turn does not."""
+    from pyspark.sql import functions as F
+
+    n = 1_000_000
+    base = spark.range(n).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("turn-"), F.col("id")).alias("text"),
+    )
+    a = base.select(F.lit("mega_a").alias("conv_id"),
+                    F.col("k").alias("turn_idx"), "text")
+    # same content sequence, offset + gapped numbering
+    b = base.select(F.lit("mega_b").alias("conv_id"),
+                    (F.col("k") * 3 + 7).alias("turn_idx"), "text")
+    # one middle turn differs
+    c = base.select(
+        F.lit("mega_c").alias("conv_id"),
+        F.col("k").alias("turn_idx"),
+        F.when(F.col("k") == n // 2, F.lit("CHANGED")).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    df = a.unionAll(b).unionAll(c)
+    dups = {
+        r.conv: (r.group_size, r.canonical)
+        for r in duplicate_conversations(df, chunk_turns=4096).collect()
+    }
+    assert dups == {"mega_a": (2, "mega_a"), "mega_b": (2, "mega_a")}
+    fps = {
+        r.conv: r.n_turns
+        for r in conversation_fingerprints(df, chunk_turns=4096).collect()
+    }
+    assert fps == {"mega_a": n, "mega_b": n, "mega_c": n}
+
+
+def test_chunk_turns_validation(spark):
+    with pytest.raises(ValueError):
+        conversation_fingerprints(_df(spark, CONVS), chunk_turns=0)
