@@ -1965,3 +1965,69 @@ def q57(spark, sf_dir):
         F.round(F.max("sim"), 4).alias("max_sim"),
         F.round(F.avg("sim"), 4).alias("avg_sim"),
     )
+
+
+@query(
+    "q58_chunked_conv_dedup",
+    """
+    WITH th AS (
+      SELECT l_orderkey AS conv, l_linenumber AS i,
+             md5(CAST(CAST(l_quantity AS INT) % 5 AS VARCHAR)) AS h
+      FROM lineitem WHERE l_linenumber IS NOT NULL
+    ),
+    ranked AS (
+      SELECT conv, h,
+             row_number() OVER (PARTITION BY conv ORDER BY i, h) - 1 AS pos
+      FROM th
+    ),
+    chunks AS (
+      SELECT conv, CAST(floor(pos / 3) AS BIGINT) AS chunk,
+             md5(string_agg(h, '|' ORDER BY pos)) AS chunk_fp,
+             count(*) AS n
+      FROM ranked GROUP BY conv, CAST(floor(pos / 3) AS BIGINT)
+    ),
+    fp AS (
+      SELECT conv, md5(string_agg(chunk_fp, '|' ORDER BY chunk)) AS conv_fp,
+             CAST(sum(n) AS BIGINT) AS n_turns
+      FROM chunks GROUP BY conv
+    ),
+    g AS (
+      SELECT conv_fp, count(*) AS group_size, min(conv) AS canonical
+      FROM fp GROUP BY conv_fp HAVING count(*) > 1
+    )
+    SELECT CAST(conv AS VARCHAR) AS conv, conv_fp,
+           group_size, CAST(canonical AS VARCHAR) AS canonical, n_turns
+    FROM fp JOIN g USING (conv_fp)
+    """,
+)
+def q58(spark, sf_dir):
+    """The mega-conversation-safe CHUNKED fingerprint path of
+    operators/convdup.py (chunk_turns=3: lineitem conversations run up
+    to 7 turns, so multi-chunk fingerprint-of-fingerprints chains are
+    genuinely exercised, not just single-chunk degenerate cases). Same
+    lineitem-as-transcripts mapping and quantized per-turn token as q02
+    so whole-conversation duplicates exist at test SF. The oracle
+    re-derives the full chain — rank window, per-chunk md5, ordered
+    chunk-fp concatenation — so the chunked fingerprint VALUES (not
+    just the groups) are certified against an independent engine."""
+    from dataval_spark.operators.convdup import (
+        conversation_fingerprints,
+        duplicate_conversations,
+    )
+
+    conv = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("conv_id"),
+        F.col("l_linenumber").alias("turn_idx"),
+        (F.col("l_quantity").cast("int") % 5).cast("string").alias("text"),
+    )
+    dups = duplicate_conversations(conv, chunk_turns=3)
+    n_turns = conversation_fingerprints(conv, chunk_turns=3).select(
+        "conv", "n_turns"
+    )
+    return dups.join(n_turns, "conv").select(
+        F.col("conv").cast("string").alias("conv"),
+        "conv_fp",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("canonical").cast("string").alias("canonical"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+    )
