@@ -497,3 +497,131 @@ class ConversationShape(Constraint):
         for c in conds[1:]:
             out = out | c
         return out
+
+
+@dataclass
+class ResponseLatency(Constraint):
+    """Inter-turn latency bounds within a conversation: flag the LATER
+    turn when (ts - prev_ts) falls below ``min_seconds`` (machine-fast
+    replies — the bot-spam signature in human-labeled transcripts) or
+    above ``max_seconds`` (stale/spliced sessions that should have been
+    two conversations). Rides the suite's existing ``_prev_ts`` window
+    column — no extra shuffle, no helper lag.
+
+    Evidence contract: a NULL ts on either side is InvalidTimestamp's
+    business, never a latency violation; the first turn has no
+    predecessor and is exempt. Bounds are inclusive-legal:
+    ``min_seconds <= gap <= max_seconds`` passes. A NEGATIVE gap is
+    MonotonicTs's violation; it only trips here when it also breaks
+    ``min_seconds`` (min_seconds <= 0 keeps the two checks disjoint).
+
+    ``roles``: restrict the check to turns whose own role is in the set
+    (e.g. only assistant replies are latency-bounded; user think-time is
+    unbounded). Analog of the reference's per-target elapsed-time
+    diagnostic (/root/reference/dataval/calctime.py:14-40) turned into a
+    per-row constraint.
+    """
+
+    min_seconds: float | None = None
+    max_seconds: float | None = None
+    ts_col: str = "ts"
+    role_col: str = "role"
+    roles: Sequence[str] | None = None
+    flag: QualityFlag | None = QualityFlag.InvalidLatency
+    needs_sequence: bool = True
+    name: str = "response_latency"
+
+    def __post_init__(self):
+        if self.min_seconds is None and self.max_seconds is None:
+            raise ValueError("ResponseLatency with no bounds is vacuous")
+        if (
+            self.min_seconds is not None
+            and self.max_seconds is not None
+            and self.min_seconds > self.max_seconds
+        ):
+            raise ValueError(
+                f"min_seconds {self.min_seconds} > max_seconds "
+                f"{self.max_seconds}"
+            )
+
+    def row_condition(self, df: DataFrame) -> Column:
+        dtypes = dict(df.dtypes)
+
+        def ep(col: str) -> Column:
+            # TIMESTAMP_NTZ has no direct double cast (Spark 4); hop via
+            # TIMESTAMP (session tz — the engine pins UTC) first
+            c = F.col(col)
+            if dtypes.get(col) == "timestamp_ntz":
+                c = c.cast("timestamp")
+            return c.cast("double")
+
+        gap = ep(self.ts_col) - ep("_prev_ts")
+        conds: list[Column] = []
+        if self.min_seconds is not None:
+            conds.append(gap < F.lit(float(self.min_seconds)))
+        if self.max_seconds is not None:
+            conds.append(gap > F.lit(float(self.max_seconds)))
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        # NULL gap (either ts missing / no predecessor) -> no evidence
+        out = F.col("_prev_ts").isNotNull() & F.col(self.ts_col).isNotNull() & out
+        if self.roles is not None:
+            out = out & F.coalesce(
+                F.col(self.role_col).isin(*self.roles), F.lit(False)
+            )
+        return out
+
+    def wide_cols(self) -> list[str]:
+        # evaluated post-window (needs_sequence): the role column must
+        # survive the narrow projection when the check is role-scoped
+        return [self.role_col] if self.roles is not None else []
+
+
+@dataclass
+class JsonShape(Constraint):
+    """Column must parse as a JSON OBJECT, optionally carrying required
+    keys — the structured-payload face of domain validation for agent
+    transcripts (tool-call arguments, tool results, metadata blobs ride
+    transcript tables as JSON strings; a payload the trainer cannot
+    parse is a rejected row, not a runtime surprise later).
+
+    JVM-side only: one ``from_json`` to a string map (a non-object —
+    scalar, array, malformed — parses to NULL) plus ``map_contains_key``
+    per required key; no Python touches a row.
+
+    ``when``: optional scope predicate (df -> Column); rows outside the
+    scope are exempt (e.g. only role='tool' turns carry payloads).
+    ``null_is_violation``: a NULL payload in scope violates by default
+    (the payload is REQUIRED there); set False to allow absent payloads
+    and validate shape only when present.
+
+    Analog of the reference's per-file header/shape checks
+    (/root/reference/dataval/special/check_sumimage.py:48-60) lifted to
+    an in-row document format.
+    """
+
+    col: str = "props"
+    required_keys: Sequence[str] = ()
+    when: Callable[[DataFrame], Column] | None = None
+    null_is_violation: bool = True
+    flag: QualityFlag | None = QualityFlag.MalformedPayload
+    name: str | None = None  # two shapes on one column need distinct names
+
+    def __post_init__(self):
+        if self.name is None:
+            self.name = f"json_shape_{self.col}"
+
+    def row_condition(self, df: DataFrame) -> Column:
+        c = F.col(self.col)
+        parsed = F.from_json(c, "map<string,string>")
+        bad = parsed.isNull()  # unparseable or not an object
+        for k in self.required_keys:
+            bad = bad | ~F.map_contains_key(parsed, F.lit(k))
+        if self.null_is_violation:
+            out = c.isNull() | bad
+        else:
+            out = c.isNotNull() & bad
+        if self.when is not None:
+            out = F.coalesce(self.when(df), F.lit(False)) & out
+        return out

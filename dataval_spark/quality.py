@@ -40,6 +40,8 @@ class QualityFlag(enum.IntFlag):
     InvalidConvId = 2048       # conv_id NULL/empty or malformed
     InvalidTransition = 4096   # (prev_role -> role) outside the allowed set
     InvalidConvShape = 8192    # conversation opening/closing/turn-count shape
+    InvalidLatency = 16384     # inter-turn ts gap outside [min,max] bounds
+    MalformedPayload = 32768   # payload column not a JSON object / missing keys
 
     @classmethod
     def flag_names(cls) -> list[str]:
@@ -65,6 +67,10 @@ DEFAULT_BITMASK: int = int(
     # bits are only ever set when the opt-in constraints run
     | QualityFlag.InvalidTransition
     | QualityFlag.InvalidConvShape
+    # a malformed tool payload is structural; latency is opt-in and a
+    # sub-min_seconds reply is machine-generated spam, so both reject
+    | QualityFlag.InvalidLatency
+    | QualityFlag.MalformedPayload
 )
 
 

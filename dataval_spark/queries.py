@@ -2031,3 +2031,79 @@ def q58(spark, sf_dir):
         F.col("canonical").cast("string").alias("canonical"),
         F.col("n_turns").cast("long").alias("n_turns"),
     )
+
+
+@query(
+    "q59_latency_payload_gate",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, props,
+             epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id
+               ORDER BY event_id ASC NULLS FIRST, ts ASC NULLS FIRST)) AS gap
+      FROM events
+    ),
+    f AS (
+      SELECT event_type,
+             CASE WHEN gap IS NOT NULL AND (gap < 60 OR gap > 86400)
+                  THEN 1 ELSE 0 END AS lat,
+             CASE WHEN NOT (json_valid(props) AND json_type(json(props)) = 'OBJECT'
+                            AND json_extract(props, '$.k') IS NOT NULL)
+                       OR (event_type = 'error'
+                           AND json_extract(props, '$.audit') IS NULL)
+                  THEN 1 ELSE 0 END AS pay
+      FROM s
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(sum(lat) AS BIGINT) AS n_latency,
+           CAST(sum(pay) AS BIGINT) AS n_payload,
+           CAST(sum(CASE WHEN lat = 0 AND pay = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_approved
+    FROM f GROUP BY event_type
+    """,
+)
+def q59(spark, sf_dir):
+    """ResponseLatency + JsonShape constraints (constraints/core.py)
+    driven through the REAL suite machinery (project -> enrich ->
+    flag_rows, one window + zero extra shuffles) over events-as-
+    transcripts (user=conversation, event_id=turn order): inter-event
+    gaps outside [60s, 1d] flag the later event; every payload must be a
+    JSON object carrying key "k", and 'error' events must additionally
+    carry an "audit" key (none do — the planted payload violation). The
+    oracle re-derives both checks with DuckDB's window lag + JSON
+    functions."""
+    from dataval_spark.constraints.core import JsonShape, ResponseLatency
+    from dataval_spark.quality import QualityFlag
+    from dataval_spark.suite import Suite
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        "ts",
+        F.col("event_type").alias("role"),
+        "props",
+        F.lit(0).alias("part"),
+    )
+    suite = Suite(
+        [
+            ResponseLatency(min_seconds=60, max_seconds=86400),
+            JsonShape(col="props", required_keys=("k",)),
+            JsonShape(
+                col="props",
+                required_keys=("audit",),
+                when=lambda df: F.col("role") == "error",
+                name="json_shape_error_audit",
+            ),
+        ],
+        part_col="part",
+    )
+    flagged = suite.flag_rows(suite.enrich(suite.project(ev, keep_extra=("role",))))
+    lat = (F.col("dataval").bitwiseAND(F.lit(int(QualityFlag.InvalidLatency))) != 0).cast("long")
+    pay = (F.col("dataval").bitwiseAND(F.lit(int(QualityFlag.MalformedPayload))) != 0).cast("long")
+    return flagged.groupBy(F.col("role").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(lat).alias("n_latency"),
+        F.sum(pay).alias("n_payload"),
+        F.sum(((lat == 0) & (pay == 0)).cast("long")).alias("n_approved"),
+    )

@@ -46,8 +46,10 @@ from dataval_spark.constraints.core import (
     CrossField,
     Domain,
     Envelope,
+    JsonShape,
     MonotonicTs,
     NotNull,
+    ResponseLatency,
     RoleTransition,
     SequenceIntegrity,
     Stats,
@@ -136,6 +138,23 @@ def _build_constraint(c: dict) -> Constraint:
             min_turns=c.get("min_turns"),
             max_turns=c.get("max_turns"),
             flag=_flag(c.get("flag", "InvalidConvShape")),
+        )
+    if kind == "latency":
+        return ResponseLatency(
+            min_seconds=c.get("min_seconds"),
+            max_seconds=c.get("max_seconds"),
+            ts_col=c.get("ts_col", "ts"),
+            role_col=c.get("role_col", "role"),
+            roles=tuple(c["roles"]) if c.get("roles") else None,
+            flag=_flag(c.get("flag", "InvalidLatency")),
+        )
+    if kind == "json_shape":
+        return JsonShape(
+            col=c.get("col", "props"),
+            required_keys=tuple(c.get("required_keys", ())),
+            when=SqlExpr(c["when"]) if c.get("when") else None,
+            null_is_violation=c.get("null_is_violation", True),
+            flag=_flag(c.get("flag", "MalformedPayload")),
         )
     if kind == "stats":
         return Stats(col=c["col"], approx_distinct=c.get("approx_distinct", False))
