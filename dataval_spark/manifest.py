@@ -197,6 +197,61 @@ def _latest_per_part(rows: list) -> dict[int, dict]:
     return out
 
 
+def _unset_at(col: str, unset: float):
+    """`x or default` semantics of the driver-side helpers: NULL and 0.0
+    committed_at are both "unset"."""
+    c = F.col(col)
+    return F.when(c.isNull() | (c == 0.0), F.lit(unset)).otherwise(c)
+
+
+def _latest_frame(m: DataFrame) -> DataFrame:
+    """_latest_per_part as a DataFrame: latest row per (run, part) via a
+    max-struct aggregation (map-side combinable, no window buffer).
+    Returns (run_id, part, committed_at, passed, n_rejected,
+    metrics_json)."""
+    return (
+        m.groupBy("run_id", "part")
+        .agg(
+            F.max(
+                F.struct(
+                    _unset_at("committed_at", 0.0).alias("_ord"),
+                    F.col("committed_at").alias("committed_at"),
+                    F.col("passed").alias("passed"),
+                    F.col("n_rejected").alias("n_rejected"),
+                    F.col("metrics_json").alias("metrics_json"),
+                )
+            ).alias("_r")
+        )
+        .select(
+            "run_id", "part", "_r.committed_at", "_r.passed",
+            "_r.n_rejected", "_r.metrics_json",
+        )
+    )
+
+
+def _numeric_metrics(df: DataFrame) -> DataFrame:
+    """One row per (part, metric, value): explode the metrics JSON map,
+    keep numeric values only (try_cast: booleans/strings -> NULL), drop
+    the partition key masquerading as a metric."""
+    return (
+        df.select(
+            "part",
+            F.explode(
+                F.coalesce(
+                    F.from_json("metrics_json", "map<string,string>"),
+                    F.expr("map()"),
+                )
+            ).alias("metric", "_raw"),
+        )
+        .where(
+            (F.col("metric") != "part") & ~F.lower("_raw").isin("true", "false")
+        )
+        .withColumn("value", F.expr("try_cast(_raw as double)"))
+        .where(F.col("value").isNotNull())
+        .drop("_raw")
+    )
+
+
 def compare_runs(
     spark: SparkSession, manifest_path: str, run_a: str, run_b: str
 ) -> DataFrame:
@@ -210,63 +265,90 @@ def compare_runs(
     One row per partition present in either run:
       part, passed_a, passed_b, transition (FIXED / BROKE / STILL_PASS /
       STILL_FAIL / ONLY_A / ONLY_B), n_rejected_a/b, delta_rejected,
-      metric_deltas_json ({metric: b - a} for shared numeric metrics).
+      metric_deltas_json ({metric: b - a} for shared numeric metrics,
+      keys sorted; numeric = JSON values try-castable to double with
+      booleans excluded, and deltas serialize as doubles).
 
-    Driver-side over O(parts) manifest rows — the same legitimate
-    smallness as the metrics collect in Suite.run.
+    Runs as grouped DataFrame aggregations over the manifest — nothing
+    collected to the driver (same rationale as anomaly_scan: ~200k
+    partitions x re-validation history is a real frame, and callers
+    usually want only the BROKE/FIXED rows anyway).
     """
     m = read_manifest(spark, manifest_path)
     if m is None:
         raise FileNotFoundError(f"no manifest at {manifest_path}")
-    by_run = {
-        run: _latest_per_part(m.where(F.col("run_id") == run).collect())
-        for run in (run_a, run_b)
-    }
-    a_parts, b_parts = by_run[run_a], by_run[run_b]
-    out = []
-    for part in sorted(set(a_parts) | set(b_parts)):
-        ra, rb = a_parts.get(part), b_parts.get(part)
-        if ra and rb:
-            transition = {
-                (True, True): "STILL_PASS",
-                (True, False): "BROKE",
-                (False, True): "FIXED",
-                (False, False): "STILL_FAIL",
-            }[(bool(ra["passed"]), bool(rb["passed"]))]
-            ma = json.loads(ra["metrics_json"] or "{}")
-            mb = json.loads(rb["metrics_json"] or "{}")
-            deltas = {
-                k: mb[k] - ma[k]
-                for k in sorted(set(ma) & set(mb))
-                if k != "part"  # the key itself, not a metric
-                and isinstance(ma[k], (int, float)) and not isinstance(ma[k], bool)
-                and isinstance(mb[k], (int, float)) and not isinstance(mb[k], bool)
-            }
-            out.append({
-                "part": part,
-                "passed_a": bool(ra["passed"]), "passed_b": bool(rb["passed"]),
-                "transition": transition,
-                "n_rejected_a": int(ra["n_rejected"]), "n_rejected_b": int(rb["n_rejected"]),
-                "delta_rejected": int(rb["n_rejected"]) - int(ra["n_rejected"]),
-                "metric_deltas_json": json.dumps(deltas, sort_keys=True),
-            })
-        else:
-            out.append({
-                "part": part,
-                "passed_a": bool(ra["passed"]) if ra else None,
-                "passed_b": bool(rb["passed"]) if rb else None,
-                "transition": "ONLY_A" if ra else "ONLY_B",
-                "n_rejected_a": int(ra["n_rejected"]) if ra else None,
-                "n_rejected_b": int(rb["n_rejected"]) if rb else None,
-                "delta_rejected": None,
-                "metric_deltas_json": "{}",
-            })
-    schema = (
-        "part int, passed_a boolean, passed_b boolean, transition string, "
-        "n_rejected_a long, n_rejected_b long, delta_rejected long, "
-        "metric_deltas_json string"
+    latest = _latest_frame(m)
+    a = latest.where(F.col("run_id") == run_a).select(
+        "part",
+        F.col("passed").alias("passed_a"),
+        F.col("n_rejected").cast("long").alias("n_rejected_a"),
+        F.col("metrics_json").alias("_mj_a"),
     )
-    return spark.createDataFrame(out, schema=schema)
+    b = latest.where(F.col("run_id") == run_b).select(
+        "part",
+        F.col("passed").alias("passed_b"),
+        F.col("n_rejected").cast("long").alias("n_rejected_b"),
+        F.col("metrics_json").alias("_mj_b"),
+    )
+    both = a.join(b, "part", "full_outer")
+    # presence is keyed on any of the side's fields (a full-outer miss
+    # nulls ALL of them; a present row with NULL passed still counts)
+    in_a = (
+        F.col("n_rejected_a").isNotNull()
+        | F.col("passed_a").isNotNull()
+        | F.col("_mj_a").isNotNull()
+    )
+    in_b = (
+        F.col("n_rejected_b").isNotNull()
+        | F.col("passed_b").isNotNull()
+        | F.col("_mj_b").isNotNull()
+    )
+    # bool(None) == False in the driver-side predecessor: pin NULL passed
+    pa = F.coalesce(F.col("passed_a"), F.lit(False))
+    pb = F.coalesce(F.col("passed_b"), F.lit(False))
+    transition = (
+        F.when(in_a & ~in_b, F.lit("ONLY_A"))
+        .when(in_b & ~in_a, F.lit("ONLY_B"))
+        .when(pa & pb, F.lit("STILL_PASS"))
+        .when(pa & ~pb, F.lit("BROKE"))
+        .when(~pa & pb, F.lit("FIXED"))
+        .otherwise(F.lit("STILL_FAIL"))
+    )
+    # {metric: b - a} over shared numeric metrics, as a per-part JSON
+    ea = _numeric_metrics(a.select("part", F.col("_mj_a").alias("metrics_json")))
+    eb = _numeric_metrics(b.select("part", F.col("_mj_b").alias("metrics_json")))
+    deltas = (
+        ea.join(eb.withColumnRenamed("value", "_vb"), ["part", "metric"])
+        .groupBy("part")
+        .agg(
+            F.to_json(
+                F.map_from_entries(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("metric"),
+                                (F.col("_vb") - F.col("value")).alias("delta"),
+                            )
+                        )
+                    )
+                )
+            ).alias("_deltas")
+        )
+    )
+    return both.join(deltas, "part", "left").select(
+        F.col("part").cast("int").alias("part"),
+        "passed_a",
+        "passed_b",
+        transition.alias("transition"),
+        "n_rejected_a",
+        "n_rejected_b",
+        F.when(in_a & in_b, F.col("n_rejected_b") - F.col("n_rejected_a")).alias(
+            "delta_rejected"
+        ),
+        F.when(in_a & in_b, F.coalesce(F.col("_deltas"), F.lit("{}")))
+        .otherwise(F.lit("{}"))
+        .alias("metric_deltas_json"),
+    )
 
 
 def anomaly_scan(

@@ -582,3 +582,66 @@ def test_anomaly_scan_million_row_manifest_driver_light(spark, tmp_path):
     assert {(r.part, r.metric) for r in flagged} == {(1234, "null_rate")}
     z = flagged[0]
     assert z.n_history == runs - 1 and z.robust_z > 3.5
+
+
+def test_compare_runs_million_row_manifest_driver_light(spark, tmp_path):
+    """compare_runs at large-manifest scale: pure grouped aggregation
+    (latest-per-(run,part) max-struct + full-outer diff + exploded
+    metric deltas), nothing collected — the caller filters to the
+    transitions it wants. Also pins delta correctness and the
+    re-validation (latest-row-wins) contract in-Spark."""
+    from pyspark.sql import functions as F
+
+    from dataval_spark.manifest import compare_runs
+
+    mp = str(tmp_path / "mcmp")
+    parts = 200_000
+    base = spark.range(parts).select(F.col("id").cast("int").alias("part"))
+
+    def run_rows(run_id, at, passed_expr, rej_expr, metric_expr):
+        return base.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("h").alias("suite_hash"),
+            "part",
+            F.lit(100).cast("long").alias("n_rows"),
+            (100 - rej_expr).cast("long").alias("n_approved"),
+            rej_expr.cast("long").alias("n_rejected"),
+            passed_expr.alias("passed"),
+            F.concat(
+                F.lit('{"null_rate": '), metric_expr.cast("string"), F.lit("}")
+            ).alias("metrics_json"),
+            F.lit("").alias("input_fp"),
+            F.lit(at).cast("double").alias("committed_at"),
+        )
+
+    # raw run: every 1000th part fails; part 7's original PASSING row is
+    # superseded by a LATER failing re-validation row — latest must win
+    fail_a = F.col("part") % 1000 == 0
+    rows = run_rows("raw", 1.0, ~fail_a, F.when(fail_a, 30).otherwise(2),
+                    F.when(fail_a, 0.3).otherwise(0.02))
+    reval = run_rows("raw", 1.5, F.lit(False), F.lit(30), F.lit(0.3)).where(
+        F.col("part") == 7
+    )
+    fixed = run_rows("corr", 2.0, F.lit(True), F.lit(1), F.lit(0.01)).where(
+        F.col("part") < parts - 50  # last 50 parts ONLY_A
+    )
+    rows.unionByName(reval).unionByName(fixed).write.parquet(mp)
+
+    diff = compare_runs(spark, mp, "raw", "corr")
+    agg = {
+        r.transition: r.n
+        for r in diff.groupBy("transition").agg(F.count("*").alias("n")).collect()
+    }
+    n_fail = len([p for p in range(parts - 50) if p % 1000 == 0]) + 1  # + part 7
+    assert agg["FIXED"] == n_fail
+    assert agg["ONLY_A"] == 50
+    assert agg["STILL_PASS"] == parts - 50 - n_fail
+    one = diff.where("part = 0").collect()[0]  # part 0 failed raw, fixed corr
+    assert one.transition == "FIXED" and one.delta_rejected == 1 - 30
+    import json as _json
+
+    assert _json.loads(one.metric_deltas_json) == {"null_rate": 0.01 - 0.3}
+    # latest-row-wins: part 7's LATER failing re-validation supersedes
+    # its original passing row
+    seven = diff.where("part = 7").collect()[0]
+    assert seven.transition == "FIXED" and seven.n_rejected_a == 30
