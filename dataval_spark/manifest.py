@@ -165,18 +165,25 @@ def baseline_from_manifest(
     m = read_manifest(spark, manifest_path)
     if m is None:
         raise FileNotFoundError(f"no manifest at {manifest_path}")
-    rows = _latest_per_part(m.where(F.col("run_id") == run_id).collect())
-    if not rows:
+    mine = _latest_frame(m.where(F.col("run_id") == run_id))
+    if mine.isEmpty():
         raise ValueError(f"run_id {run_id!r} not in manifest {manifest_path}")
-    pooled = [0.0] * nbins
-    found = False
-    for r in rows.values():
-        metrics = json.loads(r["metrics_json"] or "{}")
-        for i in range(nbins):
-            v = metrics.get(f"hist_{drift_name}_{i}")
-            if v is not None:
-                found = True
-                pooled[i] += float(v)
+    # pooled per-bin sums as a grouped aggregation over the exploded
+    # metrics — only nbins rows ever reach the driver, whatever the
+    # partition count (same driver-light contract as anomaly_scan)
+    prefix = f"hist_{drift_name}_"
+    sums = {
+        r.metric: r.total
+        for r in (
+            _numeric_metrics(mine)
+            .where(F.col("metric").startswith(prefix))
+            .groupBy("metric")
+            .agg(F.sum("value").alias("total"))
+            .collect()
+        )
+    }
+    pooled = [float(sums.get(f"{prefix}{i}", 0.0)) for i in range(nbins)]
+    found = bool(sums)
     if not found or sum(pooled) == 0:
         # an all-zero baseline would make Drift.evaluate's thresholds
         # astronomically lax — drift would silently pass everything
