@@ -83,6 +83,16 @@ def profile_table(
                     F.array(*[F.lit(q) for q in (0.01, 0.25, 0.5, 0.75, 0.99)]),
                 ).alias(f"lenq__{c}")
             )
+            # structured-payload evidence: how often does the column
+            # parse as a JSON OBJECT (JsonShape's check, one JVM-side
+            # from_json — profiling pays it once, never the hot path)
+            aggs.append(
+                F.sum(
+                    F.from_json(F.col(c), "map<string,string>")
+                    .isNotNull()
+                    .cast("long")
+                ).alias(f"jsob__{c}")
+            )
         elif base in _NUMERIC or base.startswith("timestamp") or base == "date":
             aggs.append(F.min(c).alias(f"min__{c}"))
             aggs.append(F.max(c).alias(f"max__{c}"))
@@ -105,6 +115,10 @@ def profile_table(
             st["empty_rate"] = (row[f"emp__{c}"] / n) if n else 0.0
             q = row[f"lenq__{c}"]
             st["len_quantiles"] = [float(x) for x in q] if q else None
+            non_null = n - row[f"nul__{c}"]
+            st["json_object_rate"] = (
+                (row[f"jsob__{c}"] / non_null) if non_null else 0.0
+            )
         elif f"min__{c}" in row:
             mn, mx = row[f"min__{c}"], row[f"max__{c}"]
             st["min"] = str(mn) if base.startswith("timestamp") else mn
@@ -195,6 +209,22 @@ def profile_table(
                     (F.col("pts").isNotNull() & (F.col("ts") < F.col("pts"))).cast("long")
                 ).alias("ts_regress")
             )
+            # inter-turn latency evidence for ResponseLatency bounds:
+            # exact min/max of the observed gap (seconds) — conservative
+            # envelope, same window pass
+            base_ts = dtypes[ts_col].split("(")[0]
+
+            def _ep(col: str):
+                c = F.col(col)
+                if base_ts == "timestamp_ntz":
+                    c = c.cast("timestamp")
+                return c.cast("double")
+
+            gap = _ep("ts") - _ep("pts")
+            seq_aggs += [
+                F.min(gap).alias("gap_min"),
+                F.max(gap).alias("gap_max"),
+            ]
         if role_ok:
             cap = max_domain * max_domain + 1
             pair = F.concat(F.col("pr"), F.lit(">"), F.col("r"))
@@ -217,6 +247,13 @@ def profile_table(
         out["sequence"]["gap_rate"] = srow["gap"] / n
         if "ts_regress" in srow:
             out["sequence"]["ts_regress_rate"] = srow["ts_regress"] / n
+        if "gap_min" in srow:
+            out["sequence"]["gap_seconds_min"] = (
+                float(srow["gap_min"]) if srow["gap_min"] is not None else None
+            )
+            out["sequence"]["gap_seconds_max"] = (
+                float(srow["gap_max"]) if srow["gap_max"] is not None else None
+            )
         if role_ok:
             cap = max_domain * max_domain
             if len(srow["transitions"]) <= cap:
@@ -306,6 +343,54 @@ def suggest_spec(
             rationale.append(
                 f"monotonic_ts({ts_col}): regression rate {tsr:.4f} <= "
                 f"{seq_suggest_max}"
+            )
+        gmin, gmax = seq.get("gap_seconds_min"), seq.get("gap_seconds_max")
+        if gmax is not None and gmax > 0 and gmin is not None and gmin >= 0:
+            # conservative envelope: 4x headroom each way off the exact
+            # observed extremes, so the data the bounds were learned from
+            # never flags; min bound only when every observed gap is
+            # strictly positive (a legitimate 0-gap stream gets no floor)
+            entry: dict[str, Any] = {
+                "type": "latency",
+                "max_seconds": float(math.ceil(gmax * 4)),
+            }
+            if gmin > 0:
+                entry["min_seconds"] = round(gmin / 4, 6)
+            constraints.append(entry)
+            rationale.append(
+                f"latency: observed inter-turn gap in [{gmin:.3f}s, "
+                f"{gmax:.3f}s] -> bounds "
+                f"[{entry.get('min_seconds', 'none')}, "
+                f"{entry['max_seconds']}] (4x headroom each way — "
+                "tighten by hand to the intended SLO; suggestion cannot "
+                "know which slow gaps are session boundaries)"
+            )
+
+    for c, st in cols.items():
+        # structured payloads: a string column that is (almost) always a
+        # JSON object gets the shape gate; required keys are left to the
+        # user (key-set intersection is a second pass and the wrong
+        # guess rejects good data)
+        if (
+            c not in (part_col, conv_col, "status")
+            and st.get("json_object_rate", 0.0) >= 0.99
+            and st["null_rate"] + st.get("empty_rate", 0.0) < 1.0
+        ):
+            constraints.append(
+                {
+                    "type": "json_shape",
+                    "col": c,
+                    "null_is_violation": st["null_rate"] == 0.0,
+                }
+            )
+            rationale.append(
+                f"json_shape({c}): {st['json_object_rate']:.4f} of non-null "
+                f"values parse as JSON objects"
+                + (
+                    " (nulls allowed: observed null rate > 0)"
+                    if st["null_rate"] > 0
+                    else ""
+                )
             )
 
     for c, st in cols.items():

@@ -175,3 +175,66 @@ def test_cli_suggest_suite(spark, tmp_path):
     spec = json.load(open(out))
     suite = suite_from_spec(spec)  # loads back through the --suite path
     assert suite.constraints
+
+
+def test_latency_and_json_shape_evidence(small):
+    """The profile carries exact inter-turn gap extremes and per-column
+    JSON-object rates; the rules turn them into conservative latency
+    bounds and a json_shape gate only where warranted."""
+    prof = profile_table(small)
+    seq = prof["sequence"]
+    # gaps: c1 has 1s gaps, c3 has a -1s regression -> min is negative
+    assert seq["gap_seconds_min"] == -1.0 and seq["gap_seconds_max"] == 1.0
+    # none of the small fixture's strings are JSON objects
+    assert prof["columns"]["text"]["json_object_rate"] == 0.0
+
+    spec, rationale = suggest_spec(prof)
+    kinds = [c["type"] for c in spec["constraints"]]
+    # negative observed gap -> no latency floor is safe, and the rule
+    # refuses to suggest at all (MonotonicTs owns regressions)
+    assert "latency" not in kinds
+    assert "json_shape" not in kinds
+
+
+def test_latency_and_json_shape_suggested_on_clean_payload_table(spark):
+    """Clean gaps + a JSON payload column: latency bounds bracket the
+    observed envelope with 4x headroom (training data never flags) and
+    the payload column gets json_shape; loading the spec reproduces the
+    suite (round-trip) and approves every training row."""
+    rows = []
+    for conv in range(30):
+        for i in range(4):
+            rows.append((
+                f"c{conv}", i, "user" if i % 2 == 0 else "assistant",
+                "turn text", None if i == 0 else '{"k": 1, "v": "x"}',
+                conv * 1000 + i * 10 + (i % 3),  # gaps 8-12s
+                conv % 2,
+            ))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "props string, sec int, part int"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+
+    prof = profile_table(df)
+    assert prof["columns"]["props"]["json_object_rate"] == 1.0
+    seq = prof["sequence"]
+    assert seq["gap_seconds_min"] > 0
+
+    spec, rationale = suggest_spec(prof)
+    by_kind = {c["type"]: c for c in spec["constraints"]}
+    lat = by_kind["latency"]
+    assert lat["min_seconds"] == round(seq["gap_seconds_min"] / 4, 6)
+    assert lat["max_seconds"] >= seq["gap_seconds_max"] * 4
+    js = by_kind["json_shape"]
+    assert js["col"] == "props"
+    assert js["null_is_violation"] is False  # turn 0 has NULL props
+    # text is not JSON; conv_id is excluded by rule
+    assert all(
+        c.get("col") != "text" for c in spec["constraints"] if c["type"] == "json_shape"
+    )
+
+    suite = suite_from_spec(spec)
+    res = suite.run(df)
+    n = sum(m["n_rows"] for m in res.partition_metrics)
+    approved = sum(m["n_approved"] for m in res.partition_metrics)
+    assert n == len(rows) and approved == n  # learned bounds never flag
