@@ -1,0 +1,341 @@
+"""Snapshot-committed tables on plain Parquet — the Iceberg CONTRACT
+(snapshot-atomic commits, optimistic concurrency, time travel, metadata
+file lists) without the Iceberg runtime jar this sandbox lacks.
+
+The north rule targets Iceberg tables; ``TableIO`` swaps in a real
+catalog when the jar exists. This module supplies the same guarantees
+on the Parquet branch, the way Iceberg itself does at its core
+(Iceberg spec, public: a table IS a pointer to an immutable metadata
+file; a commit is an atomic swap of that pointer):
+
+* **Layout**: ``<root>/data/<commit-uuid>/*.parquet`` (immutable data
+  files, one directory per attempted commit) + ``<root>/meta/v<N>.json``
+  (snapshot N: parent, operation, schema, explicit [path, bytes] file
+  list). There is no mutable pointer file: the current snapshot is the
+  highest committed ``v<N>.json``.
+* **Commit protocol**: write data files, write the snapshot to a temp
+  name, then atomically ``rename(tmp, v<N>.json)``. Hadoop's rename
+  fails (returns false) when the destination exists — exactly the
+  compare-and-swap Iceberg builds on. A loser re-reads the new current
+  snapshot (so a concurrent append's rows are retained), recomputes its
+  file list, and retries at N+1. Its already-written data files stay
+  valid across retries — no rewrite.
+* **Crash safety**: data files without a committed snapshot are
+  invisible to every reader; ``vacuum()`` removes them later. A crash
+  between data write and rename leaves the table byte-identical to the
+  previous snapshot.
+* **Time travel**: ``read(version=k)`` materializes exactly snapshot
+  k's file list. ``rollback(k)`` commits a new snapshot whose file list
+  is k's (history is never rewritten — same as Iceberg).
+* **Reads** list files from metadata, never from directory scans, so a
+  read is O(1) FS round-trips + the parquet footers it actually needs
+  (Iceberg's "no directory listing" property). ``basePath`` is pinned
+  so hive-style partition columns in the file paths survive explicit
+  file-list reads.
+* **Lineage**: ``input_fingerprints(part_col)`` derives the manifest's
+  per-partition fingerprints from the snapshot's OWN file list (path +
+  size, the same recipe as manifest.input_fingerprints) — zero
+  filesystem scans, and the snapshot version doubles as the table-level
+  input id the north rule asks for.
+
+Reference sink semantics being generalized: the release manifest's
+atomic per-batch commits (/root/reference/run_package_release.py:283-317)
+and DROP+CREATE replace (/root/reference/dataval/dataval.py:152-177).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["SnapshotTable", "CommitConflict"]
+
+_MAX_COMMIT_RETRIES = 20
+
+
+class CommitConflict(RuntimeError):
+    """Raised when a commit loses the rename race more than
+    _MAX_COMMIT_RETRIES times (pathological contention)."""
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(self.root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    # -- paths ----------------------------------------------------------
+    def _meta_dir(self) -> str:
+        return f"{self.root}/meta"
+
+    def _data_dir(self) -> str:
+        return f"{self.root}/data"
+
+    def _vpath(self, version: int) -> str:
+        return f"{self._meta_dir()}/v{version}.json"
+
+    # -- filesystem primitives -----------------------------------------
+    def _write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._Path(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def _read_text(self, path: str) -> str:
+        ins = self._fs.open(self._Path(path))
+        try:
+            # IOUtils reads the stream fully without guessing lengths
+            jvm = self.spark._jvm
+            ba = jvm.org.apache.commons.io.IOUtils.toByteArray(ins)
+            return bytes(ba).decode("utf-8")
+        finally:
+            ins.close()
+
+    # -- snapshot state ---------------------------------------------------
+    def current_version(self) -> int | None:
+        """Highest committed snapshot, None for an empty/absent table."""
+        meta = self._Path(self._meta_dir())
+        if not self._fs.exists(meta):
+            return None
+        best = None
+        for st in self._fs.listStatus(meta):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    n = int(name[1:-5])
+                except ValueError:
+                    continue
+                best = n if best is None or n > best else best
+        return best
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        p = self._vpath(v)
+        if not self._fs.exists(self._Path(p)):
+            raise FileNotFoundError(f"snapshot v{v} does not exist under {self.root}")
+        return json.loads(self._read_text(p))
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    # -- write path -------------------------------------------------------
+    def _write_data_files(
+        self, df: DataFrame, partition_by: list[str] | None
+    ) -> list[list]:
+        """Write df's rows as immutable files, uniquely named under the
+        shared hive-style data layout (``data/part=K/<commit>-<file>``);
+        return their [relative_path, bytes] entries. The files are not
+        visible to any reader until a snapshot referencing them commits —
+        reads go through the metadata file list, never a directory scan.
+
+        The write lands in a scratch commit dir first (Spark owns that
+        layout), then each data file is renamed into place: one cheap
+        metadata op per file on hdfs://-like filesystems, and the shared
+        layout keeps Spark's partition-column recovery (basePath) valid
+        across commits."""
+        commit = uuid.uuid4().hex[:12]
+        scratch = f"{self._data_dir()}/_scratch_{commit}"
+        w = df.write.mode("error")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(scratch)
+        files: list[list] = []
+        it = self._fs.listFiles(self._Path(scratch), True)
+        to_move: list[tuple[str, str]] = []
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            inner = f.getPath().toString().split(f"{scratch}/", 1)[1]
+            parts = inner.rsplit("/", 1)
+            if len(parts) == 2:
+                rel = f"data/{parts[0]}/{commit}-{parts[1]}"
+            else:
+                rel = f"data/{commit}-{inner}"
+            to_move.append((f.getPath().toString(), rel))
+            files.append([rel, int(f.getLen())])
+        for src, rel in to_move:
+            dest = self._Path(f"{self.root}/{rel}")
+            self._fs.mkdirs(dest.getParent())
+            if not self._fs.rename(self._Path(src), dest):
+                raise IOError(f"could not place data file {rel}")
+        self._fs.delete(self._Path(scratch), True)
+        return files
+
+    def _try_commit(self, version: int, snap: dict) -> bool:
+        """Atomic compare-and-swap: rename fails iff v<version>.json
+        exists (or a racer renamed first) — the loser retries."""
+        self._fs.mkdirs(self._Path(self._meta_dir()))
+        tmp = f"{self._meta_dir()}/_tmp_{uuid.uuid4().hex}.json"
+        self._write_text(tmp, json.dumps(snap, sort_keys=True))
+        ok = bool(self._fs.rename(self._Path(tmp), self._Path(self._vpath(version))))
+        if not ok:
+            self._fs.delete(self._Path(tmp), False)
+        return ok
+
+    def _schema_fields(self, df: DataFrame) -> list:
+        return sorted((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+
+    def _commit(
+        self,
+        df: DataFrame,
+        operation: str,
+        partition_by: list[str] | None,
+        base_files: bool,
+    ) -> int:
+        new_files = self._write_data_files(df, partition_by)
+        schema_json = df.schema.json()
+        for _ in range(_MAX_COMMIT_RETRIES):
+            cur = self.current_version()
+            if base_files and cur is not None:
+                parent = self.snapshot(cur)
+                if (
+                    sorted(map(tuple, json.loads(parent["schema_fields"])))
+                    != self._schema_fields(df)
+                ):
+                    raise ValueError(
+                        f"append schema mismatch vs snapshot v{cur}: "
+                        f"{parent['schema_fields']} != {self._schema_fields(df)}"
+                    )
+                files = [list(f) for f in parent["files"]] + new_files
+            else:
+                files = new_files
+            version = 0 if cur is None else cur + 1
+            snap = {
+                "version": version,
+                "parent": cur,
+                "operation": operation,
+                "schema": schema_json,
+                "schema_fields": json.dumps(self._schema_fields(df)),
+                "files": files,
+            }
+            if self._try_commit(version, snap):
+                return version
+            # lost the race: a concurrent commit landed at `version` —
+            # loop re-reads the new current snapshot so ITS rows are
+            # retained under append semantics
+        raise CommitConflict(
+            f"could not commit to {self.root} after "
+            f"{_MAX_COMMIT_RETRIES} attempts"
+        )
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Snapshot-atomic append; returns the committed version."""
+        return self._commit(df, "append", partition_by, base_files=True)
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Snapshot-atomic replace (history retained; time travel still
+        reads every prior version)."""
+        return self._commit(df, "overwrite", partition_by, base_files=False)
+
+    def rollback(self, version: int) -> int:
+        """Commit a NEW snapshot whose content is snapshot `version`'s
+        (history is never rewritten)."""
+        target = self.snapshot(version)
+        for _ in range(_MAX_COMMIT_RETRIES):
+            cur = self.current_version()
+            new_version = (cur or 0) + 1
+            snap = dict(target)
+            snap.update(
+                {"version": new_version, "parent": cur, "operation": "rollback"}
+            )
+            if self._try_commit(new_version, snap):
+                return new_version
+        raise CommitConflict(f"rollback lost {_MAX_COMMIT_RETRIES} races")
+
+    # -- read path --------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Materialize a snapshot: exactly its file list, no directory
+        scan. Empty snapshots read as a typed empty frame."""
+        from pyspark.sql.types import StructType
+
+        snap = self.snapshot(version)
+        paths = [f"{self.root}/{rel}" for rel, _ in snap["files"]]
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        # basePath keeps hive-style partition columns (part=3/...) alive
+        # under explicit file-list reads; schema pinned from the snapshot
+        # so readers never pay footer-merge inference
+        return (
+            self.spark.read.option("basePath", self._data_dir())
+            .schema(schema)
+            .parquet(*paths)
+        )
+
+    # -- lineage / maintenance -------------------------------------------
+    def input_fingerprints(self, part_col: str, version: int | None = None) -> dict[int, str]:
+        """Per-partition input fingerprints from the snapshot's OWN file
+        list — sha1 over sorted (relative path, size) per part, the same
+        recipe as manifest.input_fingerprints but with ZERO filesystem
+        round-trips. Feed to manifest.completed_parts for resume."""
+        snap = self.snapshot(version)
+        by_part: dict[int, list] = {}
+        needle = f"{part_col}="
+        for rel, size in snap["files"]:
+            part = None
+            for seg in rel.split("/"):
+                if seg.startswith(needle):
+                    value = seg.split("=", 1)[1]
+                    if value == "__HIVE_DEFAULT_PARTITION__":
+                        part = -1
+                    else:
+                        try:
+                            part = int(value)
+                        except ValueError:
+                            part = None
+                    break
+            if part is None:
+                continue
+            by_part.setdefault(part, []).append([rel.split(needle, 1)[1], int(size)])
+        return {
+            part: hashlib.sha1(json.dumps(sorted(entries)).encode()).hexdigest()[:16]
+            for part, entries in by_part.items()
+        }
+
+    def orphan_files(self) -> list[str]:
+        """Data files no committed snapshot references (crashed or lost
+        commits). Safe to delete via vacuum()."""
+        live: set[str] = set()
+        v = self.current_version()
+        if v is not None:
+            for k in range(v + 1):
+                p = self._vpath(k)
+                if self._fs.exists(self._Path(p)):
+                    live.update(rel for rel, _ in json.loads(self._read_text(p))["files"])
+        data = self._Path(self._data_dir())
+        if not self._fs.exists(data):
+            return []
+        out = []
+        it = self._fs.listFiles(data, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            rel = f.getPath().toString().split(f"{self.root}/", 1)[1]
+            if "/_scratch_" in f"/{rel}":
+                continue  # an in-flight writer's scratch dir, not ours
+            if rel not in live:
+                out.append(rel)
+        return out
+
+    def vacuum(self) -> int:
+        """Delete orphan data files; returns how many were removed.
+        Never touches files any snapshot references, so time travel to
+        every committed version keeps working."""
+        orphans = self.orphan_files()
+        for rel in orphans:
+            self._fs.delete(self._Path(f"{self.root}/{rel}"), False)
+        return len(orphans)

@@ -33,14 +33,31 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class TableIO:
-    def __init__(self, spark: SparkSession, warehouse: str, catalog: str | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        catalog: str | None = None,
+        snapshots: bool = False,
+    ):
+        """``snapshots=True`` routes the Parquet branch through
+        sources/snapshots.SnapshotTable — snapshot-atomic commits,
+        optimistic concurrency, and time travel with no Iceberg jar
+        (the closest local equivalent of the Iceberg branch's
+        guarantees). Ignored when a real Iceberg catalog is active."""
         self.spark = spark
         self.warehouse = warehouse
         self.catalog = catalog
         self.use_iceberg = catalog is not None and iceberg_available(spark)
+        self.use_snapshots = snapshots and not self.use_iceberg
 
     def _path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
+
+    def _snap(self, name: str):
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        return SnapshotTable(self.spark, self._path(name))
 
     def exists(self, name: str) -> bool:
         """Table-existence probe (reference sqlite_master probe,
@@ -51,6 +68,8 @@ class TableIO:
         corruption) propagates rather than masquerading as absence."""
         if self.use_iceberg:
             return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
+        if self.use_snapshots:
+            return self._snap(name).exists()
         try:
             self.spark.read.parquet(self._path(name)).schema
             return True
@@ -67,6 +86,8 @@ class TableIO:
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.format("iceberg").load(f"{self.catalog}.{name}")
+        if self.use_snapshots:
+            return self._snap(name).read()
         return self.spark.read.parquet(self._path(name))
 
     def replace(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
@@ -80,6 +101,9 @@ class TableIO:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
             return
+        if self.use_snapshots:
+            self._snap(name).overwrite(df, partition_by=partition_by)
+            return
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -91,6 +115,9 @@ class TableIO:
         commit per partition/snapshot)."""
         if self.use_iceberg:
             df.writeTo(f"{self.catalog}.{name}").append()
+            return
+        if self.use_snapshots:
+            self._snap(name).append(df, partition_by=partition_by)
             return
         w = df.write.mode("append")
         if partition_by:

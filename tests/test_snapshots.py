@@ -1,0 +1,132 @@
+"""SnapshotTable: the Iceberg commit contract on plain parquet —
+snapshot-atomic commits, optimistic concurrency, time travel, crash
+safety, metadata-derived lineage fingerprints."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataval_spark.sources.snapshots import SnapshotTable
+from dataval_spark.sources.tableio import TableIO
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("part")
+    )
+
+
+def test_append_time_travel_rollback(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    assert not t.exists()
+    with pytest.raises(FileNotFoundError):
+        t.read()
+
+    v0 = t.append(_df(spark, 0, 5), partition_by=["part"])
+    v1 = t.append(_df(spark, 5, 8), partition_by=["part"])
+    assert (v0, v1) == (0, 1)
+    assert t.read().count() == 8
+    # time travel: every committed version stays readable
+    assert t.read(0).count() == 5
+    # hive partition column survives the explicit file-list read
+    assert sorted(r.part for r in t.read().select("part").distinct().collect()) == [0, 1]
+
+    v2 = t.overwrite(_df(spark, 100, 103), partition_by=["part"])
+    assert t.read().count() == 3 and t.read(v1).count() == 8
+    v3 = t.rollback(v1)
+    assert v3 == v2 + 1
+    assert t.read().count() == 8          # content is v1's again
+    assert t.read(v2).count() == 3        # history not rewritten
+
+
+def test_crash_between_data_write_and_commit_is_invisible(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5), partition_by=["part"])
+    before = sorted(r.id for r in t.read().collect())
+    # crash simulation: data files land, no snapshot commits them
+    t._write_data_files(_df(spark, 1000, 1100), ["part"])
+    assert sorted(r.id for r in t.read().collect()) == before
+    orphans = t.orphan_files()
+    assert orphans and all("part=" in o for o in orphans)
+    assert t.vacuum() == len(orphans)
+    assert t.orphan_files() == []
+    # vacuum never touches referenced files: full history still reads
+    assert t.read(0).count() == 5
+
+
+def test_optimistic_concurrency_retry_keeps_both_appends(spark, tmp_path):
+    """Losing the version-slot rename race must retry on top of the
+    interloper's snapshot so BOTH appends' rows survive — Iceberg's
+    append-commit semantics."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 4), partition_by=["part"])
+    # interloper claims the next slot directly (same content + 1 marker
+    # file list so its rows are distinguishable is unnecessary — reuse
+    # the current snapshot under the next version)
+    nv = t.current_version() + 1
+    snap = dict(t.snapshot(), version=nv, parent=t.current_version())
+    t._write_text(t._vpath(nv), json.dumps(snap))
+    v = t.append(_df(spark, 10, 12), partition_by=["part"])
+    assert v == nv + 1  # landed AFTER the interloper
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [0, 1, 2, 3, 10, 11]
+
+
+def test_append_schema_guard(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3), partition_by=["part"])
+    bad = spark.range(3).select(
+        F.col("id").cast("string").alias("id"), F.lit(0).alias("part")
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad, partition_by=["part"])
+    # overwrite may change the schema (new snapshot owns its shape)
+    t.overwrite(bad, partition_by=["part"])
+    assert dict(t.read().dtypes)["id"] == "string"
+
+
+def test_metadata_lineage_fingerprints_drive_resume(spark, tmp_path):
+    """input_fingerprints come from the snapshot's file list (no FS
+    scan) and behave like manifest.input_fingerprints: stable across
+    reads, changed exactly for partitions whose files changed."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 8), partition_by=["part"])
+    fps1 = t.input_fingerprints("part")
+    assert set(fps1) == {0, 1}
+    assert t.input_fingerprints("part") == fps1  # deterministic
+    # append rows that land only in part 1
+    t.append(
+        spark.range(101, 104, 2).select(
+            F.col("id"), F.lit(1).cast("int").alias("part")
+        ),
+        partition_by=["part"],
+    )
+    fps2 = t.input_fingerprints("part")
+    assert fps2[0] == fps1[0] and fps2[1] != fps1[1]
+    # time-travel fingerprints reproduce the old lineage exactly
+    assert t.input_fingerprints("part", version=0) == fps1
+
+
+def test_empty_append_and_typed_empty_read(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 0), partition_by=["part"])
+    out = t.read()
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "part"}
+
+
+def test_tableio_snapshot_mode_roundtrip(spark, tmp_path):
+    io = TableIO(spark, str(tmp_path), snapshots=True)
+    assert io.use_snapshots and not io.use_iceberg
+    assert not io.exists("t1")
+    df = _df(spark, 0, 10)
+    io.replace(df, "t1", partition_by=["part"])
+    assert io.exists("t1") and io.read("t1").count() == 10
+    io.append(df, "t1", partition_by=["part"])
+    assert io.read("t1").count() == 20
+    # and the snapshot layer underneath exposes time travel
+    t = SnapshotTable(spark, str(tmp_path / "t1"))
+    assert t.read(0).count() == 10
