@@ -44,13 +44,25 @@ def input_fingerprints(spark: SparkSession, input_path: str, part_col: str) -> d
 
     Uses the Hadoop FileSystem API so s3a:// and hdfs:// work the same as
     local paths. Returns {} for a non-partitioned layout (fingerprint
-    guard inert — documented degradation, not an error)."""
+    guard inert — documented degradation, not an error).
+
+    A snapshot-committed table (sources/snapshots.SnapshotTable layout:
+    a ``meta/`` directory of v<N>.json files) is detected automatically
+    and fingerprinted from its CURRENT snapshot's own file list — the
+    snapshot id plays the input-lineage role the north rule assigns it,
+    with zero data-directory scans."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(input_path)
     fs = root.getFileSystem(hconf)
     if not fs.exists(root):
         return {}
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{input_path.rstrip('/')}/meta")):
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        snap = SnapshotTable(spark, input_path)
+        if snap.exists():
+            return snap.input_fingerprints(part_col)
     by_part: dict[int, list] = {}
     for st in fs.listStatus(root):
         name = st.getPath().getName()

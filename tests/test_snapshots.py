@@ -130,3 +130,44 @@ def test_tableio_snapshot_mode_roundtrip(spark, tmp_path):
     # and the snapshot layer underneath exposes time travel
     t = SnapshotTable(spark, str(tmp_path / "t1"))
     assert t.read(0).count() == 10
+
+
+def test_resume_revalidates_only_snapshot_changed_partitions(spark, tmp_path):
+    """The full north-rule loop on a snapshot table: manifest lineage
+    fingerprints come from snapshot metadata (auto-detected by
+    manifest.input_fingerprints — zero data scans), an idempotent re-run
+    does nothing, and an APPEND (new snapshot) re-validates exactly the
+    partitions whose file lists changed."""
+    from dataval_spark.fixtures import transcripts
+    from dataval_spark.manifest import input_fingerprints, run_resumable
+    from dataval_spark.suite import transcript_suite
+
+    d = str(tmp_path / "snaptable")
+    t = SnapshotTable(spark, d)
+    t.append(
+        transcripts(spark, n_convs=120, seed=2187, n_parts=4),
+        partition_by=["part"],
+    )
+    # fingerprints route through the snapshot's metadata
+    fps = input_fingerprints(spark, d, "part")
+    assert set(fps) == {0, 1, 2, 3}
+    assert fps == t.input_fingerprints("part")
+
+    suite = transcript_suite()
+    mp = str(tmp_path / "manifest")
+    r1 = run_resumable(spark, t.read(), suite, mp, "run1", input_path=d)
+    assert {m["part"] for m in r1.partition_metrics} == {0, 1, 2, 3}
+    assert run_resumable(spark, t.read(), suite, mp, "run1", input_path=d) is None
+
+    # append late rows landing only in partition 2 -> new snapshot
+    late = (
+        transcripts(spark, n_convs=240, seed=999, n_parts=4)
+        .where(F.col("part") == 2)
+    )
+    t.append(late, partition_by=["part"])
+    fps2 = input_fingerprints(spark, d, "part")
+    assert {p for p in fps if fps[p] == fps2[p]} == {0, 1, 3}
+
+    r3 = run_resumable(spark, t.read(), suite, mp, "run1", input_path=d)
+    assert {m["part"] for m in r3.partition_metrics} == {2}
+    assert run_resumable(spark, t.read(), suite, mp, "run1", input_path=d) is None
