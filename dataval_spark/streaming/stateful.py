@@ -51,16 +51,25 @@ STATE_SCHEMA = (
 STATE_SCHEMA_T = STATE_SCHEMA + (
     ", pend_roles array<string>, last_role string, last_role_known boolean"
 )
+# latency-aware variant: the pending turns' REAL timestamps (NULL ts
+# stays NULL — last_ts substitutes only for the OOO watermark) plus the
+# prefix-head turn's ts. No separate known flag: an unobserved
+# predecessor and an observed NULL-ts predecessor are both "no
+# evidence" for latency (unlike roles, where an observed NULL breaks).
+_L_FIELDS = ", pend_ts array<double>, prev_turn_ts double"
+STATE_SCHEMA_L = STATE_SCHEMA + _L_FIELDS
+STATE_SCHEMA_TL = STATE_SCHEMA_T + _L_FIELDS
 
 _DUP = int(QualityFlag.DuplicateTurn)
 _GAP = int(QualityFlag.SequenceGap)
 _OOO = int(QualityFlag.NonMonotonicTs)
 _TRN = int(QualityFlag.InvalidTransition)
+_LAT = int(QualityFlag.InvalidLatency)
 
 MAX_PENDING = 1024
 
 
-def make_validator(allowed_transitions=None):
+def make_validator(allowed_transitions=None, latency_bounds=None):
     """Build the grouped stateful kernel. With ``allowed_transitions``
     (a set of "prev>cur" strings) the kernel ALSO checks dialogue
     transitions along the contiguous prefix — the streaming face of
@@ -69,7 +78,18 @@ def make_validator(allowed_transitions=None):
     immediately; gap-filled turns: re-emitted at heal time, same
     update-mode last-write-wins contract as gap healing; turns past a
     watermark eviction whose predecessor never arrived: exempt, the
-    batch suite is authoritative there)."""
+    batch suite is authoritative there).
+
+    ``latency_bounds=(min_seconds, max_seconds)`` (either side None)
+    adds the streaming face of ResponseLatency under the SAME
+    predecessor-known contract: the (prev_ts -> ts) gap is judged the
+    moment both turns' timestamps are known — at arrival for in-order
+    turns and for turns whose predecessor is pending, at heal time for
+    a pending successor (one re-emission carrying gap-heal + latency +
+    transition verdicts). A NULL ts on either side is no evidence (the
+    batch constraint's contract), and a predecessor lost to watermark
+    eviction exempts only itself — its recorded ts still seeds the
+    chain for the turn after it."""
     allowed = None if allowed_transitions is None else set(allowed_transitions)
     if allowed is not None and not allowed:
         # mirror RoleTransition's constructor guard: an empty set would
@@ -78,6 +98,19 @@ def make_validator(allowed_transitions=None):
             "allowed_transitions is empty — every transition would be "
             "flagged; pass None to disable the check"
         )
+    if latency_bounds is not None:
+        lat_min, lat_max = latency_bounds
+        if lat_min is None and lat_max is None:
+            # mirror ResponseLatency's constructor guard
+            raise ValueError(
+                "latency_bounds=(None, None) is vacuous; pass None to "
+                "disable the check"
+            )
+        if lat_min is not None and lat_max is not None and lat_min > lat_max:
+            raise ValueError(f"latency min {lat_min} > max {lat_max}")
+        lat_min_f = float("-inf") if lat_min is None else float(lat_min)
+        lat_max_f = float("inf") if lat_max is None else float(lat_max)
+    check_lat = latency_bounds is not None
 
     def pair_ok(prev_role, cur_role) -> bool:
         # NULL on either side is never a legal pair (batch parity:
@@ -85,6 +118,12 @@ def make_validator(allowed_transitions=None):
         if prev_role is None or cur_role is None:
             return False
         return f"{prev_role}>{cur_role}" in allowed
+
+    def lat_bad(prev_ts_val, cur_ts_val) -> bool:
+        if prev_ts_val is None or cur_ts_val is None:
+            return False  # no evidence
+        gap = cur_ts_val - prev_ts_val
+        return gap < lat_min_f or gap > lat_max_f
 
     def validate(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
@@ -100,15 +139,25 @@ def make_validator(allowed_transitions=None):
         # NB: GroupState.get is a property in PySpark (not a method)
         pend_role: dict[int, object] = {}
         last_role, last_role_known = None, False
+        pend_ts: dict[int, object] = {}
+        prev_turn_ts = None  # ts of the turn AT index `contig`
         if state.exists:
-            if allowed is None:
-                contig, max_idx, n_seen, last_ts, pend_idx, pend_flags = state.get
-            else:
-                (
-                    contig, max_idx, n_seen, last_ts, pend_idx, pend_flags,
-                    pend_roles, last_role, last_role_known,
-                ) = state.get
+            tup = list(state.get)
+            contig, max_idx, n_seen, last_ts, pend_idx, pend_flags = tup[:6]
+            rest = tup[6:]
+            if allowed is not None:
+                pend_roles, last_role, last_role_known = rest[:3]
+                rest = rest[3:]
                 pend_role = dict(zip(pend_idx, pend_roles))
+            if check_lat:
+                pend_ts_arr, prev_turn_ts = rest[:2]
+                # NaN round-trips through the double column for NULL
+                if prev_turn_ts is not None and prev_turn_ts != prev_turn_ts:
+                    prev_turn_ts = None
+                pend_ts = {
+                    i: (None if t is None or t != t else t)
+                    for i, t in zip(pend_idx, pend_ts_arr)
+                }
             pending = dict(zip(pend_idx, pend_flags))
             # min-heap over pending indexes for O(log p) watermark
             # eviction (state stores them sorted — already a valid
@@ -139,22 +188,34 @@ def make_validator(allowed_transitions=None):
             avoids a duplicate row). The CURRENT arrival folds its flag
             into its own emission (returned); older turns are RE-emitted
             (same contract as gap healing)."""
-            nonlocal contig, last_role, last_role_known
+            nonlocal contig, last_role, last_role_known, prev_turn_ts
             while (contig + 1) in pending:
                 contig += 1
                 fl = pending.pop(contig)
+                added = 0
                 if allowed is not None:
                     r = pend_role.pop(contig, None)
                     has_prev = contig > 0 and last_role_known
                     if has_prev and not (fl & _TRN) and not pair_ok(last_role, r):
-                        fl |= _TRN
-                        if contig == cur_idx:
-                            cur_flags |= _TRN
-                        else:
-                            out_rows.append(
-                                (conv_id, contig, fl, max(max_idx, cur_idx), n_seen + 1)
-                            )
+                        added |= _TRN
                     last_role, last_role_known = r, True
+                if check_lat:
+                    t = pend_ts.pop(contig, None)
+                    if (
+                        contig > 0
+                        and not (fl & _LAT)
+                        and lat_bad(prev_turn_ts, t)
+                    ):
+                        added |= _LAT
+                    prev_turn_ts = t
+                if added:
+                    fl |= added
+                    if contig == cur_idx:
+                        cur_flags |= added
+                    else:
+                        out_rows.append(
+                            (conv_id, contig, fl, max(max_idx, cur_idx), n_seen + 1)
+                        )
             return cur_flags
 
         for pdf in pdf_iter:
@@ -183,6 +244,18 @@ def make_validator(allowed_transitions=None):
                         np.concatenate(([last_ts], ts_s))
                     )[:-1]
                     flags = np.where(ts_s < prev_max, _OOO, 0).astype("int64")
+                    if check_lat:
+                        # predecessor ts per row: the prefix head's for
+                        # row 0 (exempt when unknown), the previous row's
+                        # otherwise — all ts are non-null on this path
+                        head = prev_turn_ts if prev_turn_ts is not None else np.nan
+                        gaps = ts_s - np.concatenate(([head], ts_s[:-1]))
+                        bad = (gaps < lat_min_f) | (gaps > lat_max_f)
+                        if contig < 0 or prev_turn_ts is None:
+                            bad[0] = False  # first turn / unknown head
+                        bad &= ~np.isnan(gaps)
+                        flags = flags | np.where(bad, _LAT, 0).astype("int64")
+                        prev_turn_ts = float(ts_s[-1])
                     if allowed is not None:
                         roles = [norm_role(r) for r in pdf["role"]]
                         prevs = [last_role] + roles[:-1]
@@ -229,8 +302,11 @@ def make_validator(allowed_transitions=None):
                 idx = int(turn_idx)
                 if ts is None or ts != ts:
                     ts_s = last_ts
+                    ts_real = None  # latency needs the REAL ts, not the
+                    # OOO watermark substitute: NULL ts = no evidence
                 else:
                     ts_s = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+                    ts_real = ts_s
                 flags = 0
                 if ts_s < last_ts:
                     flags |= _OOO
@@ -246,9 +322,14 @@ def make_validator(allowed_transitions=None):
                     if allowed is not None and (idx - 1) in pend_role:
                         if not pair_ok(pend_role[idx - 1], r_cur):
                             flags |= _TRN
+                    # own latency the moment the predecessor's ts is
+                    # known — including a predecessor still PENDING
+                    if check_lat and (idx - 1) in pending:
+                        if lat_bad(pend_ts.get(idx - 1), ts_real):
+                            flags |= _LAT
                     # this arrival is the missing predecessor of a pending
-                    # turn: heal its gap bit AND judge its transition —
-                    # ONE re-emission carrying the merged verdict
+                    # turn: heal its gap bit AND judge its transition and
+                    # latency — ONE re-emission carrying the merged verdict
                     nxt = pending.get(idx + 1)
                     if nxt is not None:
                         new_fl = nxt & ~_GAP
@@ -256,6 +337,8 @@ def make_validator(allowed_transitions=None):
                             r_cur, pend_role.get(idx + 1)
                         ):
                             new_fl |= _TRN
+                        if check_lat and lat_bad(ts_real, pend_ts.get(idx + 1)):
+                            new_fl |= _LAT
                         if new_fl != nxt:
                             pending[idx + 1] = new_fl
                             out_rows.append(
@@ -265,6 +348,8 @@ def make_validator(allowed_transitions=None):
                     heapq.heappush(pend_heap, idx)
                     if allowed is not None:
                         pend_role[idx] = r_cur
+                    if check_lat:
+                        pend_ts[idx] = ts_real
 
                     flags = _advance(idx, flags)
                     if len(pending) > MAX_PENDING:
@@ -292,38 +377,35 @@ def make_validator(allowed_transitions=None):
                             # known and must break the next pair
                             last_role_known = evicted in pend_role
                             last_role = pend_role.pop(evicted, None)
+                        if check_lat:
+                            # same seeding for latency: the evicted turn
+                            # is exempt (predecessor never arrived) but
+                            # its recorded ts anchors the next pair
+                            prev_turn_ts = pend_ts.pop(evicted, None)
                         flags = _advance(idx, flags)
                 max_idx = max(max_idx, idx)
                 last_ts = max(last_ts, ts_s)
                 n_seen += 1
                 out_rows.append((conv_id, idx, flags, max_idx, n_seen))
 
-        if allowed is None:
-            state.update(
-                (
-                    contig,
-                    max_idx,
-                    n_seen,
-                    last_ts,
-                    sorted(pending),
-                    [pending[i] for i in sorted(pending)],
-                )
-            )
-        else:
-            order = sorted(pending)
-            state.update(
-                (
-                    contig,
-                    max_idx,
-                    n_seen,
-                    last_ts,
-                    order,
-                    [pending[i] for i in order],
-                    [pend_role.get(i) for i in order],
-                    last_role,
-                    bool(last_role_known),
-                )
-            )
+        order = sorted(pending)
+        packed = [
+            contig,
+            max_idx,
+            n_seen,
+            last_ts,
+            order,
+            [pending[i] for i in order],
+        ]
+        if allowed is not None:
+            packed += [
+                [pend_role.get(i) for i in order],
+                last_role,
+                bool(last_role_known),
+            ]
+        if check_lat:
+            packed += [[pend_ts.get(i) for i in order], prev_turn_ts]
+        state.update(tuple(packed))
         state.setTimeoutDuration(24 * 3600 * 1000)  # evict idle conversations
         if out_rows:
             out_frames.append(pd.DataFrame(out_rows, columns=cols))
@@ -339,21 +421,30 @@ def make_validator(allowed_transitions=None):
 validate_conversation = make_validator()
 
 
-def streaming_sequence_verdicts(stream, allowed_transitions=None):
+def streaming_sequence_verdicts(stream, allowed_transitions=None, latency_bounds=None):
     """Wire the kernel onto a transcript-shaped stream. With
     ``allowed_transitions`` the stream must carry ``role`` and verdicts
-    include InvalidTransition along the contiguous prefix."""
+    include InvalidTransition along the contiguous prefix; with
+    ``latency_bounds=(min_s, max_s)`` they include InvalidLatency under
+    the same predecessor-known contract."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     with_roles = allowed_transitions is not None
+    with_lat = latency_bounds is not None
     cols = ["conv_id", "turn_idx", "ts"] + (["role"] if with_roles else [])
+    if with_roles:
+        schema = STATE_SCHEMA_TL if with_lat else STATE_SCHEMA_T
+    else:
+        schema = STATE_SCHEMA_L if with_lat else STATE_SCHEMA
     return (
         stream.select(*cols)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            make_validator(allowed_transitions) if with_roles else validate_conversation,
+            make_validator(allowed_transitions, latency_bounds)
+            if (with_roles or with_lat)
+            else validate_conversation,
             outputStructType=OUTPUT_SCHEMA,
-            stateStructType=STATE_SCHEMA_T if with_roles else STATE_SCHEMA,
+            stateStructType=schema,
             # "update", not "append": append-mode flatMapGroupsWithState
             # requires event-time watermark plumbing this operator does
             # not carry; with append the Python worker hard-crashes
