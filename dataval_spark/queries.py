@@ -107,6 +107,24 @@ def q01(spark, sf_dir):
     g AS (
       SELECT conv_fp, count(*) AS group_size, min(conv) AS canonical
       FROM fp GROUP BY conv_fp HAVING count(*) > 1
+    ),
+    ranked AS (
+      SELECT conv, h,
+             row_number() OVER (PARTITION BY conv ORDER BY i, h) - 1 AS pos
+      FROM th
+    ),
+    chunks AS (
+      SELECT conv, CAST(floor(pos / 3) AS BIGINT) AS chunk,
+             md5(string_agg(h, '|' ORDER BY pos)) AS chunk_fp
+      FROM ranked GROUP BY conv, CAST(floor(pos / 3) AS BIGINT)
+    ),
+    cfp AS (
+      SELECT conv, md5(string_agg(chunk_fp, '|' ORDER BY chunk)) AS conv_fp
+      FROM chunks GROUP BY conv
+    ),
+    cg AS (
+      SELECT conv_fp, count(*) AS group_size, min(conv) AS canonical
+      FROM cfp GROUP BY conv_fp HAVING count(*) > 1
     )
     SELECT 'key_dup' AS kind, CAST(l_orderkey AS VARCHAR) AS k,
            CAST(l_partkey AS VARCHAR) AS sub, count(*) AS n,
@@ -117,6 +135,11 @@ def q01(spark, sf_dir):
            conv_fp AS sub, group_size AS n,
            CAST(canonical AS VARCHAR) AS canonical
     FROM fp JOIN g USING (conv_fp)
+    UNION ALL
+    SELECT 'conv_dup_chunked' AS kind, CAST(conv AS VARCHAR) AS k,
+           conv_fp AS sub, group_size AS n,
+           CAST(canonical AS VARCHAR) AS canonical
+    FROM cfp JOIN cg USING (conv_fp)
     """,
 )
 def q02(spark, sf_dir):
@@ -128,7 +151,12 @@ def q02(spark, sf_dir):
     genuinely exist at test SF, certifying
     operators/convdup.py::duplicate_conversations (ordered-fingerprint
     groupBy + duplicate-group join, incl. the canonical=min survivor)
-    against the oracle's string_agg re-derivation."""
+    against the oracle's string_agg re-derivation. Round 6 folds in the
+    mega-conversation-safe CHUNKED path (chunk_turns=3: lineitem
+    conversations run to 7 turns, so multi-chunk
+    fingerprint-of-fingerprints chains are genuinely exercised) — the
+    oracle re-derives the full rank-window/chunk-md5/ordered-concat
+    chain, certifying chunked fingerprint VALUES, not just groups."""
     from dataval_spark.operators.convdup import duplicate_conversations
 
     li = t(spark, sf_dir, "lineitem")
@@ -156,7 +184,14 @@ def q02(spark, sf_dir):
         F.col("group_size").cast("long").alias("n"),
         F.col("canonical").cast("string").alias("canonical"),
     )
-    return key_dups.unionByName(conv_dups)
+    chunked_dups = duplicate_conversations(conv, chunk_turns=3).select(
+        F.lit("conv_dup_chunked").alias("kind"),
+        F.col("conv").cast("string").alias("k"),
+        F.col("conv_fp").alias("sub"),
+        F.col("group_size").cast("long").alias("n"),
+        F.col("canonical").cast("string").alias("canonical"),
+    )
+    return key_dups.unionByName(conv_dups).unionByName(chunked_dups)
 
 
 @query(
@@ -621,11 +656,31 @@ _EVENT_TRANSITIONS = (
                   THEN 1 ELSE 0 END AS is_illegal
       FROM events
     )
+    , s AS (
+      SELECT epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id
+               ORDER BY event_id ASC NULLS FIRST, ts ASC NULLS FIRST)) AS gap,
+             CASE WHEN NOT (json_valid(props) AND json_type(json(props)) = 'OBJECT'
+                            AND json_extract(props, '$.k') IS NOT NULL)
+                       OR (event_type = 'error'
+                           AND json_extract(props, '$.audit') IS NULL)
+                  THEN 1 ELSE 0 END AS pay
+      FROM events
+    ),
+    gates AS (
+      SELECT CAST(sum(CASE WHEN gap IS NOT NULL AND (gap < 60 OR gap > 86400)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_latency_violations,
+             CAST(sum(pay) AS BIGINT) AS n_payload_violations
+      FROM s
+    )
     SELECT count(DISTINCT user_id) AS n_users,
            CAST(sum(is_start) AS BIGINT) AS n_sessions,
            count(*) AS n_events,
-           CAST(sum(is_illegal) AS BIGINT) AS n_illegal_transitions
-    FROM marked
+           CAST(sum(is_illegal) AS BIGINT) AS n_illegal_transitions,
+           n_latency_violations,
+           n_payload_violations
+    FROM marked CROSS JOIN gates
+    GROUP BY n_latency_violations, n_payload_violations
     """,
 )
 def q20(spark, sf_dir):
@@ -635,8 +690,21 @@ def q20(spark, sf_dir):
     constraints.core.transition_violation expression (the engine of the
     RoleTransition dialogue-protocol constraint) counts event-type
     transitions outside the allowed funnel set, certified against the
-    oracle's lag/concat/IN re-derivation."""
-    from dataval_spark.constraints.core import transition_violation
+    oracle's lag/concat/IN re-derivation. Round 6 additionally folds in
+    the ResponseLatency + JsonShape constraints, driven through the
+    REAL suite machinery (project -> enrich -> flag_rows, one window +
+    zero extra shuffles) over events-as-transcripts: inter-event gaps
+    outside [60s, 1d] flag the later event; every payload must be a
+    JSON object carrying key "k" and 'error' events must additionally
+    carry an "audit" key (none do — the planted payload violation); the
+    oracle re-derives both with DuckDB's window lag + JSON functions."""
+    from dataval_spark.constraints.core import (
+        JsonShape,
+        ResponseLatency,
+        transition_violation,
+    )
+    from dataval_spark.quality import QualityFlag
+    from dataval_spark.suite import Suite
 
     ev = t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -650,7 +718,7 @@ def q20(spark, sf_dir):
         _EVENT_TRANSITIONS,
         F.lag("event_id").over(w).isNotNull(),
     )
-    return ev.withColumn("is_start", is_start).withColumn(
+    sessions = ev.withColumn("is_start", is_start).withColumn(
         "is_illegal", illegal.cast("long")
     ).agg(
         F.countDistinct("user_id").alias("n_users"),
@@ -658,6 +726,39 @@ def q20(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum("is_illegal").alias("n_illegal_transitions"),
     )
+    suite = Suite(
+        [
+            ResponseLatency(min_seconds=60, max_seconds=86400),
+            JsonShape(col="props", required_keys=("k",)),
+            JsonShape(
+                col="props",
+                required_keys=("audit",),
+                when=lambda df: F.col("role") == "error",
+                name="json_shape_error_audit",
+            ),
+        ],
+        part_col="part",
+    )
+    shaped = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        "ts",
+        F.col("event_type").alias("role"),
+        "props",
+        F.lit(0).alias("part"),
+    )
+    flagged = suite.flag_rows(suite.enrich(suite.project(shaped)))
+    lat = (
+        F.col("dataval").bitwiseAND(F.lit(int(QualityFlag.InvalidLatency))) != 0
+    ).cast("long")
+    pay = (
+        F.col("dataval").bitwiseAND(F.lit(int(QualityFlag.MalformedPayload))) != 0
+    ).cast("long")
+    gates = flagged.agg(
+        F.sum(lat).alias("n_latency_violations"),
+        F.sum(pay).alias("n_payload_violations"),
+    )
+    return sessions.crossJoin(gates)
 
 
 @query(
@@ -1964,146 +2065,4 @@ def q57(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.max("sim"), 4).alias("max_sim"),
         F.round(F.avg("sim"), 4).alias("avg_sim"),
-    )
-
-
-@query(
-    "q58_chunked_conv_dedup",
-    """
-    WITH th AS (
-      SELECT l_orderkey AS conv, l_linenumber AS i,
-             md5(CAST(CAST(l_quantity AS INT) % 5 AS VARCHAR)) AS h
-      FROM lineitem WHERE l_linenumber IS NOT NULL
-    ),
-    ranked AS (
-      SELECT conv, h,
-             row_number() OVER (PARTITION BY conv ORDER BY i, h) - 1 AS pos
-      FROM th
-    ),
-    chunks AS (
-      SELECT conv, CAST(floor(pos / 3) AS BIGINT) AS chunk,
-             md5(string_agg(h, '|' ORDER BY pos)) AS chunk_fp,
-             count(*) AS n
-      FROM ranked GROUP BY conv, CAST(floor(pos / 3) AS BIGINT)
-    ),
-    fp AS (
-      SELECT conv, md5(string_agg(chunk_fp, '|' ORDER BY chunk)) AS conv_fp,
-             CAST(sum(n) AS BIGINT) AS n_turns
-      FROM chunks GROUP BY conv
-    ),
-    g AS (
-      SELECT conv_fp, count(*) AS group_size, min(conv) AS canonical
-      FROM fp GROUP BY conv_fp HAVING count(*) > 1
-    )
-    SELECT CAST(conv AS VARCHAR) AS conv, conv_fp,
-           group_size, CAST(canonical AS VARCHAR) AS canonical, n_turns
-    FROM fp JOIN g USING (conv_fp)
-    """,
-)
-def q58(spark, sf_dir):
-    """The mega-conversation-safe CHUNKED fingerprint path of
-    operators/convdup.py (chunk_turns=3: lineitem conversations run up
-    to 7 turns, so multi-chunk fingerprint-of-fingerprints chains are
-    genuinely exercised, not just single-chunk degenerate cases). Same
-    lineitem-as-transcripts mapping and quantized per-turn token as q02
-    so whole-conversation duplicates exist at test SF. The oracle
-    re-derives the full chain — rank window, per-chunk md5, ordered
-    chunk-fp concatenation — so the chunked fingerprint VALUES (not
-    just the groups) are certified against an independent engine."""
-    from dataval_spark.operators.convdup import (
-        conversation_fingerprints,
-        duplicate_conversations,
-    )
-
-    conv = t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("conv_id"),
-        F.col("l_linenumber").alias("turn_idx"),
-        (F.col("l_quantity").cast("int") % 5).cast("string").alias("text"),
-    )
-    dups = duplicate_conversations(conv, chunk_turns=3)
-    n_turns = conversation_fingerprints(conv, chunk_turns=3).select(
-        "conv", "n_turns"
-    )
-    return dups.join(n_turns, "conv").select(
-        F.col("conv").cast("string").alias("conv"),
-        "conv_fp",
-        F.col("group_size").cast("long").alias("group_size"),
-        F.col("canonical").cast("string").alias("canonical"),
-        F.col("n_turns").cast("long").alias("n_turns"),
-    )
-
-
-@query(
-    "q59_latency_payload_gate",
-    """
-    WITH s AS (
-      SELECT user_id, event_type, props,
-             epoch(ts) - epoch(lag(ts) OVER (
-               PARTITION BY user_id
-               ORDER BY event_id ASC NULLS FIRST, ts ASC NULLS FIRST)) AS gap
-      FROM events
-    ),
-    f AS (
-      SELECT event_type,
-             CASE WHEN gap IS NOT NULL AND (gap < 60 OR gap > 86400)
-                  THEN 1 ELSE 0 END AS lat,
-             CASE WHEN NOT (json_valid(props) AND json_type(json(props)) = 'OBJECT'
-                            AND json_extract(props, '$.k') IS NOT NULL)
-                       OR (event_type = 'error'
-                           AND json_extract(props, '$.audit') IS NULL)
-                  THEN 1 ELSE 0 END AS pay
-      FROM s
-    )
-    SELECT event_type,
-           count(*) AS n_rows,
-           CAST(sum(lat) AS BIGINT) AS n_latency,
-           CAST(sum(pay) AS BIGINT) AS n_payload,
-           CAST(sum(CASE WHEN lat = 0 AND pay = 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_approved
-    FROM f GROUP BY event_type
-    """,
-)
-def q59(spark, sf_dir):
-    """ResponseLatency + JsonShape constraints (constraints/core.py)
-    driven through the REAL suite machinery (project -> enrich ->
-    flag_rows, one window + zero extra shuffles) over events-as-
-    transcripts (user=conversation, event_id=turn order): inter-event
-    gaps outside [60s, 1d] flag the later event; every payload must be a
-    JSON object carrying key "k", and 'error' events must additionally
-    carry an "audit" key (none do — the planted payload violation). The
-    oracle re-derives both checks with DuckDB's window lag + JSON
-    functions."""
-    from dataval_spark.constraints.core import JsonShape, ResponseLatency
-    from dataval_spark.quality import QualityFlag
-    from dataval_spark.suite import Suite
-
-    ev = t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("conv_id"),
-        F.col("event_id").alias("turn_idx"),
-        "ts",
-        F.col("event_type").alias("role"),
-        "props",
-        F.lit(0).alias("part"),
-    )
-    suite = Suite(
-        [
-            ResponseLatency(min_seconds=60, max_seconds=86400),
-            JsonShape(col="props", required_keys=("k",)),
-            JsonShape(
-                col="props",
-                required_keys=("audit",),
-                when=lambda df: F.col("role") == "error",
-                name="json_shape_error_audit",
-            ),
-        ],
-        part_col="part",
-    )
-    flagged = suite.flag_rows(suite.enrich(suite.project(ev, keep_extra=("role",))))
-    lat = (F.col("dataval").bitwiseAND(F.lit(int(QualityFlag.InvalidLatency))) != 0).cast("long")
-    pay = (F.col("dataval").bitwiseAND(F.lit(int(QualityFlag.MalformedPayload))) != 0).cast("long")
-    return flagged.groupBy(F.col("role").alias("event_type")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(lat).alias("n_latency"),
-        F.sum(pay).alias("n_payload"),
-        F.sum(((lat == 0) & (pay == 0)).cast("long")).alias("n_approved"),
     )
