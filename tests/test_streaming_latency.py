@@ -220,3 +220,80 @@ def test_streaming_latency_available_now(spark, tmp_path):
     assert got[("c1", 2)] & _LAT == _LAT
     assert got[("c2", 1)] & _LAT == _LAT
     assert got[("c1", 1)] & _LAT == 0
+
+
+def test_batch_stream_parity_on_in_order_streams(spark):
+    """For an in-order, gap-free stream the streaming kernel's latency
+    and transition bits must agree row-for-row with the BATCH suite's
+    ResponseLatency + RoleTransition on the same data — the two faces of
+    the same constraints. Randomized conversations (seeded): mixed roles
+    incl. NULLs, mixed gaps incl. NULL ts, delivered across several
+    micro-batches."""
+    import random
+
+    from dataval_spark.constraints.core import ResponseLatency, RoleTransition
+    from dataval_spark.streaming.stateful import make_validator
+    from dataval_spark.suite import Suite
+
+    rng = random.Random(2187)
+    allowed = {"user>assistant", "assistant>user", "assistant>tool",
+               "tool>assistant"}
+    roles = ["user", "assistant", "tool", None]
+    rows = []
+    for c in range(40):
+        sec = 0.0
+        for i in range(rng.randint(1, 12)):
+            sec += rng.choice([0.1, 2.0, 30.0, 5000.0])
+            ts = None if rng.random() < 0.1 else sec
+            rows.append((f"c{c}", i, rng.choice(roles), ts))
+
+    # batch side: the real suite
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, sec double"
+    ).selectExpr(
+        "conv_id", "turn_idx", "role",
+        "timestamp_seconds(sec) AS ts", "0 AS part",
+    )
+    suite = Suite(
+        [
+            ResponseLatency(min_seconds=1.0, max_seconds=100.0),
+            RoleTransition(allowed=tuple(sorted(allowed))),
+        ],
+        part_col="part",
+    )
+    batch = {
+        (r.conv_id, r.turn_idx): r.dataval & (_LAT | _TRN)
+        for r in suite.flag_rows(suite.enrich(suite.project(df))).collect()
+    }
+
+    # streaming side: in-order delivery, 3 arbitrary batch cuts per conv
+    v = make_validator(allowed, latency_bounds=(1.0, 100.0))
+    got = {}
+    by_conv: dict[str, list] = {}
+    for cid, i, role, ts in rows:
+        by_conv.setdefault(cid, []).append((i, role, ts))
+    for cid, turns in by_conv.items():
+        turns.sort()
+        st = _FakeState()
+        cuts = sorted(rng.sample(range(1, len(turns)), min(2, len(turns) - 1))) if len(turns) > 1 else []
+        pieces = []
+        prev = 0
+        for cut in cuts + [len(turns)]:
+            pieces.append(turns[prev:cut])
+            prev = cut
+        frames = []
+        for piece in pieces:
+            if not piece:
+                continue
+            pdf = pd.DataFrame({
+                "turn_idx": [p[0] for p in piece],
+                "ts": pd.to_datetime(
+                    pd.Series([p[2] for p in piece], dtype="float64"), unit="s"
+                ),
+                "role": [p[1] for p in piece],
+            })
+            frames.extend(v((cid,), iter([pdf]), st))
+        for idx, fl in _last_flags(frames).items():
+            got[(cid, idx)] = fl & (_LAT | _TRN)
+
+    assert got == batch
