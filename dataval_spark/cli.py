@@ -156,6 +156,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "(loadable via --suite) to OUT.json; prints the "
                         "per-constraint rationale JSON and exits 0 "
                         "(Deequ-style constraint suggestion)")
+    p.add_argument("--snapshots", action="store_true",
+                   help="write the --output verdict tables as "
+                        "snapshot-committed tables (atomic commits, time "
+                        "travel, optimistic concurrency — "
+                        "sources/snapshots.SnapshotTable) instead of "
+                        "plain overwrite parquet; non-manifest runs only")
+    p.add_argument("--vacuum", default=None, metavar="TABLE_DIR",
+                   help="delete a snapshot table's unreferenced data "
+                        "files (crashed/lost commits); prints counts, "
+                        "exits 0")
+    p.add_argument("--history", default=None, metavar="TABLE_DIR",
+                   help="print a snapshot table's version history as "
+                        "JSON lines; exits 0")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -250,24 +263,29 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         scan = anomaly_scan(
             spark, args.manifest, args.anomaly_scan, z_threshold=args.anomaly_z
-        ).collect()
-        n_anom = 0
-        for row in scan:
-            if row.anomalous:
-                n_anom += 1
-                d = row.asDict()
-                # MAD=0 anomalies carry robust_z = inf, which json.dumps
-                # would emit as bare `Infinity` — invalid strict JSON,
-                # breaking consumers exactly on the alert lines; the
-                # anomalous flag + mad=0 carry the signal
-                if d["robust_z"] is not None and d["robust_z"] == float("inf"):
-                    d["robust_z"] = None
-                print(json.dumps(d))
+        )
+        scan.persist()
+        try:
+            # the scan is a grouped aggregation now: collect ONLY the
+            # alert rows; `checked` is a count, not a full transfer
+            n_checked = scan.count()
+            alerts = scan.where("anomalous").collect()
+        finally:
+            scan.unpersist()
+        for row in alerts:
+            d = row.asDict()
+            # MAD=0 anomalies carry robust_z = inf, which json.dumps
+            # would emit as bare `Infinity` — invalid strict JSON,
+            # breaking consumers exactly on the alert lines; the
+            # anomalous flag + mad=0 carry the signal
+            if d["robust_z"] is not None and d["robust_z"] == float("inf"):
+                d["robust_z"] = None
+            print(json.dumps(d))
         print(
-            json.dumps({"checked": len(scan), "anomalous": n_anom}),
+            json.dumps({"checked": n_checked, "anomalous": len(alerts)}),
             file=sys.stderr,
         )
-        return 3 if n_anom else 0
+        return 3 if alerts else 0
 
     if args.compare:
         from dataval_spark.manifest import compare_runs
@@ -278,6 +296,39 @@ def main(argv: list[str] | None = None) -> int:
         run_a, run_b = args.compare.split(",", 1)
         for row in compare_runs(spark, args.manifest, run_a, run_b).orderBy("part").collect():
             print(json.dumps(row.asDict()))
+        return 0
+
+    if args.vacuum:
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, args.vacuum)
+        print(json.dumps({
+            "vacuumed_files": t.vacuum(),
+            "current_version": t.current_version(),
+        }))
+        return 0
+
+    if args.history:
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, args.history)
+        cur = t.current_version()
+        if cur is None:
+            print(json.dumps({"versions": 0}))
+            return 0
+        for k in range(cur + 1):
+            try:
+                snap = t.snapshot(k)
+            except FileNotFoundError:
+                continue  # a lost race left this slot empty: skip
+            print(json.dumps({
+                "version": snap["version"],
+                "parent": snap["parent"],
+                "operation": snap["operation"],
+                "n_files": len(snap["files"]),
+                "bytes": sum(int(s) for _, s in snap["files"]),
+                "current": snap["version"] == cur,
+            }))
         return 0
 
     df = spark.read.parquet(args.input)
@@ -459,7 +510,16 @@ def main(argv: list[str] | None = None) -> int:
         # persist: the three output tables below all derive from the same
         # scan+window plan — without it each write recomputes the scan
         result = shared_result or suite.run(df, persist=writing)
-        if writing:
+        if writing and args.snapshots:
+            from dataval_spark.sources.tableio import TableIO
+
+            io = TableIO(spark, args.output, snapshots=True)
+            io.replace(result.row_verdicts, "verdicts", partition_by=["part"])
+            io.replace(
+                result.partition_verdicts.coalesce(1), "partition_verdicts"
+            )
+            io.replace(result.violations, "violations", partition_by=["part"])
+        elif writing:
             result.row_verdicts.write.mode("overwrite").partitionBy("part").parquet(
                 f"{args.output}/verdicts"
             )

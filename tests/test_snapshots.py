@@ -171,3 +171,40 @@ def test_resume_revalidates_only_snapshot_changed_partitions(spark, tmp_path):
     r3 = run_resumable(spark, t.read(), suite, mp, "run1", input_path=d)
     assert {m["part"] for m in r3.partition_metrics} == {2}
     assert run_resumable(spark, t.read(), suite, mp, "run1", input_path=d) is None
+
+
+def test_cli_snapshot_output_history_vacuum(spark, tmp_path, capsys):
+    """--snapshots routes the verdict tables through SnapshotTable
+    (re-runs commit new versions, old ones stay readable); --history
+    lists them; --vacuum cleans only unreferenced files."""
+    import json as _json
+
+    from dataval_spark.cli import main as cli_main
+    from dataval_spark.fixtures import transcripts
+
+    d = str(tmp_path / "in")
+    transcripts(spark, n_convs=60, seed=11, n_parts=2).write.parquet(d)
+    out = str(tmp_path / "wh")
+
+    rc1 = cli_main(["--input", d, "--output", out, "--snapshots", "--cpus", "4"])
+    capsys.readouterr()
+    rc2 = cli_main(["--input", d, "--output", out, "--snapshots", "--cpus", "4"])
+    capsys.readouterr()
+    assert rc1 in (0, 3, 4) and rc2 == rc1
+
+    t = SnapshotTable(spark, f"{out}/verdicts")
+    assert t.current_version() == 1          # two runs, two versions
+    assert t.read(0).count() == t.read(1).count() > 0
+
+    rc = cli_main(["--input", d, "--history", f"{out}/verdicts"])
+    lines = [_json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and [x["version"] for x in lines] == [0, 1]
+    assert lines[-1]["current"] and not lines[0]["current"]
+    assert all(x["operation"] == "overwrite" for x in lines)
+
+    # plant an orphan, vacuum it away; committed history unharmed
+    t._write_data_files(t.read(), ["part"])
+    rc = cli_main(["--input", d, "--vacuum", f"{out}/verdicts"])
+    v = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and v["vacuumed_files"] > 0 and v["current_version"] == 1
+    assert t.read(0).count() > 0
