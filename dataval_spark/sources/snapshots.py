@@ -193,21 +193,38 @@ class SnapshotTable:
         operation: str,
         partition_by: list[str] | None,
         base_files: bool,
+        merge_schema: bool = False,
     ) -> int:
         new_files = self._write_data_files(df, partition_by)
-        schema_json = df.schema.json()
         for _ in range(_MAX_COMMIT_RETRIES):
             cur = self.current_version()
+            schema_json = df.schema.json()
+            fields = self._schema_fields(df)
             if base_files and cur is not None:
                 parent = self.snapshot(cur)
-                if (
-                    sorted(map(tuple, json.loads(parent["schema_fields"])))
-                    != self._schema_fields(df)
-                ):
-                    raise ValueError(
-                        f"append schema mismatch vs snapshot v{cur}: "
-                        f"{parent['schema_fields']} != {self._schema_fields(df)}"
+                parent_fields = sorted(
+                    map(tuple, json.loads(parent["schema_fields"]))
+                )
+                if parent_fields != fields:
+                    # additive evolution (Iceberg add-column semantics):
+                    # df must carry every parent field unchanged; the
+                    # new snapshot's schema is then df's (the union) and
+                    # older files read the added columns as NULL under
+                    # the pinned snapshot schema
+                    additive = merge_schema and all(
+                        f in fields for f in parent_fields
                     )
+                    if not additive:
+                        raise ValueError(
+                            f"append schema mismatch vs snapshot v{cur}: "
+                            f"{parent['schema_fields']} != {fields}"
+                            + (
+                                ""
+                                if merge_schema
+                                else " (additive evolution: pass "
+                                "merge_schema=True)"
+                            )
+                        )
                 files = [list(f) for f in parent["files"]] + new_files
             else:
                 files = new_files
@@ -217,7 +234,7 @@ class SnapshotTable:
                 "parent": cur,
                 "operation": operation,
                 "schema": schema_json,
-                "schema_fields": json.dumps(self._schema_fields(df)),
+                "schema_fields": json.dumps(fields),
                 "files": files,
             }
             if self._try_commit(version, snap):
@@ -230,9 +247,20 @@ class SnapshotTable:
             f"{_MAX_COMMIT_RETRIES} attempts"
         )
 
-    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        """Snapshot-atomic append; returns the committed version."""
-        return self._commit(df, "append", partition_by, base_files=True)
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """Snapshot-atomic append; returns the committed version.
+        ``merge_schema=True`` allows ADDITIVE evolution: df may carry
+        new columns (the snapshot schema becomes the union; rows from
+        older files read the added columns as NULL), but existing
+        columns must keep their types."""
+        return self._commit(
+            df, "append", partition_by, base_files=True, merge_schema=merge_schema
+        )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Snapshot-atomic replace (history retained; time travel still

@@ -208,3 +208,58 @@ def test_cli_snapshot_output_history_vacuum(spark, tmp_path, capsys):
     v = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and v["vacuumed_files"] > 0 and v["current_version"] == 1
     assert t.read(0).count() > 0
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """merge_schema=True allows adding columns (Iceberg add-column
+    semantics): the new snapshot's schema is the union; rows from older
+    files read the added column as NULL. Type changes stay rejected."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3), partition_by=["part"])
+    evolved = spark.range(10, 12).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("int").alias("part"),
+        F.lit("en").alias("lang"),
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(evolved, partition_by=["part"])
+    t.append(evolved, partition_by=["part"], merge_schema=True)
+    out = t.read()
+    assert set(out.columns) == {"id", "part", "lang"}
+    got = {r.id: r.lang for r in out.collect()}
+    assert got[10] == "en" and got[0] is None  # old rows: NULL backfill
+    # dropping a column is NOT additive
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(_df(spark, 20, 21), partition_by=["part"], merge_schema=True)
+    # time travel keeps the OLD schema
+    assert set(t.read(0).columns) == {"id", "part"}
+
+
+def test_two_writer_thread_race(spark, tmp_path):
+    """Two genuinely concurrent appends from separate threads: exactly
+    two snapshots commit beyond the base, and ALL rows from both writers
+    survive (whoever loses the rename race retries on top)."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2), partition_by=["part"])
+    errs = []
+
+    def add(lo, hi):
+        try:
+            SnapshotTable(spark, str(tmp_path / "t")).append(
+                _df(spark, lo, hi), partition_by=["part"]
+            )
+        except Exception as e:  # pragma: no cover - fail loud
+            errs.append(e)
+
+    th = [threading.Thread(target=add, args=(10, 13)),
+          threading.Thread(target=add, args=(20, 24))]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    assert t.current_version() == 2
+    got = sorted(r.id for r in t.read().collect())
+    assert got == [0, 1, 10, 11, 12, 20, 21, 22, 23]
