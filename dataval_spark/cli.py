@@ -325,8 +325,8 @@ def main(argv: list[str] | None = None) -> int:
                 "version": snap["version"],
                 "parent": snap["parent"],
                 "operation": snap["operation"],
-                "n_files": len(snap["files"]),
-                "bytes": sum(int(s) for _, s in snap["files"]),
+                "n_files": len(t.files(snap)),
+                "bytes": sum(int(s) for _, s in t.files(snap)),
                 "current": snap["version"] == cur,
             }))
         return 0

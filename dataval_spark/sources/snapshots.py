@@ -8,11 +8,17 @@ on the Parquet branch, the way Iceberg itself does at its core
 (Iceberg spec, public: a table IS a pointer to an immutable metadata
 file; a commit is an atomic swap of that pointer):
 
-* **Layout**: ``<root>/data/<commit-uuid>/*.parquet`` (immutable data
-  files, one directory per attempted commit) + ``<root>/meta/v<N>.json``
-  (snapshot N: parent, operation, schema, explicit [path, bytes] file
-  list). There is no mutable pointer file: the current snapshot is the
-  highest committed ``v<N>.json``.
+* **Layout**: ``<root>/data/part=K/<commit>-*.parquet`` (immutable,
+  uniquely-named data files in one shared hive layout) +
+  ``<root>/meta/m_<uuid>.json`` (immutable MANIFESTS: one [path, bytes]
+  file list per commit) + ``<root>/meta/v<N>.json`` (snapshot N:
+  parent, operation, schema, and the list of manifest names it
+  comprises). The manifest indirection is Iceberg's own fix for
+  append-cost blow-up: a snapshot commit writes ONE new manifest and a
+  snapshot record of O(commits) manifest names — never a rewrite of the
+  cumulative file list, so metadata work per commit stays constant as
+  the table grows. There is no mutable pointer file: the current
+  snapshot is the highest committed ``v<N>.json``.
 * **Commit protocol**: write data files, write the snapshot to a temp
   name, then atomically ``rename(tmp, v<N>.json)``. Hadoop's rename
   fails (returns false) when the destination exists — exactly the
@@ -125,6 +131,27 @@ class SnapshotTable:
             raise FileNotFoundError(f"snapshot v{v} does not exist under {self.root}")
         return json.loads(self._read_text(p))
 
+    def _write_manifest(self, files: list[list]) -> str:
+        """Persist one commit's file list as an immutable manifest;
+        returns its name (relative to meta/)."""
+        name = f"m_{uuid.uuid4().hex}.json"
+        self._fs.mkdirs(self._Path(self._meta_dir()))
+        self._write_text(
+            f"{self._meta_dir()}/{name}", json.dumps({"files": files})
+        )
+        return name
+
+    def files(self, snap: dict) -> list[list]:
+        """A snapshot's full [relative_path, bytes] list, resolved
+        through its manifests (reads O(commits) small metadata files,
+        never the data directory)."""
+        out: list[list] = []
+        for name in snap["manifests"]:
+            out.extend(
+                json.loads(self._read_text(f"{self._meta_dir()}/{name}"))["files"]
+            )
+        return out
+
     def exists(self) -> bool:
         return self.current_version() is not None
 
@@ -196,6 +223,7 @@ class SnapshotTable:
         merge_schema: bool = False,
     ) -> int:
         new_files = self._write_data_files(df, partition_by)
+        new_manifest = self._write_manifest(new_files)
         for _ in range(_MAX_COMMIT_RETRIES):
             cur = self.current_version()
             schema_json = df.schema.json()
@@ -225,9 +253,9 @@ class SnapshotTable:
                                 "merge_schema=True)"
                             )
                         )
-                files = [list(f) for f in parent["files"]] + new_files
+                manifests = list(parent["manifests"]) + [new_manifest]
             else:
-                files = new_files
+                manifests = [new_manifest]
             version = 0 if cur is None else cur + 1
             snap = {
                 "version": version,
@@ -235,7 +263,7 @@ class SnapshotTable:
                 "operation": operation,
                 "schema": schema_json,
                 "schema_fields": json.dumps(fields),
-                "files": files,
+                "manifests": manifests,
             }
             if self._try_commit(version, snap):
                 return version
@@ -289,7 +317,7 @@ class SnapshotTable:
         from pyspark.sql.types import StructType
 
         snap = self.snapshot(version)
-        paths = [f"{self.root}/{rel}" for rel, _ in snap["files"]]
+        paths = [f"{self.root}/{rel}" for rel, _ in self.files(snap)]
         schema = StructType.fromJson(json.loads(snap["schema"]))
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -311,7 +339,7 @@ class SnapshotTable:
         snap = self.snapshot(version)
         by_part: dict[int, list] = {}
         needle = f"{part_col}="
-        for rel, size in snap["files"]:
+        for rel, size in self.files(snap):
             part = None
             for seg in rel.split("/"):
                 if seg.startswith(needle):
@@ -332,37 +360,54 @@ class SnapshotTable:
             for part, entries in by_part.items()
         }
 
-    def orphan_files(self) -> list[str]:
-        """Data files no committed snapshot references (crashed or lost
-        commits). Safe to delete via vacuum()."""
+    def _live(self) -> tuple[set[str], set[str]]:
+        """(live data rel-paths, live manifest names) across every
+        committed snapshot."""
         live: set[str] = set()
+        live_manifests: set[str] = set()
         v = self.current_version()
         if v is not None:
             for k in range(v + 1):
                 p = self._vpath(k)
                 if self._fs.exists(self._Path(p)):
-                    live.update(rel for rel, _ in json.loads(self._read_text(p))["files"])
-        data = self._Path(self._data_dir())
-        if not self._fs.exists(data):
-            return []
+                    snap = json.loads(self._read_text(p))
+                    live_manifests.update(snap["manifests"])
+                    live.update(rel for rel, _ in self.files(snap))
+        return live, live_manifests
+
+    def orphan_files(self) -> list[str]:
+        """Data files (and manifest files, prefixed ``meta/``) that no
+        committed snapshot references — crashed or lost commits. Safe to
+        delete via vacuum(), which must not run concurrently with
+        writers (an in-flight commit's manifest is not referenced YET —
+        the same caveat as Iceberg's own orphan-file cleanup)."""
+        live, live_manifests = self._live()
         out = []
-        it = self._fs.listFiles(data, True)
-        while it.hasNext():
-            f = it.next()
-            name = f.getPath().getName()
-            if name.startswith("_") or name.startswith("."):
-                continue
-            rel = f.getPath().toString().split(f"{self.root}/", 1)[1]
-            if "/_scratch_" in f"/{rel}":
-                continue  # an in-flight writer's scratch dir, not ours
-            if rel not in live:
-                out.append(rel)
+        data = self._Path(self._data_dir())
+        if self._fs.exists(data):
+            it = self._fs.listFiles(data, True)
+            while it.hasNext():
+                f = it.next()
+                name = f.getPath().getName()
+                if name.startswith("_") or name.startswith("."):
+                    continue
+                rel = f.getPath().toString().split(f"{self.root}/", 1)[1]
+                if "/_scratch_" in f"/{rel}":
+                    continue  # an in-flight writer's scratch dir, not ours
+                if rel not in live:
+                    out.append(rel)
+        meta = self._Path(self._meta_dir())
+        if self._fs.exists(meta):
+            for st in self._fs.listStatus(meta):
+                name = st.getPath().getName()
+                if name.startswith("m_") and name not in live_manifests:
+                    out.append(f"meta/{name}")
         return out
 
     def vacuum(self) -> int:
-        """Delete orphan data files; returns how many were removed.
-        Never touches files any snapshot references, so time travel to
-        every committed version keeps working."""
+        """Delete orphan data + manifest files; returns how many were
+        removed. Never touches anything a committed snapshot references,
+        so time travel to every version keeps working."""
         orphans = self.orphan_files()
         for rel in orphans:
             self._fs.delete(self._Path(f"{self.root}/{rel}"), False)
