@@ -113,3 +113,18 @@ def test_ivf_assignment_adds_no_shuffle(spark):
     out = assign_clusters(df, [[0.0, 0.0], [50.0, 0.0]])
     out.collect()
     assert E.shuffle_count(out) == 0, E.physical_plan(out)
+
+
+def test_q20_fold_plan_budget(spark, sf_dir):
+    """q20 after the round-6 fold (sessionization + transition census +
+    ResponseLatency/JsonShape suite gates): still TWO exchanges total —
+    the sessionization window and the suite's window share nothing but
+    both are single window passes, the final single-row combiners are
+    broadcast nested-loop joins over one row each (free), and no
+    sort-merge join or real cartesian appears."""
+    df = QUERIES["q20_sessionization"](spark, sf_dir)
+    df.collect()
+    plan = E.physical_plan(df)
+    assert E.shuffle_count(df) <= 3, plan  # 2 measured; headroom for AQE variance
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
