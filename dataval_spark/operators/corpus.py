@@ -182,8 +182,8 @@ def prepare_corpus(
 
         # keep-first per canonical URL; NULL/blank-URL docs are all kept
         # (no URL evidence — same contract as the dirty-vector rule).
-        # Each such doc gets a per-row key so the keep-first window never
-        # sorts one giant no-URL partition.
+        # Each such doc gets a per-row key so no-URL docs never collapse
+        # into one giant group.
         docs = _pin(D.dedup_keep_first(
             docs, id_col,
             key=F.coalesce(

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dataval_spark.operators.text import normalize, token_count, tokens
@@ -93,11 +93,23 @@ def dedup_keep_first(
     """Keep the lowest-id member of each exact-dup group (deterministic).
     ``key`` overrides the default md5(normalized text) group key — e.g.
     a canonical-URL hash. The caller must make the key non-NULL per row
-    (window partitionBy puts ALL NULLs in one sorted group)."""
+    (groupBy puts ALL NULL keys in one group).
+
+    Formulated as groupBy + min_by(full row, id) rather than a
+    row_number window: min_by is a declarative aggregate with map-side
+    partial combine, so a pathological group (one boilerplate page
+    duplicated 10^8 times across a crawl) reduces inside each map task
+    instead of concentrating every copy in a single window task's sort
+    buffer. One shuffle either way; this one carries one row per
+    (partition, key) instead of one per document."""
     if key is None:
         key = F.md5(normalize(F.col(text_col)))
-    w = Window.partitionBy(key).orderBy(F.col(id_col))
-    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    cols = df.columns
+    return (
+        df.groupBy(key.alias("_k"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
+        .select("_row.*")
+    )
 
 
 # --------------------------------------------------------------- minhash

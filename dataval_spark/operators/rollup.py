@@ -17,7 +17,7 @@ groupBy in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -66,3 +66,50 @@ def conversation_rollup(
         "gap_free",
         (F.col("min_idx") == 0) & (F.col("n_distinct_idx") == F.col("max_idx") + 1),
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    k: int,
+    n_salts: int = 32,
+    rn_col: str | None = None,
+) -> DataFrame:
+    """EXACT top-k rows per group, safe for low-cardinality groups.
+
+    ``row_number().over(partitionBy(group))`` funnels every row of a
+    group into ONE task's sort buffer — with a handful of groups (market
+    segments, language strata, constraint names) that is 1/groups of the
+    whole table per task at 100 TB. Two bounded phases instead:
+
+      1. local: rank within (group, salt) where salt =
+         xxhash64(all columns) % n_salts — each hot group shrinks by the
+         salt factor; keep k per salted bucket.
+      2. global: rank the <= k * n_salts survivors per group.
+
+    EXACTNESS: every global top-k row is, within its own salt bucket,
+    beaten only by rows that also beat it globally — so at most k-1 of
+    them — and therefore survives phase 1. Phase 2 then applies the
+    identical total order to a superset of the true top-k, reproducing
+    the single-window result row-for-row and rank-for-rank. Requires
+    ``order_cols`` to be a TOTAL order (include a unique tie-break);
+    with ties the single-window form is itself nondeterministic.
+
+    ``rn_col``: name for the emitted rank column; None drops it.
+    """
+    rn = rn_col or "_rn"
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+    w_local = Window.partitionBy(*group_cols, "_salt").orderBy(*order_cols)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .where(F.col("_lrn") <= k)
+        .drop("_salt", "_lrn")
+    )
+    w_global = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    out = (
+        survivors.withColumn(rn, F.row_number().over(w_global))
+        .where(F.col(rn) <= k)
+    )
+    return out if rn_col else out.drop(rn)

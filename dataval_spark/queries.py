@@ -507,18 +507,24 @@ def q13(spark, sf_dir):
     """,
 )
 def q14(spark, sf_dir):
-    """Deterministic top-k per group (window + row_number)."""
+    """Deterministic top-k per group. Salted two-phase exact top-k
+    (operators/rollup.py::topk_per_group): a plain window over the 5
+    market segments puts 1/5 of the joined table in one task's sort
+    buffer at scale; the salted form bounds every window partition while
+    reproducing the single-window result row-for-row."""
+    from dataval_spark.operators.rollup import topk_per_group
+
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select(
-            "c_mktsegment", "o_orderkey",
-            F.round("o_totalprice", 4).alias("total_price"), "rn",
-        )
+    return topk_per_group(
+        o.join(c, o.o_custkey == c.c_custkey),
+        ["c_mktsegment"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        3,
+        rn_col="rn",
+    ).select(
+        "c_mktsegment", "o_orderkey",
+        F.round("o_totalprice", 4).alias("total_price"), "rn",
     )
 
 
@@ -1397,12 +1403,15 @@ def q37(spark, sf_dir):
     bucket comparisons agree bit-for-bit) and the same cumulative
     boundary buckets — certifying split assignment hash-green."""
     from dataval_spark.operators.mixing import assign_split
+    from dataval_spark.operators.rollup import topk_per_group
 
     d = t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.col("doc_id"))
+    # salted two-phase: a language stratum is billions of docs at scale,
+    # so partitionBy(lang) alone is an unsplittable single-task sort
     return (
-        d.withColumn("fp_rank", F.row_number().over(w))
-        .where(F.col("fp_rank") <= 5)
+        topk_per_group(
+            d, ["lang"], [F.md5("text"), F.col("doc_id")], 5, rn_col="fp_rank"
+        )
         .withColumn(
             "split",
             assign_split(

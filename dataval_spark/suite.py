@@ -522,12 +522,14 @@ def transcript_suite(
 def sample_violations(violations: DataFrame, n_per_constraint: int = 5) -> DataFrame:
     """Deterministic triage sample: the first n violating rows per
     constraint under a total column ordering (the reference logs example
-    violations per check). A window top-k — never a global sort of every
-    violation, which would be an unbounded extra shuffle at scale."""
+    violations per check). Salted two-phase top-k
+    (operators/rollup.py::topk_per_group) — never a global sort of every
+    violation, and never one window partition per constraint name (a
+    systemic defect can put most of the table under one constraint)."""
+    from dataval_spark.operators.rollup import topk_per_group
+
     order_cols = [c for c in violations.columns if c != "constraint"]
-    w = Window.partitionBy("constraint").orderBy(*order_cols)
-    return (
-        violations.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= n_per_constraint)
-        .drop("_rn")
+    return topk_per_group(
+        violations, ["constraint"], [F.col(c) for c in order_cols],
+        n_per_constraint,
     )

@@ -1537,3 +1537,30 @@ def test_split_long_docs_roundtrip_property(spark):
             n = len(c.text.split()) if c.text.strip() else 0
             assert n <= 16
             assert c.k == n, (doc_id, c.chunk_idx, c.k, n)
+
+
+def test_topk_per_group_equals_single_window(spark):
+    """Salted two-phase top-k must be row- and rank-identical to the
+    single-window formulation under a total order, including on a
+    skewed group that dwarfs the others."""
+    from pyspark.sql import Window
+    from dataval_spark.fixtures import transcripts
+    from dataval_spark.operators.rollup import topk_per_group
+
+    df = transcripts(spark, n_convs=120, seed=99, n_parts=4).select(
+        # low-cardinality group with heavy skew: role 'user' ~half of rows
+        "role", "conv_id", "turn_idx", "ts",
+    )
+    order = [F.desc("ts"), F.asc("conv_id"), F.asc("turn_idx")]
+    two_phase = topk_per_group(df, ["role"], order, 7, n_salts=5, rn_col="rn")
+    w = Window.partitionBy("role").orderBy(*order)
+    single = (
+        df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 7)
+    )
+    key = lambda r: (r["role"] or "", r["rn"])
+    a = sorted(two_phase.collect(), key=key)
+    b = sorted(single.collect(), key=key)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # k larger than some groups: still exact
+    t2 = topk_per_group(df, ["role"], order, 10**6, n_salts=3)
+    assert t2.count() == df.count()

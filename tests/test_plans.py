@@ -128,3 +128,21 @@ def test_q20_fold_plan_budget(spark, sf_dir):
     assert E.shuffle_count(df) <= 3, plan  # 2 measured; headroom for AQE variance
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_keep_first_is_partial_aggregate_not_window(spark):
+    """dedup_keep_first must compile to a map-side-combinable aggregate
+    (partial min_by), never a row_number window: a window forces every
+    copy of one fingerprint into a single task's sort buffer, which a
+    10^8-way duplicated boilerplate page turns into an unsplittable
+    straggler. Partial aggregation reduces per map task first."""
+    from dataval_spark.operators import dedup as D
+
+    df = transcripts(spark, n_convs=40, seed=11).select(
+        F.col("conv_id").alias("doc_id"), F.col("text")
+    )
+    kept = D.dedup_keep_first(df, "doc_id")
+    plan = E.physical_plan(kept)
+    assert "Window" not in plan
+    assert "partial_min_by" in plan or "partial min_by" in plan.lower()
+    assert E.shuffle_count(kept) == 1
