@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dataval_spark.operators.dedup import (
@@ -192,13 +192,17 @@ def semantic_dedup(
         kept = keep_cluster_canonical(df, labels, id_col)
     else:
         sims = _centroid_sims(indexed, centroids, id_col, vec_col)
-        w = Window.partitionBy("cluster").orderBy(
-            F.col("csim").asc(), F.col("doc").asc()
+        # survivor per cluster = argmin over (csim, doc): min_by is a
+        # map-side-combinable aggregate, so one giant near-dup cluster
+        # (the boilerplate-page case SemDeDup exists for) never funnels
+        # into a single window task's sort buffer.
+        joined = labels.join(sims, "doc")
+        keepers = joined.groupBy("cluster").agg(
+            F.min_by("doc", F.struct(F.col("csim"), F.col("doc"))).alias("_keep")
         )
         dropped = (
-            labels.join(sims, "doc")
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") > 1)
+            joined.join(keepers, "cluster")
+            .where(F.col("doc") != F.col("_keep"))
             .select("doc")
         )
         kept = df.join(dropped, df[id_col] == dropped["doc"], "left_anti")
