@@ -169,6 +169,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--history", default=None, metavar="TABLE_DIR",
                    help="print a snapshot table's version history as "
                         "JSON lines; exits 0")
+    p.add_argument("--compact", default=None, metavar="TABLE_DIR",
+                   help="rewrite a snapshot table's current version into "
+                        "~--target-file-mb files as a new snapshot "
+                        "(content identical; old versions still "
+                        "time-travel until --expire-snapshots + --vacuum)")
+    p.add_argument("--target-file-mb", type=int, default=128,
+                   help="compaction file-size target in MiB (default 128)")
+    p.add_argument("--expire-snapshots", default=None, metavar="TABLE_DIR",
+                   help="drop all but the newest --keep-last snapshot "
+                        "records; freed files become vacuumable orphans")
+    p.add_argument("--keep-last", type=int, default=3,
+                   help="snapshots to retain with --expire-snapshots "
+                        "(default 3; the current one is always kept)")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -304,6 +317,31 @@ def main(argv: list[str] | None = None) -> int:
         t = SnapshotTable(spark, args.vacuum)
         print(json.dumps({
             "vacuumed_files": t.vacuum(),
+            "current_version": t.current_version(),
+        }))
+        return 0
+
+    if args.compact:
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, args.compact)
+        before = len(t.files(t.snapshot()))
+        v = t.compact(target_file_bytes=args.target_file_mb * 1024 * 1024)
+        print(json.dumps({
+            "compacted": v is not None,
+            "new_version": v,
+            "files_before": before,
+            "files_after": len(t.files(t.snapshot())),
+        }))
+        return 0
+
+    if args.expire_snapshots:
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, args.expire_snapshots)
+        n = t.expire_snapshots(keep_last=args.keep_last)
+        print(json.dumps({
+            "expired_snapshots": n,
             "current_version": t.current_version(),
         }))
         return 0

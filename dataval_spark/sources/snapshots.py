@@ -404,6 +404,87 @@ class SnapshotTable:
                     out.append(f"meta/{name}")
         return out
 
+    def compact(
+        self,
+        target_file_bytes: int = 512 * 1024 * 1024,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """Rewrite the current snapshot's rows into ~size-targeted files
+        and commit the result as a new ``compact`` snapshot — content
+        identical, file list replaced. The continuous-crawl maintenance
+        op: frequent small increments leave footer-sized files that cost
+        one open/seek each at scan time; compaction restores large
+        sequential reads without blocking readers (it is one more
+        snapshot commit). Time travel to pre-compaction versions keeps
+        working — their manifests still reference the old files;
+        ``expire_snapshots()`` + ``vacuum()`` reclaims them.
+
+        Unlike append, compaction must NOT retry past a concurrent
+        commit: its output was derived from the base snapshot, so
+        retrying at N+1 would silently drop whatever the interleaved
+        commit added (Iceberg's rewrite validation makes the same
+        choice). A lost race raises CommitConflict; the already-written
+        compacted files become orphans for the next vacuum, and the
+        caller reruns against the new current snapshot.
+
+        Returns the new version, or None when the current file count
+        already meets the byte target (no-op, nothing written)."""
+        snap = self.snapshot()
+        files = self.files(snap)
+        total = sum(int(s) for _, s in files)
+        n_target = max(1, -(-total // target_file_bytes))
+        if len(files) <= n_target:
+            return None
+        df = self.read(snap["version"])
+        if partition_by:
+            # co-locate hive partition values so each output task writes
+            # whole files per value it owns
+            df = df.repartition(n_target, *partition_by)
+        else:
+            df = df.repartition(n_target)
+        new_manifest = self._write_manifest(
+            self._write_data_files(df, partition_by)
+        )
+        base = snap["version"]
+        new_snap = {
+            "version": base + 1,
+            "parent": base,
+            "operation": "compact",
+            "schema": snap["schema"],
+            "schema_fields": snap["schema_fields"],
+            "manifests": [new_manifest],
+        }
+        if not self._try_commit(base + 1, new_snap):
+            raise CommitConflict(
+                f"table {self.root} advanced past v{base} during "
+                "compaction; vacuum will reclaim the attempt's files — "
+                "rerun compact() against the new current snapshot"
+            )
+        return base + 1
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop the snapshot records of all but the newest ``keep_last``
+        versions (the current snapshot is always kept). Data and
+        manifest files referenced ONLY by expired snapshots become
+        orphans that the next ``vacuum()`` reclaims — the Iceberg
+        expire-snapshots contract: history shrinks, the live snapshot is
+        untouched, and storage is reclaimed in a separate, crash-safe
+        step. Time travel to an expired version raises FileNotFoundError
+        (identical to a never-committed slot). Returns the number of
+        snapshot records removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self.current_version()
+        if cur is None:
+            return 0
+        removed = 0
+        for k in range(cur - keep_last + 1):
+            p = self._vpath(k)
+            if self._fs.exists(self._Path(p)):
+                self._fs.delete(self._Path(p), False)
+                removed += 1
+        return removed
+
     def vacuum(self) -> int:
         """Delete orphan data + manifest files; returns how many were
         removed. Never touches anything a committed snapshot references,

@@ -263,3 +263,99 @@ def test_two_writer_thread_race(spark, tmp_path):
     assert t.current_version() == 2
     got = sorted(r.id for r in t.read().collect())
     assert got == [0, 1, 10, 11, 12, 20, 21, 22, 23]
+
+
+def test_compact_preserves_content_and_history(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # many small increments -> many footer-sized files
+    for lo in range(0, 50, 10):
+        t.append(_df(spark, lo, lo + 10).repartition(4), partition_by=["part"])
+    pre = t.snapshot()
+    n_files_before = len(t.files(pre))
+    before_rows = sorted(r.id for r in t.read().collect())
+    v = t.compact(target_file_bytes=1 << 30)  # everything into ~1 file
+    assert v == pre["version"] + 1
+    snap = t.snapshot()
+    assert snap["operation"] == "compact"
+    assert len(t.files(snap)) < n_files_before
+    assert sorted(r.id for r in t.read().collect()) == before_rows
+    # pre-compaction versions still time-travel
+    assert t.read(pre["version"]).count() == 50
+    assert t.read(0).count() == 10
+    # already compact -> no-op, nothing committed
+    assert t.compact(target_file_bytes=1 << 30) is None
+    assert t.current_version() == v
+
+
+def test_compact_race_fails_closed_and_is_vacuumable(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in range(0, 30, 10):
+        t.append(_df(spark, lo, lo + 10).repartition(3), partition_by=["part"])
+    cur = t.current_version()
+    # occupy the next version slot, as a concurrent appender would
+    racer = SnapshotTable(spark, str(tmp_path / "t"))
+    racer.append(_df(spark, 100, 105), partition_by=["part"])
+    # compaction derived from the pre-race snapshot must NOT clobber it
+    import dataval_spark.sources.snapshots as S
+
+    orig = t.snapshot(cur)
+    t_snap = t.snapshot  # pin the base snapshot the way an in-flight job holds it
+    t.snapshot = lambda version=None: orig if version is None else t_snap(version)
+    try:
+        with pytest.raises(S.CommitConflict):
+            t.compact(target_file_bytes=1 << 30)
+    finally:
+        t.snapshot = t_snap
+    # racer's rows intact; attempt's files are orphans vacuum reclaims
+    assert t.read().count() == 35
+    assert t.vacuum() > 0
+    assert t.read().count() == 35
+
+
+def test_expire_snapshots_then_vacuum_reclaims(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in range(0, 40, 10):
+        t.append(_df(spark, lo, lo + 10), partition_by=["part"])
+    t.compact(target_file_bytes=1 << 30)
+    cur = t.current_version()
+    assert t.vacuum() == 0  # everything still referenced by history
+    n = t.expire_snapshots(keep_last=1)
+    assert n == cur  # v0..v(cur-1) dropped
+    # expired versions behave exactly like never-committed slots
+    with pytest.raises(FileNotFoundError):
+        t.read(0)
+    # pre-compaction data files now unreferenced -> reclaimed
+    assert t.vacuum() > 0
+    assert sorted(r.id for r in t.read().collect()) == list(range(40))
+    # idempotent + guard
+    assert t.expire_snapshots(keep_last=5) == 0
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+
+
+def test_cli_compact_and_expire_faces(spark, tmp_path, capsys):
+    from dataval_spark.cli import main as cli_main
+
+    d = str(tmp_path / "in")
+    _df(spark, 0, 6).write.parquet(d)  # dummy --input; maintenance modes never read it
+    table = str(tmp_path / "t")
+    t = SnapshotTable(spark, table)
+    for lo in range(0, 30, 10):
+        t.append(_df(spark, lo, lo + 10).repartition(3), partition_by=["part"])
+    capsys.readouterr()
+
+    rc = cli_main(["--input", d, "--compact", table, "--target-file-mb", "1024"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["compacted"] and line["files_after"] < line["files_before"]
+
+    rc = cli_main(["--input", d, "--expire-snapshots", table, "--keep-last", "1"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["expired_snapshots"] >= 1
+
+    rc = cli_main(["--input", d, "--vacuum", table])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["vacuumed_files"] > 0
+    assert t.read().count() == 30
