@@ -131,15 +131,79 @@ class SnapshotTable:
             raise FileNotFoundError(f"snapshot v{v} does not exist under {self.root}")
         return json.loads(self._read_text(p))
 
-    def _write_manifest(self, files: list[list]) -> str:
-        """Persist one commit's file list as an immutable manifest;
-        returns its name (relative to meta/)."""
+    def _write_manifest(self, files: list[list], stats: dict | None = None) -> str:
+        """Persist one commit's file list (plus optional per-file column
+        stats) as an immutable manifest; returns its name (relative to
+        meta/)."""
         name = f"m_{uuid.uuid4().hex}.json"
         self._fs.mkdirs(self._Path(self._meta_dir()))
-        self._write_text(
-            f"{self._meta_dir()}/{name}", json.dumps({"files": files})
-        )
+        doc: dict = {"files": files}
+        if stats:
+            doc["stats"] = stats
+        self._write_text(f"{self._meta_dir()}/{name}", json.dumps(doc))
         return name
+
+    def _collect_stats(self, files: list[list]) -> dict:
+        """Per-file {column: [min, max]} from the parquet footers that
+        were just written — Iceberg's manifest column-stats layer, the
+        basis for planning-time file pruning (``scan``). Footer reads
+        are metadata-only (no row decoding). Numeric/boolean columns
+        only: their min/max round-trip JSON exactly, while string
+        bounds would need Iceberg-style truncate-and-increment to stay
+        sound. Collected only for local paths (the sandbox case);
+        anything unreadable degrades to 'no stats' = never pruned."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return {}
+        out: dict = {}
+        for rel, _ in files:
+            local = self._Path(f"{self.root}/{rel}").toUri().getPath()
+            try:
+                md = pq.ParquetFile(local).metadata
+            except Exception:
+                continue
+            bounds: dict = {}
+            dropped: set[str] = set()
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    col = c.path_in_schema
+                    if "." in col or col in dropped:
+                        continue  # nested leaves: no top-level pruning
+                    st = c.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (int, float))
+                        or not isinstance(st.max, (int, float))
+                    ):
+                        # a single stats-less/non-numeric row group makes
+                        # the column's file bound unusable
+                        bounds.pop(col, None)
+                        dropped.add(col)
+                        continue
+                    if col in bounds:
+                        bounds[col] = [
+                            min(bounds[col][0], st.min),
+                            max(bounds[col][1], st.max),
+                        ]
+                    else:
+                        bounds[col] = [st.min, st.max]
+            if bounds:
+                out[rel] = bounds
+        return out
+
+    def file_stats(self, snap: dict) -> dict:
+        """A snapshot's merged per-file column bounds,
+        {relative_path: {column: [min, max]}}; files written before
+        stats existed (or with no eligible columns) are simply absent."""
+        out: dict = {}
+        for name in snap["manifests"]:
+            doc = json.loads(self._read_text(f"{self._meta_dir()}/{name}"))
+            out.update(doc.get("stats", {}))
+        return out
 
     def files(self, snap: dict) -> list[list]:
         """A snapshot's full [relative_path, bytes] list, resolved
@@ -223,7 +287,9 @@ class SnapshotTable:
         merge_schema: bool = False,
     ) -> int:
         new_files = self._write_data_files(df, partition_by)
-        new_manifest = self._write_manifest(new_files)
+        new_manifest = self._write_manifest(
+            new_files, self._collect_stats(new_files)
+        )
         for _ in range(_MAX_COMMIT_RETRIES):
             cur = self.current_version()
             schema_json = df.schema.json()
@@ -328,6 +394,80 @@ class SnapshotTable:
             self.spark.read.option("basePath", self._data_dir())
             .schema(schema)
             .parquet(*paths)
+        )
+
+    def scan(
+        self, filters: dict, version: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned read: ``filters`` maps column -> (lo, hi) closed
+        intervals (either bound may be None for half-open); the result
+        is EXACTLY ``read(version).where(<the same intervals>)`` — the
+        residual predicate is always applied — but only files whose
+        manifest [min, max] bounds overlap every interval are opened.
+
+        This is Iceberg's planning-time data skipping: at millions of
+        files, pruning from the manifest avoids even LISTING the
+        non-matching files, which parquet footer/row-group skipping
+        (still in effect afterwards) cannot do. Files with no recorded
+        bounds for a filtered column are never pruned (correctness
+        before savings); interval semantics follow SQL BETWEEN, so NULL
+        rows never match and null counts are irrelevant to pruning."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
+
+        snap = self.snapshot(version)
+        stats = self.file_stats(snap)
+
+        def hive_value(rel: str, col: str):
+            # partition columns live in the path, not the footer
+            needle = f"{col}="
+            for seg in rel.split("/"):
+                if seg.startswith(needle):
+                    try:
+                        return float(seg.split("=", 1)[1])
+                    except ValueError:
+                        return None
+            return None
+
+        def overlaps(rel: str) -> bool:
+            bounds = stats.get(rel, {})
+            for col, (lo, hi) in filters.items():
+                if col in bounds:
+                    mn, mx = bounds[col]
+                else:
+                    v = hive_value(rel, col)
+                    if v is None:
+                        continue
+                    mn = mx = v
+                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                    return False
+            return True
+
+        paths = [
+            f"{self.root}/{rel}"
+            for rel, _ in self.files(snap)
+            if overlaps(rel)
+        ]
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        preds = [
+            p
+            for col, (lo, hi) in filters.items()
+            for p in (
+                [F.col(col) >= lo] if lo is not None else []
+            ) + (
+                [F.col(col) <= hi] if hi is not None else []
+            )
+        ]
+        residual = reduce(lambda a, b: a & b, preds) if preds else F.lit(True)
+        if not paths:
+            return self.spark.createDataFrame([], schema).where(residual)
+        return (
+            self.spark.read.option("basePath", self._data_dir())
+            .schema(schema)
+            .parquet(*paths)
+            .where(residual)
         )
 
     # -- lineage / maintenance -------------------------------------------
@@ -442,8 +582,9 @@ class SnapshotTable:
             df = df.repartition(n_target, *partition_by)
         else:
             df = df.repartition(n_target)
+        compacted_files = self._write_data_files(df, partition_by)
         new_manifest = self._write_manifest(
-            self._write_data_files(df, partition_by)
+            compacted_files, self._collect_stats(compacted_files)
         )
         base = snap["version"]
         new_snap = {

@@ -359,3 +359,61 @@ def test_cli_compact_and_expire_faces(spark, tmp_path, capsys):
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["vacuumed_files"] > 0
     assert t.read().count() == 30
+
+
+def test_scan_prunes_files_by_manifest_stats(spark, tmp_path):
+    """scan(filters) must return exactly read().where(...) while opening
+    only files whose manifest [min,max] bounds overlap the intervals."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # disjoint id ranges -> disjoint per-file bounds
+    for lo in range(0, 100, 20):
+        t.append(_df(spark, lo, lo + 20).coalesce(1), partition_by=["part"])
+    full = t.read()
+    expect = sorted(
+        r.id for r in full.where((F.col("id") >= 45) & (F.col("id") <= 52)).collect()
+    )
+    pruned = t.scan({"id": (45, 52)})
+    assert sorted(r.id for r in pruned.collect()) == expect
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # half-open intervals
+    assert t.scan({"id": (80, None)}).count() == 20
+    assert t.scan({"id": (None, 19)}).count() == 20
+    # nothing overlaps -> typed empty, zero files opened
+    empty = t.scan({"id": (1000, 2000)})
+    assert empty.count() == 0 and empty.dtypes == full.dtypes
+    # hive partition-column pruning comes from the path, not footers
+    p0 = t.scan({"part": (0, 0)})
+    assert sorted(set(r.part for r in p0.collect())) == [0]
+    assert len(p0.inputFiles()) < len(full.inputFiles())
+
+
+def test_scan_residual_filter_always_applies(spark, tmp_path):
+    """Pruning is a superset optimization: rows inside a surviving file
+    that fall outside the interval are still filtered out, and files
+    with no recorded stats (pre-stats manifests) are never pruned."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 50).coalesce(1), partition_by=["part"])
+    # file bound is [0,49]; interval [10,12] overlaps -> file opened,
+    # residual keeps only 10..12
+    assert sorted(r.id for r in t.scan({"id": (10, 12)}).collect()) == [10, 11, 12]
+    # simulate a pre-stats manifest: strip the stats key in place
+    meta = f"{t.root}/meta"
+    for name in t.snapshot()["manifests"]:
+        doc = json.loads(t._read_text(f"{meta}/{name}"))
+        doc.pop("stats", None)
+        t._write_text(f"{meta}/{name}", json.dumps(doc))
+    res = t.scan({"id": (10, 12)})
+    assert sorted(r.id for r in res.collect()) == [10, 11, 12]
+    assert len(res.inputFiles()) == len(t.read().inputFiles())  # nothing pruned
+
+
+def test_compaction_rewrites_stats(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in range(0, 40, 10):
+        t.append(_df(spark, lo, lo + 10), partition_by=["part"])
+    t.compact(target_file_bytes=1 << 30)
+    stats = t.file_stats(t.snapshot())
+    assert stats  # compacted files carry fresh bounds
+    for bounds in stats.values():
+        assert "id" in bounds
+    assert sorted(r.id for r in t.scan({"id": (35, 39)}).collect()) == list(range(35, 40))
