@@ -548,6 +548,7 @@ class SnapshotTable:
         self,
         target_file_bytes: int = 512 * 1024 * 1024,
         partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
     ) -> int | None:
         """Rewrite the current snapshot's rows into ~size-targeted files
         and commit the result as a new ``compact`` snapshot — content
@@ -567,16 +568,34 @@ class SnapshotTable:
         compacted files become orphans for the next vacuum, and the
         caller reruns against the new current snapshot.
 
+        ``sort_by`` selects SORT compaction: rows are range-partitioned
+        and sorted within files on those columns, so the rewritten files
+        carry disjoint manifest bounds and ``scan()`` keeps pruning
+        effectively after the rewrite (plain compaction merges ranges,
+        which widens per-file bounds).
+
         Returns the new version, or None when the current file count
-        already meets the byte target (no-op, nothing written)."""
+        already meets the byte target (no-op, nothing written; with
+        ``sort_by`` the rewrite always happens — the file count cannot
+        witness ordering)."""
         snap = self.snapshot()
         files = self.files(snap)
         total = sum(int(s) for _, s in files)
         n_target = max(1, -(-total // target_file_bytes))
-        if len(files) <= n_target:
+        if len(files) <= n_target and not sort_by:
+            # sort_by always rewrites: the point is the file ORDER, which
+            # the file count cannot witness
             return None
         df = self.read(snap["version"])
-        if partition_by:
+        if sort_by:
+            # sort compaction: range-partition + sort within files so the
+            # rewritten files carry DISJOINT [min,max] bounds on sort_by —
+            # scan() pruning then touches ~1 file per point/range lookup
+            # instead of degrading to one giant unboundable file
+            df = df.repartitionByRange(n_target, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        elif partition_by:
             # co-locate hive partition values so each output task writes
             # whole files per value it owns
             df = df.repartition(n_target, *partition_by)

@@ -417,3 +417,36 @@ def test_compaction_rewrites_stats(spark, tmp_path):
     for bounds in stats.values():
         assert "id" in bounds
     assert sorted(r.id for r in t.scan({"id": (35, 39)}).collect()) == list(range(35, 40))
+
+
+def test_sort_compaction_restores_disjoint_bounds(spark, tmp_path):
+    """compact(sort_by=...) range-sorts the rewrite so the new files
+    carry disjoint manifest bounds and scan() stays sharp; content is
+    identical and the rewrite happens even at the file-count target."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # interleaved appends: every file's id bounds span ~the whole range
+    for k in range(4):
+        t.append(
+            spark.range(k, 400, 4).select(
+                "id", (F.col("id") % 2).cast("int").alias("part")
+            ).coalesce(1),
+            partition_by=["part"],
+        )
+    before = t.scan({"id": (100, 110)})
+    assert len(before.inputFiles()) == len(t.read().inputFiles())  # no pruning possible
+    rows_before = sorted(r.id for r in t.read().collect())
+
+    # force several output files so disjointness is observable
+    total = sum(s for _, s in t.files(t.snapshot()))
+    v = t.compact(target_file_bytes=max(1, total // 4), sort_by=["id"])
+    assert v is not None
+    assert sorted(r.id for r in t.read().collect()) == rows_before
+    stats = t.file_stats(t.snapshot())
+    spans = sorted(tuple(b["id"]) for b in stats.values())
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint (range partitioner boundaries)
+    after = t.scan({"id": (100, 110)})
+    assert len(after.inputFiles()) < len(t.read().inputFiles())
+    assert sorted(r.id for r in after.collect()) == list(range(100, 111))
+    # sort_by rewrites even when the count target is already met
+    assert t.compact(target_file_bytes=1 << 30, sort_by=["id"]) is not None
