@@ -165,14 +165,22 @@ class SnapshotTable:
                 continue
             bounds: dict = {}
             dropped: set[str] = set()
+            null_only: dict = {}
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 for ci in range(g.num_columns):
                     c = g.column(ci)
                     col = c.path_in_schema
-                    if "." in col or col in dropped:
+                    if "." in col:
                         continue  # nested leaves: no top-level pruning
                     st = c.statistics
+                    null_only[col] = null_only.get(col, True) and (
+                        st is not None
+                        and st.null_count is not None
+                        and st.null_count == g.num_rows
+                    )
+                    if col in dropped:
+                        continue
                     if (
                         st is None
                         or not st.has_min_max
@@ -191,6 +199,13 @@ class SnapshotTable:
                         ]
                     else:
                         bounds[col] = [st.min, st.max]
+            for col, flag in null_only.items():
+                if flag and col not in bounds:
+                    # every row group all-NULL: record the sentinel
+                    # [None, None] bound, which interval pruning reads
+                    # as "provably no match" (NULLs never satisfy an
+                    # interval predicate)
+                    bounds[col] = [None, None]
             if bounds:
                 out[rel] = bounds
         return out
@@ -412,12 +427,19 @@ class SnapshotTable:
         bounds for a filtered column are never pruned (correctness
         before savings); interval semantics follow SQL BETWEEN, so NULL
         rows never match and null counts are irrelevant to pruning."""
-        from functools import reduce
-
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
-
         snap = self.snapshot(version)
+        candidates, _ = self._split_by_overlap(snap, filters)
+        residual = self._interval_pred(filters)
+        return self._read_entries(snap, candidates).where(residual)
+
+    def _split_by_overlap(
+        self, snap: dict, filters: dict
+    ) -> tuple[list[list], list[list]]:
+        """Partition a snapshot's file entries into (possibly-matching,
+        provably-non-matching) for interval ``filters``, judged on the
+        manifest column bounds plus hive path values for partition
+        columns. A file with no recorded bounds for a filtered column is
+        always possibly-matching."""
         stats = self.file_stats(snap)
 
         def hive_value(rel: str, col: str):
@@ -434,8 +456,14 @@ class SnapshotTable:
         def overlaps(rel: str) -> bool:
             bounds = stats.get(rel, {})
             for col, (lo, hi) in filters.items():
+                if lo is None and hi is None:
+                    continue  # vacuous interval: constrains nothing
                 if col in bounds:
                     mn, mx = bounds[col]
+                    if mn is None and mx is None:
+                        # all-NULL column in this file: an interval
+                        # predicate can never match (SQL BETWEEN)
+                        return False
                 else:
                     v = hive_value(rel, col)
                     if v is None:
@@ -445,12 +473,20 @@ class SnapshotTable:
                     return False
             return True
 
-        paths = [
-            f"{self.root}/{rel}"
-            for rel, _ in self.files(snap)
-            if overlaps(rel)
-        ]
-        schema = StructType.fromJson(json.loads(snap["schema"]))
+        hit: list[list] = []
+        miss: list[list] = []
+        for entry in self.files(snap):
+            (hit if overlaps(entry[0]) else miss).append(entry)
+        return hit, miss
+
+    @staticmethod
+    def _interval_pred(filters: dict):
+        """The exact Column predicate for interval ``filters`` (SQL
+        BETWEEN semantics: NULLs never match)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
         preds = [
             p
             for col, (lo, hi) in filters.items()
@@ -460,14 +496,137 @@ class SnapshotTable:
                 [F.col(col) <= hi] if hi is not None else []
             )
         ]
-        residual = reduce(lambda a, b: a & b, preds) if preds else F.lit(True)
-        if not paths:
-            return self.spark.createDataFrame([], schema).where(residual)
+        return reduce(lambda a, b: a & b, preds) if preds else F.lit(True)
+
+    def _read_entries(self, snap: dict, entries: list[list]) -> DataFrame:
+        """Materialize a subset of a snapshot's file entries under its
+        pinned schema (typed empty frame for no entries)."""
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        if not entries:
+            return self.spark.createDataFrame([], schema)
         return (
             self.spark.read.option("basePath", self._data_dir())
             .schema(schema)
-            .parquet(*paths)
-            .where(residual)
+            .parquet(*[f"{self.root}/{rel}" for rel, _ in entries])
+        )
+
+    def _replace_entries(
+        self,
+        snap: dict,
+        kept_entries: list[list],
+        replacement_df: DataFrame,
+        operation: str,
+        partition_by: list[str] | None,
+    ) -> int:
+        """Commit ``kept_entries + files(replacement_df)`` as one new
+        snapshot pinned to ``snap`` — the copy-on-write commit step
+        shared by delete_where/merge. Untouched files keep their
+        recorded stats; rewritten data gets fresh bounds. Like compact,
+        the CAS must fail (not retry) past a concurrent commit: the
+        rewrite was derived from ``snap``, so landing it later would
+        undo the interleaved commit's effect on the rewritten rows."""
+        all_stats = self.file_stats(snap)
+        new_files = self._write_data_files(replacement_df, partition_by)
+        stats = {
+            rel: all_stats[rel] for rel, _ in kept_entries if rel in all_stats
+        }
+        stats.update(self._collect_stats(new_files))
+        manifest = self._write_manifest(kept_entries + new_files, stats)
+        base = snap["version"]
+        new_snap = {
+            "version": base + 1,
+            "parent": base,
+            "operation": operation,
+            "schema": snap["schema"],
+            "schema_fields": snap["schema_fields"],
+            "manifests": [manifest],
+        }
+        if not self._try_commit(base + 1, new_snap):
+            raise CommitConflict(
+                f"table {self.root} advanced past v{base} during "
+                f"{operation}; vacuum will reclaim the attempt's files — "
+                "rerun against the new current snapshot"
+            )
+        return base + 1
+
+    def delete_where(
+        self,
+        filters: dict,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """Copy-on-write row deletion: commit a new snapshot equal to
+        the current one minus rows matching the interval ``filters``
+        (same {col: (lo, hi)} form as ``scan``; NULLs never match, so
+        NULL-keyed rows are never deleted). Only files whose manifest
+        bounds overlap the intervals are rewritten — every other file is
+        carried into the new snapshot untouched, stats included. Returns
+        the new version, or None when no file can contain a match
+        (metadata-only no-op). Raises CommitConflict if a concurrent
+        commit lands first (rerun on the new snapshot)."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        candidates, untouched = self._split_by_overlap(snap, filters)
+        if not candidates:
+            return None
+        pred = self._interval_pred(filters)
+        survivors = self._read_entries(snap, candidates).where(
+            ~F.coalesce(pred, F.lit(False))
+        )
+        return self._replace_entries(
+            snap, untouched, survivors, "delete", partition_by
+        )
+
+    def merge(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Copy-on-write upsert (MERGE: delete-matching-keys then
+        insert): every row of ``df`` replaces any current rows sharing
+        its key; all other rows are untouched. Candidate files are found
+        from manifest key bounds — one tiny agg over ``df`` for the
+        incoming key envelope, then only overlapping files are read and
+        rewritten (anti-join on the distinct incoming keys, which Spark
+        broadcasts when the batch is small); everything else is carried
+        over with its stats. The signature-store / verdict-table upkeep
+        op for a continuous crawl. Raises CommitConflict on a lost race
+        (rerun on the new snapshot); schema must match the snapshot's."""
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        fields = self._schema_fields(df)
+        if sorted(map(tuple, json.loads(snap["schema_fields"]))) != fields:
+            raise ValueError(
+                f"merge schema mismatch vs snapshot v{snap['version']}: "
+                f"{snap['schema_fields']} != {fields}"
+            )
+        # incoming key envelope -> candidate files via manifest bounds
+        env = df.agg(
+            *[
+                f(c).alias(f"{tag}_{c}")
+                for c in key_cols
+                for tag, f in (("lo", F.min), ("hi", F.max))
+            ]
+        ).collect()[0]
+        filters = {c: (env[f"lo_{c}"], env[f"hi_{c}"]) for c in key_cols}
+        if any(lo is None and hi is None for lo, hi in filters.values()):
+            # empty batch, or a key column that is entirely NULL: no
+            # incoming key can equal any current key, so nothing is
+            # replaced — the merge degenerates to a plain rewrite-free
+            # insert of df's rows
+            candidates, untouched = [], self.files(snap)
+        else:
+            candidates, untouched = self._split_by_overlap(snap, filters)
+        current = self._read_entries(snap, candidates)
+        keys = df.select(*key_cols).distinct()
+        survivors = current.join(keys, key_cols, "left_anti")
+        rewritten = survivors.unionByName(df)
+        return self._replace_entries(
+            snap, untouched, rewritten, "merge", partition_by
         )
 
     # -- lineage / maintenance -------------------------------------------
