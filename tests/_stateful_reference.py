@@ -1,3 +1,7 @@
+# FROZEN round-6 copy of dataval_spark/streaming/stateful.py, kept as the
+# behavioral oracle for the differential test in test_streaming_bulk.py:
+# the optimized kernel must emit byte-identical rows and state.
+# Do not optimize this file.
 """Stateful streaming sequence validation — the per-conversation checks
 (duplicate turn, sequence gap, non-monotonic ts) on an unbounded stream.
 
@@ -67,44 +71,6 @@ _TRN = int(QualityFlag.InvalidTransition)
 _LAT = int(QualityFlag.InvalidLatency)
 
 MAX_PENDING = 1024
-
-# bulk pending-run inserts only pay off past this length: below it the
-# numpy slicing + membership scan costs more than the plain row loop
-_MIN_BULK_RUN = 8
-
-
-def _ts_seconds(col: pd.Series) -> np.ndarray:
-    """The ts column as float epoch-seconds (NaN = NULL), converted once
-    per batch. Per-row Timestamp boxing (``Series.tolist``) plus
-    ``.timestamp()`` calls were ~30% of slow-path time on a 10k-row
-    batch; one vectorized cast removes both."""
-    if pd.api.types.is_datetime64_any_dtype(col):
-        arr = col.to_numpy("datetime64[ns]")
-        nat = np.isnat(arr)
-        # match Timestamp.timestamp() exactly: pandas computes
-        # round(value / 10**9, 6) with PYTHON int/int true division,
-        # which rounds the exact rational — casting ns to float64 first
-        # (or np.round) can differ in the last microsecond digit, and
-        # the carried last_ts/pend_ts state must stay byte-identical to
-        # the row loop's
-        out = np.array(
-            [round(v / 1_000_000_000, 6) for v in arr.view("int64").tolist()],
-            dtype="float64",
-        )
-        out[nat] = np.nan
-        return out
-    if pd.api.types.is_numeric_dtype(col):
-        return col.to_numpy(dtype="float64", na_value=np.nan)
-    # object dtype (mixed/None): reproduce the row loop's old coercion
-    return np.array(
-        [
-            np.nan
-            if v is None or v != v
-            else (v.timestamp() if hasattr(v, "timestamp") else float(v))
-            for v in col.tolist()
-        ],
-        dtype="float64",
-    )
 
 
 def make_validator(allowed_transitions=None, latency_bounds=None):
@@ -327,129 +293,24 @@ def make_validator(allowed_transitions=None, latency_bounds=None):
             # plain-Python lists iterate ~2x faster than pandas Series
             # and hand back native scalars (no numpy boxing in the loop)
             idx_list = pdf["turn_idx"].tolist()
-            ts_arr = _ts_seconds(pdf["ts"])
-            ts_list = ts_arr.tolist()  # native floats; nan = NULL
-            roles_norm = (
-                [norm_role(r) for r in pdf["role"].tolist()]
-                if allowed is not None
-                else [None] * len(pdf)
-            )
-
-            n_rows = len(idx_list)
-            i = 0
-            no_bulk_until = 0  # rows below this were already scanned
-            # and found too short / colliding: row-loop them without
-            # re-scanning (keeps the bulk attempt O(1) amortized/row)
-            while i < n_rows:
-                turn_idx = idx_list[i]
-
-                # ---- bulk pending-run insert (vectorized) ------------
-                # A maximal strictly-consecutive index run that starts
-                # above contig+1 with its predecessor absent, collides
-                # with no pending index (its own successor included),
-                # and fits under MAX_PENDING goes to the pending set as
-                # ONE block: flags judged vectorized (OOO via cummax,
-                # pairwise transition/latency), one dict/heap bulk
-                # insert, emissions reproduced exactly (order, flags,
-                # n_seen, max_idx_seen — see the differential pin in
-                # tests/test_streaming_bulk.py). Under these guards the
-                # row loop would set _GAP on the first element only,
-                # never advance the prefix, never heal, never evict.
-                if (
-                    i >= no_bulk_until
-                    and turn_idx is not None
-                    and turn_idx == turn_idx
-                    and (room := MAX_PENDING - len(pending)) >= _MIN_BULK_RUN
-                    and (idx0 := int(turn_idx)) > contig + 1
-                    and idx0 not in pending
-                    and (idx0 - 1) not in pending
-                ):
-                    j = i + 1
-                    lim = min(n_rows, i + room)  # never scan past what fits
-                    expect = idx0 + 1
-                    while j < lim:
-                        nv = idx_list[j]
-                        if nv is None or nv != nv or int(nv) != expect:
-                            break
-                        expect += 1
-                        j += 1
-                    take = j - i
-                    if take < _MIN_BULK_RUN or any(
-                        k in pending for k in range(idx0 + 1, idx0 + take + 1)
-                    ):
-                        no_bulk_until = j  # scanned once; row-loop the run
-                    else:
-                        run = list(range(idx0, idx0 + take))
-                        ts_run = ts_arr[i : i + take]
-                        valid = ~np.isnan(ts_run)
-                        eff = np.where(valid, ts_run, float("-inf"))
-                        # ts watermark BEFORE each row (NULL ts rows use
-                        # the watermark itself: never OOO, never raise it)
-                        wm = np.maximum.accumulate(
-                            np.concatenate(([last_ts], eff))
-                        )[:-1]
-                        fl_arr = np.where(
-                            valid & (ts_run < wm), _OOO, 0
-                        ).astype("int64")
-                        fl_arr[0] |= _GAP  # predecessor absent everywhere
-                        ts_real_run = [
-                            None if v != v else v for v in ts_run.tolist()
-                        ]
-                        if allowed is not None:
-                            rr = roles_norm[i : i + take]
-                            for k in range(1, take):
-                                if not pair_ok(rr[k - 1], rr[k]):
-                                    fl_arr[k] |= _TRN
-                            pend_role.update(zip(run, rr))
-                        if check_lat:
-                            for k in range(1, take):
-                                if lat_bad(ts_real_run[k - 1], ts_real_run[k]):
-                                    fl_arr[k] |= _LAT
-                            pend_ts.update(zip(run, ts_real_run))
-                        fl_list = fl_arr.tolist()
-                        pending.update(zip(run, fl_list))
-                        pend_heap.extend(run)
-                        # a block append can violate the heap invariant
-                        # when older pending indexes exceed the run's
-                        heapq.heapify(pend_heap)
-                        mx_list = (
-                            np.maximum(np.array(run), max_idx).tolist()
-                        )
-                        out_rows.extend(
-                            zip(
-                                [conv_id] * take,
-                                run,
-                                fl_list,
-                                mx_list,
-                                range(n_seen + 1, n_seen + take + 1),
-                            )
-                        )
-                        n_seen += take
-                        max_idx = max(max_idx, run[-1])
-                        hi_ts = float(eff.max())
-                        if hi_ts > last_ts:
-                            last_ts = hi_ts
-                        i += take
-                        continue
-
-                # ---- plain row loop ----------------------------------
+            ts_list = pdf["ts"].tolist()
+            role_list = pdf["role"].tolist() if allowed is not None else [None] * len(pdf)
+            for turn_idx, ts, role in zip(idx_list, ts_list, role_list):
                 # dirty rows must not kill the query: a NULL turn_idx arrives
                 # as NaN (Arrow nullable int -> pandas float) and cannot be
                 # sequenced — skip it (NotNull in the batch suite owns it);
                 # a NULL/NaT ts keeps index sequencing but neither flags OOO
                 # nor advances the ts watermark.
                 if turn_idx is None or turn_idx != turn_idx:
-                    i += 1
                     continue
                 idx = int(turn_idx)
-                ts = ts_list[i]
-                if ts != ts:  # nan = NULL (see _ts_seconds)
+                if ts is None or ts != ts:
                     ts_s = last_ts
                     ts_real = None  # latency needs the REAL ts, not the
                     # OOO watermark substitute: NULL ts = no evidence
                 else:
-                    ts_s = ts
-                    ts_real = ts
+                    ts_s = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+                    ts_real = ts_s
                 flags = 0
                 if ts_s < last_ts:
                     flags |= _OOO
@@ -458,7 +319,7 @@ def make_validator(allowed_transitions=None, latency_bounds=None):
                 else:
                     if idx > contig + 1 and (idx - 1) not in pending:
                         flags |= _GAP  # immediate predecessor missing so far
-                    r_cur = roles_norm[i]
+                    r_cur = norm_role(role) if allowed is not None else None
                     # own transition the moment the predecessor's role is
                     # known — including a predecessor that is itself still
                     # PENDING (prefix not reached): both roles exist now
@@ -526,13 +387,10 @@ def make_validator(allowed_transitions=None, latency_bounds=None):
                             # its recorded ts anchors the next pair
                             prev_turn_ts = pend_ts.pop(evicted, None)
                         flags = _advance(idx, flags)
-                if idx > max_idx:
-                    max_idx = idx
-                if ts_s > last_ts:
-                    last_ts = ts_s
+                max_idx = max(max_idx, idx)
+                last_ts = max(last_ts, ts_s)
                 n_seen += 1
                 out_rows.append((conv_id, idx, flags, max_idx, n_seen))
-                i += 1
 
         order = sorted(pending)
         packed = [
@@ -554,20 +412,7 @@ def make_validator(allowed_transitions=None, latency_bounds=None):
         state.update(tuple(packed))
         state.setTimeoutDuration(24 * 3600 * 1000)  # evict idle conversations
         if out_rows:
-            # columnar build: constructing from a list of tuples routes
-            # through pandas' object-array converter (~3x slower)
-            o_conv, o_idx, o_fl, o_mx, o_ns = zip(*out_rows)
-            out_frames.append(
-                pd.DataFrame(
-                    {
-                        cols[0]: o_conv,
-                        cols[1]: o_idx,
-                        cols[2]: o_fl,
-                        cols[3]: o_mx,
-                        cols[4]: o_ns,
-                    }
-                )
-            )
+            out_frames.append(pd.DataFrame(out_rows, columns=cols))
         if out_frames:
             yield pd.concat(out_frames, ignore_index=True) if len(out_frames) > 1 else out_frames[0]
         else:
