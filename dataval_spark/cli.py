@@ -162,6 +162,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "travel, optimistic concurrency — "
                         "sources/snapshots.SnapshotTable) instead of "
                         "plain overwrite parquet; non-manifest runs only")
+    p.add_argument("--since-version", type=int, default=None, metavar="V",
+                   help="with a snapshot-table --input: validate only the "
+                        "rows appended after snapshot V (incremental "
+                        "read); exits 2 if the range is not append-only "
+                        "(a delete/merge/overwrite landed, or history "
+                        "was expired) — rerun without --since-version")
     p.add_argument("--vacuum", default=None, metavar="TABLE_DIR",
                    help="delete a snapshot table's unreferenced data "
                         "files (crashed/lost commits); prints counts, "
@@ -257,6 +263,40 @@ def build_suite(
             ts_col=suite.ts_col,
         )
     return suite
+
+
+def _read_input(spark, path: str, since_version: int | None):
+    """The input table as a DataFrame. A snapshot-table root (committed
+    ``meta/v<N>.json`` present) reads through its CURRENT snapshot's
+    file list — never a raw directory glob, which would pick up
+    uncommitted/orphaned data files. ``since_version`` narrows a
+    snapshot input to the rows appended after that version
+    (SnapshotTable.incremental_read); returns None (exit 2) when the
+    range is not append-only, so callers never silently validate the
+    wrong row set."""
+    from dataval_spark.sources.snapshots import (
+        IncrementalReadError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, path)
+    is_snapshot = t.exists()
+    if since_version is not None:
+        if not is_snapshot:
+            print(
+                f"--since-version requires a snapshot-table --input; "
+                f"{path} has no committed snapshot",
+                file=sys.stderr,
+            )
+            return None
+        try:
+            return t.incremental_read(since_version)
+        except IncrementalReadError as exc:
+            print(str(exc), file=sys.stderr)
+            return None
+    if is_snapshot:
+        return t.read()
+    return spark.read.parquet(path)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -369,7 +409,9 @@ def main(argv: list[str] | None = None) -> int:
             }))
         return 0
 
-    df = spark.read.parquet(args.input)
+    df = _read_input(spark, args.input, args.since_version)
+    if df is None:
+        return 2
 
     if args.suggest_suite:
         from dataval_spark.constraints.suggest import profile_table, suggest_spec

@@ -57,7 +57,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["SnapshotTable", "CommitConflict"]
+__all__ = ["SnapshotTable", "CommitConflict", "IncrementalReadError"]
 
 _MAX_COMMIT_RETRIES = 20
 
@@ -65,6 +65,13 @@ _MAX_COMMIT_RETRIES = 20
 class CommitConflict(RuntimeError):
     """Raised when a commit loses the rename race more than
     _MAX_COMMIT_RETRIES times (pathological contention)."""
+
+
+class IncrementalReadError(RuntimeError):
+    """Raised when a snapshot range cannot be expressed as an
+    append-only changelog (a delete/merge/overwrite/rollback landed in
+    it, or its history was expired) — the Iceberg incremental-read
+    contract: fall back to a full read of the target snapshot."""
 
 
 class SnapshotTable:
@@ -511,6 +518,71 @@ class SnapshotTable:
             .schema(schema)
             .parquet(*[f"{self.root}/{rel}" for rel, _ in entries])
         )
+
+    def added_entries(
+        self, from_version: int, to_version: int | None = None
+    ) -> list[list]:
+        """File entries whose ROWS were appended strictly after
+        ``from_version`` up to ``to_version`` (default current), by
+        walking the snapshot chain: each ``append`` contributes exactly
+        the files it added; ``compact`` rewrites existing rows and
+        contributes nothing. Any operation that changes or removes rows
+        (delete/merge/overwrite/rollback) — or a hole left by
+        ``expire_snapshots`` — raises :class:`IncrementalReadError`,
+        because the range is then not expressible as an append-only
+        changelog (Iceberg's incremental-read contract)."""
+        to_v = self.current_version() if to_version is None else to_version
+        if to_v is None or from_version > to_v:
+            raise ValueError(
+                f"bad incremental range v{from_version}..v{to_version}"
+            )
+        out: list[list] = []
+        seen: set[str] = set()
+        prev_rels: set[str] | None = None
+        for v in range(from_version, to_v + 1):
+            try:
+                snap = self.snapshot(v)
+            except FileNotFoundError as exc:
+                raise IncrementalReadError(
+                    f"snapshot v{v} of {self.root} was expired; the range "
+                    f"v{from_version}..v{to_v} has no append-only history "
+                    "— read the target snapshot in full instead"
+                ) from exc
+            rels = {rel for rel, _ in self.files(snap)}
+            if v == from_version:
+                prev_rels = rels
+                continue
+            op = snap.get("operation")
+            if op == "append":
+                added = rels - prev_rels
+                for e in self.files(snap):
+                    if e[0] in added and e[0] not in seen:
+                        seen.add(e[0])
+                        out.append(e)
+            elif op != "compact":
+                raise IncrementalReadError(
+                    f"snapshot v{v} of {self.root} is a '{op}' — rows "
+                    "changed or were removed, so the range "
+                    f"v{from_version}..v{to_v} is not an append-only "
+                    "changelog; read the target snapshot in full instead"
+                )
+            prev_rels = rels
+        return out
+
+    def incremental_read(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Exactly the rows appended after ``from_version`` up to
+        ``to_version``, under the TARGET snapshot's pinned schema (an
+        additive-evolution append in the range reads fine: the added
+        files carry the new columns). This is what lets a validation
+        run over a growing table touch only the delta — pair with
+        ``manifest.run_resumable`` for per-partition lineage. Raises
+        :class:`IncrementalReadError` when the range is not
+        append-only (see :meth:`added_entries`)."""
+        to_v = self.current_version() if to_version is None else to_version
+        entries = self.added_entries(from_version, to_v)
+        return self._read_entries(self.snapshot(to_v), entries)
 
     def _replace_entries(
         self,

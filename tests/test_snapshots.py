@@ -566,3 +566,124 @@ def test_merge_empty_batch_and_race_fail_closed(spark, tmp_path):
         t.snapshot = t_snap
     assert t.read().count() == 15  # racer's rows intact, merge rolled off
     assert t.vacuum() > 0          # merge attempt's files reclaimed
+
+
+def test_incremental_read_appends_only(spark, tmp_path):
+    """incremental_read(v) == rows appended strictly after v; compaction
+    in the range contributes nothing (pure rewrite); delta reads open
+    only the added files."""
+    from dataval_spark.sources.snapshots import IncrementalReadError
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_df(spark, 0, 10).coalesce(1), partition_by=["part"])
+    v1 = t.append(_df(spark, 10, 20).coalesce(1), partition_by=["part"])
+    vc = t.compact(target_file_bytes=1 << 30, sort_by=["id"])  # forced rewrite
+    assert vc is not None
+    v2 = t.append(_df(spark, 20, 25).coalesce(1), partition_by=["part"])
+
+    inc = t.incremental_read(v0)
+    assert sorted(r.id for r in inc.collect()) == list(range(10, 25))
+    # the delta read opens exactly the appended files — none of v0's
+    added = {rel for rel, _ in t.added_entries(v0)}
+    opened = {f.split("/data/", 1)[1] for f in inc.inputFiles()}
+    assert opened == {rel.split("data/", 1)[1] for rel in added}
+    v0_rels = {rel for rel, _ in t.files(t.snapshot(v0))}
+    assert not (added & v0_rels)
+    # bounded range: (v0, v1] is just the second append
+    assert sorted(r.id for r in t.incremental_read(v0, v1).collect()) == list(
+        range(10, 20)
+    )
+    # empty range
+    assert t.incremental_read(v2, v2).count() == 0
+    # schema pinned from the target snapshot
+    assert t.incremental_read(v0).schema == t.read().schema
+
+
+def test_incremental_read_refuses_row_changes(spark, tmp_path):
+    """delete/merge/overwrite/rollback in the range break the
+    append-only changelog -> IncrementalReadError; ranges before the
+    change still read; expired history also refuses."""
+    from dataval_spark.sources.snapshots import IncrementalReadError
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_df(spark, 0, 10).coalesce(1), partition_by=["part"])
+    v1 = t.append(_df(spark, 10, 20).coalesce(1), partition_by=["part"])
+    vd = t.delete_where({"id": (0, 2)}, partition_by=["part"])
+    v2 = t.append(_df(spark, 20, 30).coalesce(1), partition_by=["part"])
+
+    with pytest.raises(IncrementalReadError, match="delete"):
+        t.incremental_read(v0)
+    # range that stops before the delete is fine
+    assert t.incremental_read(v0, v1).count() == 10
+    # range that starts after the delete is fine
+    assert sorted(r.id for r in t.incremental_read(vd).collect()) == list(
+        range(20, 30)
+    )
+    # expired history: the walk cannot prove append-only
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(IncrementalReadError, match="expired"):
+        t.incremental_read(v0, v1)
+
+
+def test_incremental_read_schema_evolution(spark, tmp_path):
+    """An additive-evolution append inside the range reads under the
+    TARGET snapshot's (wider) schema."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_df(spark, 0, 5).coalesce(1), partition_by=["part"])
+    t.append(
+        _df(spark, 5, 8).withColumn("score", F.lit(1.5)).coalesce(1),
+        partition_by=["part"],
+        merge_schema=True,
+    )
+    inc = t.incremental_read(v0)
+    assert "score" in inc.columns
+    rows = {r.id: r.score for r in inc.collect()}
+    assert rows == {5: 1.5, 6: 1.5, 7: 1.5}
+
+
+def test_cli_since_version_incremental_validate(spark, tmp_path, capsys):
+    """A snapshot-table --input reads through its committed snapshot
+    (never a raw glob), and --since-version validates only the appended
+    delta; non-append ranges exit 2 with a clear message."""
+    import json as _json
+
+    from dataval_spark.cli import main as cli_main
+    from dataval_spark.fixtures import transcripts
+
+    table = str(tmp_path / "tbl")
+    t = SnapshotTable(spark, table)
+    batch1 = transcripts(spark, n_convs=40, seed=3, n_parts=2)
+    v0 = t.append(batch1, partition_by=["part"])
+    batch2 = transcripts(spark, n_convs=25, seed=7, n_parts=2)
+    t.append(batch2, partition_by=["part"])
+
+    # full run over the snapshot input (committed file list)
+    rc = cli_main(["--input", table, "--validate", "--cpus", "4"])
+    full = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc in (0, 3, 4)
+    assert full["n_rows"] == batch1.count() + batch2.count()
+
+    # incremental: only batch2's rows
+    rc = cli_main(
+        ["--input", table, "--validate", "--since-version", str(v0), "--cpus", "4"]
+    )
+    inc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc in (0, 3, 4)
+    assert inc["n_rows"] == batch2.count()
+
+    # a row-changing op poisons the range -> exit 2, message on stderr
+    t.delete_where({"turn_idx": (0, 0)}, partition_by=["part"])
+    rc = cli_main(
+        ["--input", table, "--validate", "--since-version", str(v0), "--cpus", "4"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "append-only" in err
+
+    # --since-version on a plain parquet dir refuses
+    plain = str(tmp_path / "plain")
+    batch1.write.parquet(plain)
+    rc = cli_main(
+        ["--input", plain, "--validate", "--since-version", "0", "--cpus", "4"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "snapshot" in err
