@@ -162,6 +162,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "travel, optimistic concurrency — "
                         "sources/snapshots.SnapshotTable) instead of "
                         "plain overwrite parquet; non-manifest runs only")
+    p.add_argument("--validate-increments", action="store_true",
+                   help="with a snapshot-table --input and --manifest: "
+                        "continuous validation — validate only the rows "
+                        "appended since the last fully-validated "
+                        "snapshot, resumably (crash-safe watermark in "
+                        "the manifest; falls back to full re-validation "
+                        "when rows changed); exits 0 when clean or "
+                        "up-to-date, 3 on failed partitions")
     p.add_argument("--since-version", type=int, default=None, metavar="V",
                    help="with a snapshot-table --input: validate only the "
                         "rows appended after snapshot V (incremental "
@@ -526,6 +534,37 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 2
+
+    if args.validate_increments:
+        from dataval_spark.manifest import validate_snapshot_increments
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        if not args.manifest:
+            print("--validate-increments requires --manifest", file=sys.stderr)
+            return 2
+        t = SnapshotTable(spark, args.input)
+        if not t.exists():
+            print(
+                f"--validate-increments requires a snapshot-table "
+                f"--input; {args.input} has no committed snapshot",
+                file=sys.stderr,
+            )
+            return 2
+        result = validate_snapshot_increments(
+            spark, args.input, suite, args.manifest,
+            verdicts_path=(f"{args.output}/verdicts" if args.output else None),
+        )
+        if result is None:
+            print(json.dumps({
+                "up_to_date": True,
+                "current_version": t.current_version(),
+            }))
+            return 0
+        summary = result.summary()
+        summary["up_to_date"] = False
+        summary["current_version"] = t.current_version()
+        print(json.dumps(summary))
+        return 0 if summary.get("n_partitions_passed") == summary.get("n_partitions") else 3
 
     if args.baseline_run:
         from dataval_spark.constraints.drift import Drift

@@ -605,3 +605,117 @@ def run_resumable(
     ).parquet(manifest_path)
     result.unpersist()  # writes done; drop the cached flagged frame
     return result
+
+
+# partition key reserved for increment-completion sentinel rows written
+# by validate_snapshot_increments (NULL parts quarantine under -1, real
+# parts are non-negative in the transcript layout)
+COMPLETE_PART = -2
+
+
+def validate_snapshot_increments(
+    spark: SparkSession,
+    table_root: str,
+    suite: Suite,
+    manifest_path: str,
+    verdicts_path: str | None = None,
+    run_prefix: str = "snap",
+) -> ValidationResult | None:
+    """Continuous validation of a growing snapshot table: validate
+    EXACTLY the rows appended since the last fully-validated snapshot,
+    resumably.
+
+    The loop the north rule asks for, assembled from the existing
+    pieces: the table's lineage is its snapshot chain
+    (sources/snapshots.SnapshotTable), the validated watermark lives in
+    the manifest as a completion sentinel row
+    ``(run_id=f"{run_prefix}-v<N>", part=COMPLETE_PART)``, and each call
+
+    * reads the current version; returns None when the watermark
+      already covers it (nothing to process — idempotent);
+    * first run (or a suite change: the watermark is keyed on
+      suite_hash, so a new suite re-validates from scratch) validates
+      the FULL current snapshot;
+    * otherwise validates ``incremental_read(last, cur)`` — only the
+      appended files are ever opened;
+    * a range poisoned by delete/merge/overwrite/rollback (or expired
+      history) falls back to FULL re-validation of the current
+      snapshot: rows changed, so delta verdicts would be unsound;
+    * crash safety: partition rows commit through ``run_resumable``
+      (same run_id => completed partitions are skipped on re-run), and
+      the sentinel commits LAST — a crash before it re-runs the
+      increment, never skips it.
+
+    Returns the increment's ValidationResult (None when nothing new or
+    the whole increment was already committed by a crashed run)."""
+    from dataval_spark.sources.snapshots import (
+        IncrementalReadError,
+        SnapshotTable,
+    )
+
+    t = SnapshotTable(spark, table_root)
+    cur = t.current_version()
+    if cur is None:
+        return None
+    shash = suite_hash(suite)
+    # suite-scoped run ids: a suite change must start its own increment
+    # series (fresh full validation), not trip the settings-consistency
+    # guard on a previous suite's run_id
+    tag = f"{run_prefix}-{shash[:8]}-v"
+    last: int | None = None
+    m = read_manifest(spark, manifest_path)
+    if m is not None:
+        done = (
+            m.where(
+                (F.col("part") == COMPLETE_PART)
+                & (F.col("suite_hash") == shash)
+                & F.col("run_id").startswith(tag)
+            )
+            .select("run_id")
+            .collect()
+        )
+        versions = []
+        for r in done:
+            try:
+                versions.append(int(r.run_id[len(tag):]))
+            except ValueError:
+                continue
+        last = max(versions, default=None)
+    if last is not None and last >= cur:
+        return None
+
+    mode = "full"
+    if last is None:
+        df = t.read(cur)
+    else:
+        try:
+            df = t.incremental_read(last, cur)
+            mode = "delta"
+        except IncrementalReadError:
+            df = t.read(cur)  # rows changed: delta verdicts unsound
+
+    run_id = f"{tag}{cur}"
+    result = run_resumable(
+        spark, df, suite, manifest_path, run_id, verdicts_path
+    )
+    metrics = result.partition_metrics if result is not None else []
+    sentinel = [
+        {
+            "run_id": run_id,
+            "suite_hash": shash,
+            "part": COMPLETE_PART,
+            "n_rows": int(sum(m_["n_rows"] for m_ in metrics)),
+            "n_approved": int(sum(m_["n_approved"] for m_ in metrics)),
+            "n_rejected": int(sum(m_["n_rejected"] for m_ in metrics)),
+            "passed": all(bool(m_["passed"]) for m_ in metrics),
+            "metrics_json": json.dumps(
+                {"from_version": last, "to_version": cur, "mode": mode}
+            ),
+            "input_fp": f"snapshot:v{cur}",
+            "committed_at": time.time(),
+        }
+    ]
+    spark.createDataFrame(sentinel, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(manifest_path)
+    return result
