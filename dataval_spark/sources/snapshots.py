@@ -241,6 +241,41 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
+    @staticmethod
+    def _entry_layout(rel: str) -> tuple[str, ...]:
+        """A file entry's hive partition-column sequence, read off its
+        directory segments (``data/part=0/x.parquet`` -> ``('part',)``,
+        an unpartitioned ``data/x.parquet`` -> ``()``)."""
+        return tuple(
+            seg.split("=", 1)[0] for seg in rel.split("/")[:-1] if "=" in seg
+        )
+
+    def _layout_partition_cols(self, snap: dict) -> list[str] | None:
+        """The snapshot's uniform hive partition layout, or None when
+        the table is unpartitioned/empty. Every write op defaults its
+        ``partition_by`` to this: a rewrite or append that silently
+        switched layout would commit a MIXED file tree, and Spark's
+        basePath partition recovery drops the minority layout's rows on
+        read — the one failure mode a metadata-tracked table must never
+        allow (see the layout guard in the commit paths)."""
+        layouts = {self._entry_layout(rel) for rel, _ in self.files(snap)}
+        if len(layouts) == 1:
+            return list(next(iter(layouts))) or None
+        return None
+
+    def _guard_layout(self, entries: list[list], context: str) -> None:
+        """Fail a commit whose final file list mixes hive layouts —
+        a mixed tree reads back silently wrong (row loss), so it must
+        never become a committed snapshot."""
+        layouts = {self._entry_layout(rel) for rel, _ in entries}
+        if len(layouts) > 1:
+            raise ValueError(
+                f"{context} would commit a mixed partition layout "
+                f"{sorted(layouts)} to {self.root}; pass the table's "
+                "existing partition_by (or rewrite the whole table via "
+                "overwrite/compact to change layout)"
+            )
+
     # -- write path -------------------------------------------------------
     def _write_data_files(
         self, df: DataFrame, partition_by: list[str] | None
@@ -318,6 +353,7 @@ class SnapshotTable:
             fields = self._schema_fields(df)
             if base_files and cur is not None:
                 parent = self.snapshot(cur)
+                self._guard_layout(self.files(parent) + new_files, operation)
                 parent_fields = sorted(
                     map(tuple, json.loads(parent["schema_fields"]))
                 )
@@ -373,7 +409,11 @@ class SnapshotTable:
         ``merge_schema=True`` allows ADDITIVE evolution: df may carry
         new columns (the snapshot schema becomes the union; rows from
         older files read the added columns as NULL), but existing
-        columns must keep their types."""
+        columns must keep their types. ``partition_by=None`` inherits
+        the table's current hive layout (a layout switch would commit a
+        mixed tree — see _layout_partition_cols)."""
+        if partition_by is None and self.exists():
+            partition_by = self._layout_partition_cols(self.snapshot())
         return self._commit(
             df, "append", partition_by, base_files=True, merge_schema=merge_schema
         )
@@ -507,17 +547,29 @@ class SnapshotTable:
 
     def _read_entries(self, snap: dict, entries: list[list]) -> DataFrame:
         """Materialize a subset of a snapshot's file entries under its
-        pinned schema (typed empty frame for no entries)."""
+        pinned schema (typed empty frame for no entries). Entries are
+        read per hive layout group and unioned: any ONE snapshot's list
+        is layout-uniform (_guard_layout), but incremental_read ranges
+        that span a sanctioned layout change (e.g. a flat sort-compact
+        on a hive table) legitimately mix hive and flat files — fed to
+        one reader, Spark's partition discovery would fail on the
+        conflicting directory structures."""
+        from functools import reduce
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(snap["schema"]))
         if not entries:
             return self.spark.createDataFrame([], schema)
-        return (
+        by_layout: dict[tuple[str, ...], list[str]] = {}
+        for rel, _ in entries:
+            by_layout.setdefault(self._entry_layout(rel), []).append(rel)
+        parts = [
             self.spark.read.option("basePath", self._data_dir())
             .schema(schema)
-            .parquet(*[f"{self.root}/{rel}" for rel, _ in entries])
-        )
+            .parquet(*[f"{self.root}/{rel}" for rel in rels])
+            for rels in by_layout.values()
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
 
     def added_entries(
         self, from_version: int, to_version: int | None = None
@@ -594,13 +646,18 @@ class SnapshotTable:
     ) -> int:
         """Commit ``kept_entries + files(replacement_df)`` as one new
         snapshot pinned to ``snap`` — the copy-on-write commit step
-        shared by delete_where/merge. Untouched files keep their
-        recorded stats; rewritten data gets fresh bounds. Like compact,
-        the CAS must fail (not retry) past a concurrent commit: the
-        rewrite was derived from ``snap``, so landing it later would
-        undo the interleaved commit's effect on the rewritten rows."""
+        shared by delete_where/update_where/merge. Untouched files keep
+        their recorded stats; rewritten data gets fresh bounds. Like
+        compact, the CAS must fail (not retry) past a concurrent commit:
+        the rewrite was derived from ``snap``, so landing it later would
+        undo the interleaved commit's effect on the rewritten rows.
+        ``partition_by=None`` inherits the snapshot's hive layout; the
+        final file list is guarded against layout mixes either way."""
+        if partition_by is None:
+            partition_by = self._layout_partition_cols(snap)
         all_stats = self.file_stats(snap)
         new_files = self._write_data_files(replacement_df, partition_by)
+        self._guard_layout(kept_entries + new_files, operation)
         stats = {
             rel: all_stats[rel] for rel, _ in kept_entries if rel in all_stats
         }
@@ -649,6 +706,57 @@ class SnapshotTable:
         )
         return self._replace_entries(
             snap, untouched, survivors, "delete", partition_by
+        )
+
+    def update_where(
+        self,
+        filters: dict,
+        assignments: dict,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """Copy-on-write UPDATE: commit a new snapshot where every row
+        matching the interval ``filters`` (same {col: (lo, hi)} form as
+        ``scan``; NULLs never match, so NULL-keyed rows are never
+        updated) has each ``assignments`` column replaced by its new
+        value — a Column expression (may reference the row's other
+        columns) or a plain literal, cast to the column's existing type
+        (SQL UPDATE semantics; the schema never changes). Only files
+        whose manifest bounds overlap the intervals are rewritten;
+        every other file carries over untouched, stats included.
+        Returns the new version, or None when no file can contain a
+        match (metadata-only no-op). Raises CommitConflict if a
+        concurrent commit lands first (rerun on the new snapshot). An
+        ``update`` snapshot poisons incremental_read ranges exactly
+        like delete/merge: rows changed in place, so the range is no
+        longer an append-only changelog."""
+        from pyspark.sql import Column
+        from pyspark.sql import functions as F
+
+        snap = self.snapshot()
+        schema = dict(map(tuple, json.loads(snap["schema_fields"])))
+        unknown = sorted(set(assignments) - set(schema))
+        if unknown:
+            raise ValueError(
+                f"update_where: unknown column(s) {unknown}; snapshot "
+                f"v{snap['version']} has {sorted(schema)}"
+            )
+        candidates, untouched = self._split_by_overlap(snap, filters)
+        if not candidates:
+            return None
+        pred = F.coalesce(self._interval_pred(filters), F.lit(False))
+        updated = self._read_entries(snap, candidates).withColumns(
+            {
+                col: F.when(
+                    pred,
+                    (
+                        val if isinstance(val, Column) else F.lit(val)
+                    ).cast(schema[col]),
+                ).otherwise(F.col(col))
+                for col, val in assignments.items()
+            }
+        )
+        return self._replace_entries(
+            snap, untouched, updated, "update", partition_by
         )
 
     def merge(
@@ -810,10 +918,23 @@ class SnapshotTable:
         ``sort_by`` the rewrite always happens — the file count cannot
         witness ordering)."""
         snap = self.snapshot()
+        if partition_by is None and sort_by is None:
+            # inherit the table's hive layout: compact rewrites the FULL
+            # file list, so this keeps the layout stable by default
+            # (explicit partition_by, and sort_by's flat range-sorted
+            # rewrite, are the sanctioned ways to CHANGE layout — a
+            # whole-table rewrite cannot mix layouts either way)
+            partition_by = self._layout_partition_cols(snap)
         files = self.files(snap)
         total = sum(int(s) for _, s in files)
         n_target = max(1, -(-total // target_file_bytes))
-        if len(files) <= n_target and not sort_by:
+        floor_files = 1
+        if partition_by and partition_by == self._layout_partition_cols(snap):
+            # a hive-partitioned rewrite cannot go below one file per
+            # leaf directory, so the no-op floor is the dir count — else
+            # a compacted partitioned table re-compacts forever
+            floor_files = len({rel.rsplit("/", 1)[0] for rel, _ in files})
+        if len(files) <= max(n_target, floor_files) and not sort_by:
             # sort_by always rewrites: the point is the file ORDER, which
             # the file count cannot witness
             return None

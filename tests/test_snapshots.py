@@ -579,7 +579,10 @@ def test_incremental_read_appends_only(spark, tmp_path):
     v1 = t.append(_df(spark, 10, 20).coalesce(1), partition_by=["part"])
     vc = t.compact(target_file_bytes=1 << 30, sort_by=["id"])  # forced rewrite
     assert vc is not None
-    v2 = t.append(_df(spark, 20, 25).coalesce(1), partition_by=["part"])
+    # the sort-compact flattened the hive layout (sanctioned change);
+    # append now inherits the flat layout — so this incremental range
+    # mixes hive (v1) and flat (v2) added files, the layout-group read
+    v2 = t.append(_df(spark, 20, 25).coalesce(1))
 
     inc = t.incremental_read(v0)
     assert sorted(r.id for r in inc.collect()) == list(range(10, 25))
@@ -687,3 +690,105 @@ def test_cli_since_version_incremental_validate(spark, tmp_path, capsys):
     )
     err = capsys.readouterr().err
     assert rc == 2 and "snapshot" in err
+
+
+def test_update_where_copy_on_write(spark, tmp_path):
+    """update_where rewrites exactly the interval-matching rows (cast to
+    the column's existing type, other columns free to reference the
+    row), rewrites only bound-overlapping files, never touches NULL
+    rows, and leaves history time-travelable."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for lo in range(0, 100, 20):  # disjoint per-file id ranges
+        t.append(_df(spark, lo, lo + 20).coalesce(1), partition_by=["part"])
+    nulls = spark.createDataFrame(
+        [(None, 0), (None, 1)], "id long, part int"
+    )
+    t.append(nulls.coalesce(1), partition_by=["part"])
+    pre = t.current_version()
+    files_before = {rel for rel, _ in t.files(t.snapshot())}
+
+    # column expression referencing the row + int literal cast to long
+    v = t.update_where(
+        {"id": (40, 59)}, {"id": F.col("id") + 1000}, partition_by=["part"]
+    )
+    assert v == pre + 1 and t.snapshot()["operation"] == "update"
+    got = sorted(r.id for r in t.read().collect() if r.id is not None)
+    assert got == sorted(
+        [i for i in range(100) if not (40 <= i <= 59)]
+        + [i + 1000 for i in range(40, 60)]
+    )
+    assert t.read().where(F.col("id").isNull()).count() == 2  # NULLs survive
+    # schema unchanged (literal/expr cast to existing types)
+    assert t.read().schema == t.read(pre).schema
+    # only the overlapping file(s) rewritten; far ranges carried over
+    files_after = {rel for rel, _ in t.files(t.snapshot())}
+    carried = files_before & files_after
+    assert len(carried) >= len(files_before) - 4
+    # history: pre-update snapshot still has the original values
+    assert (
+        t.read(pre).where((F.col("id") >= 40) & (F.col("id") <= 59)).count()
+        == 20
+    )
+    # provably-no-match interval: metadata-only no-op
+    assert t.update_where({"id": (10_000, 20_000)}, {"id": F.lit(0)}) is None
+    assert t.current_version() == v
+    # literal assignment is cast to the column's type, not a new schema
+    v2 = t.update_where({"id": (0, 0)}, {"id": 7}, partition_by=["part"])
+    assert t.read(v2).schema == t.read(pre).schema
+    assert t.read().where(F.col("id") == 7).count() == 2  # updated 0 + old 7
+    # unknown column fails closed
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where({"id": (0, 1)}, {"nope": 1})
+    # stats-pruned scans stay exact after the rewrite (fresh bounds)
+    assert sorted(
+        r.id for r in t.scan({"id": (1040, 1049)}).collect()
+    ) == list(range(1040, 1050))
+
+
+def test_update_where_poisons_incremental_read_and_race(spark, tmp_path):
+    """An update snapshot breaks the append-only changelog exactly like
+    delete/merge; a lost race fails closed and vacuums clean."""
+    import dataval_spark.sources.snapshots as S
+    from dataval_spark.sources.snapshots import IncrementalReadError
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    v0 = t.append(_df(spark, 0, 10).coalesce(1), partition_by=["part"])
+    vu = t.update_where({"id": (0, 3)}, {"id": F.col("id") + 100})
+    t.append(_df(spark, 10, 20).coalesce(1), partition_by=["part"])
+    with pytest.raises(IncrementalReadError, match="update"):
+        t.incremental_read(v0)
+    assert sorted(r.id for r in t.incremental_read(vu).collect()) == list(
+        range(10, 20)
+    )
+    # race: pin the base snapshot, let an interloper land
+    orig = t.snapshot()
+    racer = SnapshotTable(spark, t.root)
+    racer.append(_df(spark, 50, 55).coalesce(1), partition_by=["part"])
+    t_snap = t.snapshot
+    t.snapshot = lambda version=None: orig if version is None else t_snap(version)
+    try:
+        with pytest.raises(S.CommitConflict):
+            t.update_where({"id": (0, 5)}, {"id": F.lit(0)}, partition_by=["part"])
+    finally:
+        t.snapshot = t_snap
+    assert t.read().count() == 25  # racer's rows intact, update rolled off
+    assert t.vacuum() > 0          # update attempt's files reclaimed
+
+
+def test_append_layout_switch_fails_closed(spark, tmp_path):
+    """An append that would commit a mixed hive tree fails loudly (a
+    mixed tree reads back silently wrong), while appends inherit the
+    table's existing layout when partition_by is omitted."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10).coalesce(1), partition_by=["part"])
+    # omitted partition_by inherits the hive layout
+    t.append(_df(spark, 10, 20).coalesce(1))
+    layouts = {
+        SnapshotTable._entry_layout(rel) for rel, _ in t.files(t.snapshot())
+    }
+    assert layouts == {("part",)}
+    # an explicit flat append onto a hive table must not commit
+    with pytest.raises(ValueError, match="mixed partition layout"):
+        t.append(_df(spark, 20, 30).coalesce(1), partition_by=[])
+    assert t.current_version() == 1  # nothing committed
+    assert sorted(r.id for r in t.read().collect()) == list(range(20))
