@@ -61,6 +61,36 @@ __all__ = ["SnapshotTable", "CommitConflict", "IncrementalReadError"]
 
 _MAX_COMMIT_RETRIES = 20
 
+# Iceberg's write.metadata.metrics truncate(16) default: string bounds
+# kept in the manifest are prefixes, not full values, so a pathological
+# 1 MB string key cannot bloat table metadata.
+_STATS_TRUNC = 16
+
+
+def _trunc_lower(s: str, width: int = _STATS_TRUNC) -> str:
+    """Sound lower bound for a string min: a prefix always compares
+    <= the full value (code-point order == UTF-8 byte order)."""
+    return s[:width]
+
+
+def _trunc_upper(s: str, width: int = _STATS_TRUNC) -> str | None:
+    """Sound upper bound for a string max: truncate to ``width`` and
+    increment the last incrementable code point (skipping the surrogate
+    gap), so every string with the original prefix compares strictly
+    below the result. Returns None (no upper bound, never prune on it)
+    when every prefix code point is already U+10FFFF — lying is worse
+    than not pruning."""
+    if len(s) <= width:
+        return s
+    p = s[:width]
+    for i in range(width - 1, -1, -1):
+        cp = ord(p[i]) + 1
+        if 0xD800 <= cp <= 0xDFFF:
+            cp = 0xE000  # never emit a lone surrogate
+        if cp <= 0x10FFFF:
+            return p[:i] + chr(cp)
+    return None
+
 
 class CommitConflict(RuntimeError):
     """Raised when a commit loses the rename race more than
@@ -154,11 +184,15 @@ class SnapshotTable:
         """Per-file {column: [min, max]} from the parquet footers that
         were just written — Iceberg's manifest column-stats layer, the
         basis for planning-time file pruning (``scan``). Footer reads
-        are metadata-only (no row decoding). Numeric/boolean columns
-        only: their min/max round-trip JSON exactly, while string
-        bounds would need Iceberg-style truncate-and-increment to stay
-        sound. Collected only for local paths (the sandbox case);
-        anything unreadable degrades to 'no stats' = never pruned."""
+        are metadata-only (no row decoding). Numeric/boolean min/max
+        round-trip JSON exactly; STRING bounds are stored with
+        Iceberg's truncate contract (``_trunc_lower``/``_trunc_upper``:
+        a prefix is always <= the true min, a truncated-and-incremented
+        prefix always >= the true max, and an un-incrementable max
+        drops the upper bound rather than lie) so ``scan`` can prune on
+        string keys like conv_id. Collected only for local paths (the
+        sandbox case); anything unreadable degrades to 'no stats' =
+        never pruned."""
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover - pyarrow is baked in
@@ -191,11 +225,13 @@ class SnapshotTable:
                     if (
                         st is None
                         or not st.has_min_max
-                        or not isinstance(st.min, (int, float))
-                        or not isinstance(st.max, (int, float))
+                        or not isinstance(st.min, (int, float, str))
+                        or type(st.min) is not type(st.max)  # noqa: E721
                     ):
-                        # a single stats-less/non-numeric row group makes
-                        # the column's file bound unusable
+                        # a single stats-less / unsupported-type row
+                        # group makes the column's file bound unusable
+                        # (numeric, boolean and string survive; bytes /
+                        # temporal don't round-trip JSON and are dropped)
                         bounds.pop(col, None)
                         dropped.add(col)
                         continue
@@ -206,6 +242,12 @@ class SnapshotTable:
                         ]
                     else:
                         bounds[col] = [st.min, st.max]
+            for col, bnd in bounds.items():
+                if isinstance(bnd[0], str):
+                    # Iceberg truncate contract: prefix lower bound,
+                    # truncate-and-increment upper bound (None = no
+                    # upper bound when un-incrementable)
+                    bounds[col] = [_trunc_lower(bnd[0]), _trunc_upper(bnd[1])]
             for col, flag in null_only.items():
                 if flag and col not in bounds:
                     # every row group all-NULL: record the sentinel
@@ -516,7 +558,11 @@ class SnapshotTable:
                     if v is None:
                         continue
                     mn = mx = v
-                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                # a None half-bound (un-incrementable string max) means
+                # "unbounded on that side": never prune on it
+                if lo is not None and mx is not None and mx < lo:
+                    return False
+                if hi is not None and mn is not None and mn > hi:
                     return False
             return True
 
@@ -888,6 +934,7 @@ class SnapshotTable:
         target_file_bytes: int = 512 * 1024 * 1024,
         partition_by: list[str] | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """Rewrite the current snapshot's rows into ~size-targeted files
         and commit the result as a new ``compact`` snapshot — content
@@ -913,12 +960,21 @@ class SnapshotTable:
         effectively after the rewrite (plain compaction merges ranges,
         which widens per-file bounds).
 
+        ``zorder_by`` selects Z-ORDER compaction (``sources/zorder.py``):
+        rows are clustered on the Morton curve over several columns, so
+        every clustered column keeps a tight per-file [min, max] in the
+        manifest and ``scan()`` prunes on ANY of them — the layout for
+        tables with more than one independent read axis (``sort_by``
+        still wins when there is exactly one).
+
         Returns the new version, or None when the current file count
         already meets the byte target (no-op, nothing written; with
-        ``sort_by`` the rewrite always happens — the file count cannot
-        witness ordering)."""
+        ``sort_by``/``zorder_by`` the rewrite always happens — the file
+        count cannot witness ordering)."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         snap = self.snapshot()
-        if partition_by is None and sort_by is None:
+        if partition_by is None and sort_by is None and zorder_by is None:
             # inherit the table's hive layout: compact rewrites the FULL
             # file list, so this keeps the layout stable by default
             # (explicit partition_by, and sort_by's flat range-sorted
@@ -934,12 +990,22 @@ class SnapshotTable:
             # leaf directory, so the no-op floor is the dir count — else
             # a compacted partitioned table re-compacts forever
             floor_files = len({rel.rsplit("/", 1)[0] for rel, _ in files})
-        if len(files) <= max(n_target, floor_files) and not sort_by:
-            # sort_by always rewrites: the point is the file ORDER, which
-            # the file count cannot witness
+        if (
+            len(files) <= max(n_target, floor_files)
+            and not sort_by
+            and not zorder_by
+        ):
+            # sort_by/zorder_by always rewrite: the point is the file
+            # ORDER, which the file count cannot witness
             return None
         df = self.read(snap["version"])
-        if sort_by:
+        if zorder_by:
+            # z-order compaction: cluster on the Morton curve so EVERY
+            # listed column keeps tight per-file bounds in the manifest
+            from .zorder import zordered
+
+            df = zordered(df, zorder_by, n_ranges=n_target)
+        elif sort_by:
             # sort compaction: range-partition + sort within files so the
             # rewritten files carry DISJOINT [min,max] bounds on sort_by —
             # scan() pruning then touches ~1 file per point/range lookup

@@ -792,3 +792,65 @@ def test_append_layout_switch_fails_closed(spark, tmp_path):
         t.append(_df(spark, 20, 30).coalesce(1), partition_by=[])
     assert t.current_version() == 1  # nothing committed
     assert sorted(r.id for r in t.read().collect()) == list(range(20))
+
+
+def test_string_bounds_truncate_contract():
+    """_trunc_lower/_trunc_upper must bracket every string with the
+    truncated prefix: prefix <= value and incremented-prefix > value."""
+    from dataval_spark.sources.snapshots import _trunc_lower, _trunc_upper
+
+    cases = [
+        "short",
+        "exactly-16-chars",
+        "a" * 40,
+        "conv-000123-" + "z" * 30,
+        "prefix퟿-tail-goes-on-and-on",  # increment skips surrogates
+        "\U0010ffff" * 15 + "a" + "tail",    # increments the non-max char
+    ]
+    for s in cases:
+        lo, hi = _trunc_lower(s), _trunc_upper(s)
+        assert len(lo) <= 16 and lo <= s
+        if hi is not None:
+            assert len(hi) <= 16 and s <= (hi if len(s) <= 16 else hi)
+            if len(s) > 16:
+                assert s < hi  # strict: every extension stays below
+                assert not (0xD800 <= ord(hi[-1]) <= 0xDFFF)
+    # all code points at U+10FFFF: upper bound honestly dropped
+    assert _trunc_upper("\U0010ffff" * 20) is None
+    assert _trunc_upper("short") == "short"  # short strings are exact
+
+
+def test_scan_prunes_on_string_key(spark, tmp_path):
+    """String columns now carry truncated manifest bounds, so scan()
+    prunes on keys like conv_id — including values longer than the
+    16-char truncation width — and stays exact."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    # one file per key prefix; values exceed the truncation width
+    for grp in ("alpha", "bravo", "delta"):
+        df = spark.createDataFrame(
+            [(f"conv-{grp}-{i:04d}-{'x' * 20}", i) for i in range(50)],
+            "conv_id string, n int",
+        )
+        t.append(df.coalesce(1))
+    full = t.read()
+    stats = t.file_stats(t.snapshot())
+    assert stats, "string stats missing from manifest"
+    for bnd in stats.values():
+        lo, hi = bnd["conv_id"]
+        assert len(lo) <= 16 and (hi is None or len(hi) <= 16)
+    pruned = t.scan({"conv_id": ("conv-bravo-", "conv-bravo-￿")})
+    assert pruned.count() == 50
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # exactness: pruned scan == unpruned filtered read
+    expect = sorted(
+        r.conv_id
+        for r in full.where(
+            (F.col("conv_id") >= "conv-bravo-")
+            & (F.col("conv_id") <= "conv-bravo-￿")
+        ).collect()
+    )
+    assert sorted(r.conv_id for r in pruned.collect()) == expect
+    # point probe on a full-length value still lands in exactly 1 file
+    probe = f"conv-delta-0007-{'x' * 20}"
+    res = t.scan({"conv_id": (probe, probe)})
+    assert res.count() == 1 and len(res.inputFiles()) == 1
