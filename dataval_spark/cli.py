@@ -190,6 +190,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "time-travel until --expire-snapshots + --vacuum)")
     p.add_argument("--target-file-mb", type=int, default=128,
                    help="compaction file-size target in MiB (default 128)")
+    p.add_argument("--sort-by", default=None, metavar="COL[,COL...]",
+                   help="with --compact: SORT compaction — range-sort the "
+                        "rewrite on these columns so files carry disjoint "
+                        "bounds and scan() prunes sharply on the leading "
+                        "key (always rewrites)")
+    p.add_argument("--zorder-by", default=None, metavar="COL[,COL...]",
+                   help="with --compact: Z-ORDER compaction — cluster the "
+                        "rewrite on the Morton curve so scan() prunes on "
+                        "EVERY listed column (always rewrites; mutually "
+                        "exclusive with --sort-by)")
     p.add_argument("--expire-snapshots", default=None, metavar="TABLE_DIR",
                    help="drop all but the newest --keep-last snapshot "
                         "records; freed files become vacuumable orphans")
@@ -374,7 +384,12 @@ def main(argv: list[str] | None = None) -> int:
 
         t = SnapshotTable(spark, args.compact)
         before = len(t.files(t.snapshot()))
-        v = t.compact(target_file_bytes=args.target_file_mb * 1024 * 1024)
+        split = lambda s: [c.strip() for c in s.split(",") if c.strip()]  # noqa: E731
+        v = t.compact(
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+            sort_by=split(args.sort_by) if args.sort_by else None,
+            zorder_by=split(args.zorder_by) if args.zorder_by else None,
+        )
         print(json.dumps({
             "compacted": v is not None,
             "new_version": v,
@@ -413,6 +428,15 @@ def main(argv: list[str] | None = None) -> int:
                 "operation": snap["operation"],
                 "n_files": len(t.files(snap)),
                 "bytes": sum(int(s) for _, s in t.files(snap)),
+                # metadata-only when every file has a recorded count,
+                # else null (never a surprise full scan from --history)
+                "rows": (
+                    t.row_count(version=k)
+                    if all(
+                        rel in t.file_rows(snap) for rel, _ in t.files(snap)
+                    )
+                    else None
+                ),
                 "current": snap["version"] == cur,
             }))
         return 0

@@ -854,3 +854,42 @@ def test_scan_prunes_on_string_key(spark, tmp_path):
     probe = f"conv-delta-0007-{'x' * 20}"
     res = t.scan({"conv_id": (probe, probe)})
     assert res.count() == 1 and len(res.inputFiles()) == 1
+
+
+def test_row_count_is_metadata_only(spark, tmp_path):
+    """row_count() without filters must come from manifest row counts
+    alone — proven by answering correctly after the data files are
+    gone — and stay exact across append/delete/merge/compact."""
+    import shutil
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 40).repartition(4))
+    t.append(_df(spark, 40, 60).repartition(2))
+    assert t.row_count() == 60
+    assert t.row_count(version=0) == 40
+    t.delete_where({"id": (0, 9)})
+    assert t.row_count() == 50
+    t.merge(_df(spark, 55, 65), key_cols=["id"])  # 5 update + 5 insert
+    assert t.row_count() == 55
+    t.compact(target_file_bytes=1 << 30)
+    v = t.current_version()
+    assert t.row_count() == 55
+    # filters route through the pruned scan and stay exact
+    assert t.row_count(filters={"id": (20, 29)}) == 10
+    # the metadata-only proof: remove the data, the count still answers
+    shutil.rmtree(f"{t.root}/data")
+    assert t.row_count() == 55 and t.row_count(version=v) == 55
+
+
+def test_row_count_falls_back_without_recorded_rows(spark, tmp_path):
+    """Pre-row-count manifests (no 'rows' key) must fall back to a real
+    data read, never crash or undercount."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 30).repartition(3))
+    meta = f"{t.root}/meta"
+    for name in t.snapshot()["manifests"]:
+        doc = json.loads(t._read_text(f"{meta}/{name}"))
+        doc.pop("rows", None)
+        t._write_text(f"{meta}/{name}", json.dumps(doc))
+    assert t.file_rows(t.snapshot()) == {}
+    assert t.row_count() == 30

@@ -174,3 +174,36 @@ def test_increment_clustered_with_frozen_boundaries(spark, tmp_path):
     inc = _grid_df(spark, 100)
     out = zordered(inc, ["x", "y"], bits_per_col=4, boundaries=bnds, n_ranges=2)
     assert out.count() == 100
+
+
+def test_cli_compact_zorder_and_sort_faces(spark, tmp_path, capsys):
+    import json
+
+    from dataval_spark.cli import main as cli_main
+
+    d = str(tmp_path / "in")
+    _grid_df(spark, 6).write.parquet(d)  # dummy --input; never read
+    table = str(tmp_path / "t")
+    t = SnapshotTable(spark, table)
+    t.append(_grid_df(spark, 4000).repartition(8))
+    capsys.readouterr()
+
+    rc = cli_main([
+        "--input", d, "--compact", table,
+        "--target-file-mb", "1024", "--zorder-by", "x,y",
+    ])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["compacted"]  # zorder always rewrites
+    assert t.snapshot()["operation"] == "compact"
+    stats = t.file_stats(t.snapshot())
+    assert all("x" in b and "y" in b for b in stats.values())
+    assert t.read().count() == 4000
+
+    rc = cli_main([
+        "--input", d, "--compact", table,
+        "--target-file-mb", "1024", "--sort-by", "y",
+    ])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["compacted"]
+    assert t.read().count() == 4000
