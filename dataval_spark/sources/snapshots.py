@@ -367,6 +367,34 @@ class SnapshotTable:
                 "overwrite/compact to change layout)"
             )
 
+    @staticmethod
+    def _canonical_specs(partition_by: list[str] | None) -> list[str]:
+        """partition_by entries in canonical spec form (validates them;
+        [] for unpartitioned) — what the snapshot records so appends and
+        rewrites inherit TRANSFORMS, not just hive directory names."""
+        from .transforms import parse_partition_specs
+
+        if not partition_by:
+            return []
+        return [t.spec for t in parse_partition_specs(partition_by)]
+
+    @staticmethod
+    def _spec_hive_names(partition_by: list[str]) -> list[str]:
+        """The hive directory keys a partition_by list produces (==
+        the list itself when every entry is a plain column)."""
+        from .transforms import parse_partition_specs
+
+        return [t.hive_name for t in parse_partition_specs(partition_by)]
+
+    def partition_specs(self, snap: dict) -> list[str] | None:
+        """The snapshot's partition spec (canonical strings, possibly
+        transforms), or None when unpartitioned. Pre-spec snapshots fall
+        back to the path-derived hive names (always identity)."""
+        spec = snap.get("partition_spec")
+        if spec is not None:
+            return list(spec) or None
+        return self._layout_partition_cols(snap)
+
     # -- write path -------------------------------------------------------
     def _write_data_files(
         self, df: DataFrame, partition_by: list[str] | None
@@ -377,6 +405,13 @@ class SnapshotTable:
         visible to any reader until a snapshot referencing them commits —
         reads go through the metadata file list, never a directory scan.
 
+        ``partition_by`` entries may be partition TRANSFORMS
+        (``days(ts)``, ``bucket(16, id)`` — see ``sources/transforms``):
+        the derived value is computed here, lives only in the directory
+        name (partitionBy lifts it out of the data files), and the
+        pinned snapshot schema hides it from readers — Iceberg's hidden
+        partitioning.
+
         The write lands in a scratch commit dir first (Spark owns that
         layout), then each data file is renamed into place: one cheap
         metadata op per file on hdfs://-like filesystems, and the shared
@@ -384,9 +419,25 @@ class SnapshotTable:
         across commits."""
         commit = uuid.uuid4().hex[:12]
         scratch = f"{self._data_dir()}/_scratch_{commit}"
-        w = df.write.mode("error")
         if partition_by:
-            w = w.partitionBy(*partition_by)
+            from .transforms import parse_partition_specs
+
+            transforms = parse_partition_specs(partition_by)
+            dtypes = dict(df.dtypes)
+            missing = [t.source for t in transforms if t.source not in dtypes]
+            if missing:
+                raise ValueError(
+                    f"partition_by references missing column(s) {missing}; "
+                    f"df has {sorted(dtypes)}"
+                )
+            for t in transforms:
+                if not t.is_identity:
+                    df = df.withColumn(t.hive_name, t.expr(dtypes[t.source]))
+            w = df.write.mode("error").partitionBy(
+                *[t.hive_name for t in transforms]
+            )
+        else:
+            w = df.write.mode("error")
         w.parquet(scratch)
         files: list[list] = []
         it = self._fs.listFiles(self._Path(scratch), True)
@@ -479,6 +530,7 @@ class SnapshotTable:
                 "schema": schema_json,
                 "schema_fields": json.dumps(fields),
                 "manifests": manifests,
+                "partition_spec": self._canonical_specs(partition_by),
             }
             if self._try_commit(version, snap):
                 return version
@@ -501,10 +553,12 @@ class SnapshotTable:
         new columns (the snapshot schema becomes the union; rows from
         older files read the added columns as NULL), but existing
         columns must keep their types. ``partition_by=None`` inherits
-        the table's current hive layout (a layout switch would commit a
-        mixed tree — see _layout_partition_cols)."""
+        the table's current partition spec — TRANSFORMS included, so an
+        append to a ``days(ts)``-partitioned table derives the same
+        directory keys (a layout switch would commit a mixed tree — see
+        _layout_partition_cols)."""
         if partition_by is None and self.exists():
-            partition_by = self._layout_partition_cols(self.snapshot())
+            partition_by = self.partition_specs(self.snapshot())
         return self._commit(
             df, "append", partition_by, base_files=True, merge_schema=merge_schema
         )
@@ -532,22 +586,12 @@ class SnapshotTable:
     # -- read path --------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
         """Materialize a snapshot: exactly its file list, no directory
-        scan. Empty snapshots read as a typed empty frame."""
-        from pyspark.sql.types import StructType
-
+        scan. Empty snapshots read as a typed empty frame. Columns that
+        exist only as hidden-partition directory keys (``ts_day=...``
+        from a ``days(ts)`` spec) never surface — readers see exactly
+        the snapshot schema."""
         snap = self.snapshot(version)
-        paths = [f"{self.root}/{rel}" for rel, _ in self.files(snap)]
-        schema = StructType.fromJson(json.loads(snap["schema"]))
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        # basePath keeps hive-style partition columns (part=3/...) alive
-        # under explicit file-list reads; schema pinned from the snapshot
-        # so readers never pay footer-merge inference
-        return (
-            self.spark.read.option("basePath", self._data_dir())
-            .schema(schema)
-            .parquet(*paths)
-        )
+        return self._read_entries(snap, self.files(snap))
 
     def scan(
         self, filters: dict, version: int | None = None
@@ -576,26 +620,63 @@ class SnapshotTable:
         """Partition a snapshot's file entries into (possibly-matching,
         provably-non-matching) for interval ``filters``, judged on the
         manifest column bounds plus hive path values for partition
-        columns. A file with no recorded bounds for a filtered column is
-        always possibly-matching."""
-        stats = self.file_stats(snap)
+        columns — including HIDDEN-partition keys: a filter on ``ts``
+        over a ``days(ts)``-partitioned table is mapped through the
+        transform (monotone transforms map interval endpoints; bucket
+        serves equality only) and tested against the directory value.
+        A file with no recorded bounds for a filtered column is always
+        possibly-matching."""
+        from .transforms import parse_partition_specs
 
-        def hive_value(rel: str, col: str):
-            # partition columns live in the path, not the footer
-            needle = f"{col}="
+        stats = self.file_stats(snap)
+        specs = self.partition_specs(snap)
+        derived = {
+            t.source: t
+            for t in (parse_partition_specs(specs) if specs else [])
+            if not t.is_identity
+        }
+
+        def path_value(rel: str, name: str) -> str | None:
+            needle = f"{name}="
             for seg in rel.split("/"):
                 if seg.startswith(needle):
-                    try:
-                        return float(seg.split("=", 1)[1])
-                    except ValueError:
-                        return None
+                    return seg.split("=", 1)[1]
             return None
+
+        def transform_prunes(rel: str, col: str, lo, hi) -> bool:
+            """True when the hidden-partition directory value PROVES
+            no row of this file can satisfy [lo, hi] on the source
+            column. Conservative on every failure mode (absent key,
+            hive NULL dir, unservable bucket range, type mismatch)."""
+            t = derived.get(col)
+            if t is None:
+                return False
+            raw = path_value(rel, t.hive_name)
+            if raw is None:
+                return False
+            pv = t.parse_path_value(raw)
+            if pv is None:
+                return False  # hive NULL sentinel: never pruned
+            try:
+                iv = t.interval(lo, hi)
+                if iv is None:
+                    return False  # bucket + range: hash scrambles order
+                tlo, thi = iv
+                if tlo is not None and pv < tlo:
+                    return True
+                if thi is not None and pv > thi:
+                    return True
+            except (TypeError, ValueError):
+                return False  # un-mappable filter value: never prune
+            return False
 
         def overlaps(rel: str) -> bool:
             bounds = stats.get(rel, {})
             for col, (lo, hi) in filters.items():
                 if lo is None and hi is None:
                     continue  # vacuous interval: constrains nothing
+                if transform_prunes(rel, col, lo, hi):
+                    return False
                 if col in bounds:
                     mn, mx = bounds[col]
                     if mn is None and mx is None:
@@ -603,8 +684,12 @@ class SnapshotTable:
                         # predicate can never match (SQL BETWEEN)
                         return False
                 else:
-                    v = hive_value(rel, col)
-                    if v is None:
+                    raw = path_value(rel, col)
+                    if raw is None:
+                        continue
+                    try:
+                        v = float(raw)
+                    except ValueError:
                         continue
                     mn = mx = v
                 # a None half-bound (un-incrementable string max) means
@@ -658,10 +743,17 @@ class SnapshotTable:
         by_layout: dict[tuple[str, ...], list[str]] = {}
         for rel, _ in entries:
             by_layout.setdefault(self._entry_layout(rel), []).append(rel)
+        # the final select pins the column set: Spark APPENDS discovered
+        # hive partition columns even under an explicit schema (verified
+        # empirically), so a hidden-partition key (days(ts) -> ts_day=)
+        # would otherwise leak into every read; identity partition
+        # columns are IN the schema and survive the projection
+        names = [f.name for f in schema.fields]
         parts = [
             self.spark.read.option("basePath", self._data_dir())
             .schema(schema)
             .parquet(*[f"{self.root}/{rel}" for rel in rels])
+            .select(*names)
             for rels in by_layout.values()
         ]
         return reduce(lambda a, b: a.unionByName(b), parts)
@@ -746,10 +838,11 @@ class SnapshotTable:
         compact, the CAS must fail (not retry) past a concurrent commit:
         the rewrite was derived from ``snap``, so landing it later would
         undo the interleaved commit's effect on the rewritten rows.
-        ``partition_by=None`` inherits the snapshot's hive layout; the
-        final file list is guarded against layout mixes either way."""
+        ``partition_by=None`` inherits the snapshot's partition spec
+        (transforms included); the final file list is guarded against
+        layout mixes either way."""
         if partition_by is None:
-            partition_by = self._layout_partition_cols(snap)
+            partition_by = self.partition_specs(snap)
         all_stats = self.file_stats(snap)
         all_rows = self.file_rows(snap)
         new_files = self._write_data_files(replacement_df, partition_by)
@@ -772,6 +865,7 @@ class SnapshotTable:
             "schema": snap["schema"],
             "schema_fields": snap["schema_fields"],
             "manifests": [manifest],
+            "partition_spec": self._canonical_specs(partition_by),
         }
         if not self._try_commit(base + 1, new_snap):
             raise CommitConflict(
@@ -1030,17 +1124,20 @@ class SnapshotTable:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
         snap = self.snapshot()
         if partition_by is None and sort_by is None and zorder_by is None:
-            # inherit the table's hive layout: compact rewrites the FULL
-            # file list, so this keeps the layout stable by default
-            # (explicit partition_by, and sort_by's flat range-sorted
-            # rewrite, are the sanctioned ways to CHANGE layout — a
-            # whole-table rewrite cannot mix layouts either way)
-            partition_by = self._layout_partition_cols(snap)
+            # inherit the table's partition spec (transforms included):
+            # compact rewrites the FULL file list, so this keeps the
+            # layout stable by default (explicit partition_by, and
+            # sort_by's flat range-sorted rewrite, are the sanctioned
+            # ways to CHANGE layout — a whole-table rewrite cannot mix
+            # layouts either way)
+            partition_by = self.partition_specs(snap)
         files = self.files(snap)
         total = sum(int(s) for _, s in files)
         n_target = max(1, -(-total // target_file_bytes))
         floor_files = 1
-        if partition_by and partition_by == self._layout_partition_cols(snap):
+        if partition_by and self._spec_hive_names(
+            partition_by
+        ) == self._layout_partition_cols(snap):
             # a hive-partitioned rewrite cannot go below one file per
             # leaf directory, so the no-op floor is the dir count — else
             # a compacted partitioned table re-compacts forever
@@ -1070,8 +1167,18 @@ class SnapshotTable:
             )
         elif partition_by:
             # co-locate hive partition values so each output task writes
-            # whole files per value it owns
-            df = df.repartition(n_target, *partition_by)
+            # whole files per value it owns (transform entries cluster
+            # on the DERIVED expression, matching the directory keys)
+            from .transforms import parse_partition_specs
+
+            dtypes = dict(df.dtypes)
+            df = df.repartition(
+                n_target,
+                *[
+                    t.expr(dtypes.get(t.source, "string"))
+                    for t in parse_partition_specs(partition_by)
+                ],
+            )
         else:
             df = df.repartition(n_target)
         compacted_files = self._write_data_files(df, partition_by)
@@ -1086,6 +1193,7 @@ class SnapshotTable:
             "schema": snap["schema"],
             "schema_fields": snap["schema_fields"],
             "manifests": [new_manifest],
+            "partition_spec": self._canonical_specs(partition_by),
         }
         if not self._try_commit(base + 1, new_snap):
             raise CommitConflict(
