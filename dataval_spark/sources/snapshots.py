@@ -484,6 +484,7 @@ class SnapshotTable:
         partition_by: list[str] | None,
         base_files: bool,
         merge_schema: bool = False,
+        stream_marker: tuple[str, int] | None = None,
     ) -> int:
         new_files = self._write_data_files(df, partition_by)
         new_manifest = self._write_manifest(
@@ -491,10 +492,10 @@ class SnapshotTable:
         )
         for _ in range(_MAX_COMMIT_RETRIES):
             cur = self.current_version()
+            parent = self.snapshot(cur) if cur is not None else None
             schema_json = df.schema.json()
             fields = self._schema_fields(df)
             if base_files and cur is not None:
-                parent = self.snapshot(cur)
                 self._guard_layout(self.files(parent) + new_files, operation)
                 parent_fields = sorted(
                     map(tuple, json.loads(parent["schema_fields"]))
@@ -532,6 +533,16 @@ class SnapshotTable:
                 "manifests": manifests,
                 "partition_spec": self._canonical_specs(partition_by),
             }
+            # stream watermarks ride the chain HEAD: every commit copies
+            # its parent's map forward, so the exactly-once check is one
+            # current-snapshot read and expire_snapshots can never lose
+            # it (the state lives in every later snapshot, not only the
+            # one that recorded it)
+            state = dict(parent.get("stream_state", {})) if parent else {}
+            if stream_marker is not None:
+                state[stream_marker[0]] = int(stream_marker[1])
+            if state:
+                snap["stream_state"] = state
             if self._try_commit(version, snap):
                 return version
             # lost the race: a concurrent commit landed at `version` —
@@ -542,11 +553,23 @@ class SnapshotTable:
             f"{_MAX_COMMIT_RETRIES} attempts"
         )
 
+    def stream_batch(self, run_key: str) -> int | None:
+        """The highest streaming batch id committed for ``run_key``
+        (None before the first) — one current-snapshot read. The
+        exactly-once probe for the snapshot streaming sink: a replayed
+        foreachBatch invocation with batch_id <= this is a no-op."""
+        if not self.exists():
+            return None
+        state = self.snapshot().get("stream_state", {})
+        v = state.get(run_key)
+        return None if v is None else int(v)
+
     def append(
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
+        stream_marker: tuple[str, int] | None = None,
     ) -> int:
         """Snapshot-atomic append; returns the committed version.
         ``merge_schema=True`` allows ADDITIVE evolution: df may carry
@@ -560,7 +583,12 @@ class SnapshotTable:
         if partition_by is None and self.exists():
             partition_by = self.partition_specs(self.snapshot())
         return self._commit(
-            df, "append", partition_by, base_files=True, merge_schema=merge_schema
+            df,
+            "append",
+            partition_by,
+            base_files=True,
+            merge_schema=merge_schema,
+            stream_marker=stream_marker,
         )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
@@ -579,6 +607,15 @@ class SnapshotTable:
             snap.update(
                 {"version": new_version, "parent": cur, "operation": "rollback"}
             )
+            # stream watermarks are monotone along the CHAIN, not the
+            # content: a rollback rewinds rows, never the exactly-once
+            # batch markers (a replayed batch must still be a no-op)
+            snap.pop("stream_state", None)
+            head_state = (
+                self.snapshot(cur).get("stream_state") if cur is not None else None
+            )
+            if head_state:
+                snap["stream_state"] = head_state
             if self._try_commit(new_version, snap):
                 return new_version
         raise CommitConflict(f"rollback lost {_MAX_COMMIT_RETRIES} races")
@@ -867,6 +904,8 @@ class SnapshotTable:
             "manifests": [manifest],
             "partition_spec": self._canonical_specs(partition_by),
         }
+        if snap.get("stream_state"):
+            new_snap["stream_state"] = snap["stream_state"]
         if not self._try_commit(base + 1, new_snap):
             raise CommitConflict(
                 f"table {self.root} advanced past v{base} during "
@@ -1195,6 +1234,8 @@ class SnapshotTable:
             "manifests": [new_manifest],
             "partition_spec": self._canonical_specs(partition_by),
         }
+        if snap.get("stream_state"):
+            new_snap["stream_state"] = snap["stream_state"]
         if not self._try_commit(base + 1, new_snap):
             raise CommitConflict(
                 f"table {self.root} advanced past v{base} during "
