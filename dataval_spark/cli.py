@@ -206,6 +206,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-last", type=int, default=3,
                    help="snapshots to retain with --expire-snapshots "
                         "(default 3; the current one is always kept)")
+    p.add_argument("--ingest-audited", default=None, metavar="TABLE_DIR",
+                   help="write-audit-publish: stage --input into the "
+                        "snapshot table, validate the STAGED rows with "
+                        "the suite, then atomically publish (exit 0) or "
+                        "abort so bad data never becomes visible "
+                        "(exit 3); honors --suite/--method/"
+                        "--reject-ratio and --partition-by")
+    p.add_argument("--partition-by", default=None, metavar="SPEC[,SPEC]",
+                   help="layout for a table created by --ingest-audited: "
+                        "plain columns or partition transforms "
+                        "(days(ts), bucket(16,id), truncate(4,code)); "
+                        "an existing table's recorded spec is inherited")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -368,6 +380,28 @@ def main(argv: list[str] | None = None) -> int:
         for row in compare_runs(spark, args.manifest, run_a, run_b).orderBy("part").collect():
             print(json.dumps(row.asDict()))
         return 0
+
+    if args.ingest_audited:
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, args.ingest_audited)
+        pb = (
+            [c.strip() for c in args.partition_by.split(",") if c.strip()]
+            if args.partition_by
+            else None
+        )
+        handle = t.stage_append(spark.read.parquet(args.input), partition_by=pb)
+        suite = build_suite(args.method, args.reject_ratio, args.suite)
+        summary = suite.run(t.read_staged(handle)).summary()
+        ok = summary["n_partitions_passed"] == summary["n_partitions"]
+        if ok:
+            version = t.publish(handle)
+        else:
+            # the staged rows never become a committed snapshot
+            t.abort_staged(handle)
+            version = t.current_version()
+        print(json.dumps({"published": ok, "version": version, **summary}))
+        return 0 if ok else 3
 
     if args.vacuum:
         from dataval_spark.sources.snapshots import SnapshotTable

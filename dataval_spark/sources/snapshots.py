@@ -490,11 +490,36 @@ class SnapshotTable:
         new_manifest = self._write_manifest(
             new_files, *self._collect_stats(new_files)
         )
+        return self._commit_staged(
+            new_files,
+            new_manifest,
+            df.schema.json(),
+            self._schema_fields(df),
+            operation,
+            partition_by,
+            base_files,
+            merge_schema,
+            stream_marker,
+        )
+
+    def _commit_staged(
+        self,
+        new_files: list[list],
+        new_manifest: str,
+        schema_json: str,
+        fields: list,
+        operation: str,
+        partition_by: list[str] | None,
+        base_files: bool,
+        merge_schema: bool = False,
+        stream_marker: tuple[str, int] | None = None,
+    ) -> int:
+        """The commit half of a write: CAS-retry loop over
+        already-written data files + manifest (shared by the one-shot
+        ops and the stage/publish pair)."""
         for _ in range(_MAX_COMMIT_RETRIES):
             cur = self.current_version()
             parent = self.snapshot(cur) if cur is not None else None
-            schema_json = df.schema.json()
-            fields = self._schema_fields(df)
             if base_files and cur is not None:
                 self._guard_layout(self.files(parent) + new_files, operation)
                 parent_fields = sorted(
@@ -590,6 +615,74 @@ class SnapshotTable:
             merge_schema=merge_schema,
             stream_marker=stream_marker,
         )
+
+    # -- write-audit-publish -----------------------------------------------
+    def stage_append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        merge_schema: bool = False,
+    ) -> dict:
+        """Phase 1 of write-audit-publish: write df's data files and
+        their manifest, but commit NO snapshot — the rows are invisible
+        to every reader. Returns a JSON-serializable handle for
+        :meth:`read_staged` (audit), :meth:`publish` (atomic commit) or
+        :meth:`abort_staged` (discard). The gate pattern for a
+        validated 100-TB ingest: bad data never becomes a committed
+        snapshot, and the publish is the same compare-and-swap as a
+        plain append (concurrent commits in the audit window are
+        retried past, both survive).
+
+        Caveat (same as Iceberg's WAP): ``vacuum()`` cannot tell a
+        staged-awaiting-audit file from a crashed commit's orphan — do
+        not run vacuum while an audit is in flight."""
+        if partition_by is None and self.exists():
+            partition_by = self.partition_specs(self.snapshot())
+        files = self._write_data_files(df, partition_by)
+        manifest = self._write_manifest(files, *self._collect_stats(files))
+        return {
+            "files": files,
+            "manifest": manifest,
+            "schema": df.schema.json(),
+            "schema_fields": self._schema_fields(df),
+            "partition_spec": self._canonical_specs(partition_by),
+            "merge_schema": bool(merge_schema),
+        }
+
+    def read_staged(self, handle: dict) -> DataFrame:
+        """The staged (uncommitted, reader-invisible) rows, for the
+        audit step: run the validation suite on exactly what publish
+        would make visible."""
+        return self._read_entries({"schema": handle["schema"]}, handle["files"])
+
+    def publish(self, handle: dict) -> int:
+        """Phase 3: atomically commit the staged files as an append
+        snapshot. Identical semantics to :meth:`append` (schema guard,
+        layout guard, CAS retry past concurrent commits)."""
+        return self._commit_staged(
+            handle["files"],
+            handle["manifest"],
+            handle["schema"],
+            [tuple(f) for f in handle["schema_fields"]],
+            "append",
+            list(handle["partition_spec"]) or None,
+            base_files=True,
+            merge_schema=handle.get("merge_schema", False),
+        )
+
+    def abort_staged(self, handle: dict) -> int:
+        """Discard a staged write: delete its data files + manifest.
+        Returns how many files were removed. (Leaving the handle to
+        ``vacuum()`` works too — this just reclaims immediately.)"""
+        n = 0
+        for rel, _ in handle["files"]:
+            if self._fs.delete(self._Path(f"{self.root}/{rel}"), False):
+                n += 1
+        if self._fs.delete(
+            self._Path(f"{self._meta_dir()}/{handle['manifest']}"), False
+        ):
+            n += 1
+        return n
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Snapshot-atomic replace (history retained; time travel still
