@@ -218,6 +218,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "plain columns or partition transforms "
                         "(days(ts), bucket(16,id), truncate(4,code)); "
                         "an existing table's recorded spec is inherited")
+    p.add_argument("--partitions", default=None, metavar="TABLE_DIR",
+                   help="per-partition file/byte/row census of a "
+                        "snapshot table from manifests only (no data "
+                        "reads) — the skew question answered without "
+                        "a scan; one JSON line per partition value")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -402,6 +407,18 @@ def main(argv: list[str] | None = None) -> int:
             version = t.current_version()
         print(json.dumps({"published": ok, "version": version, **summary}))
         return 0 if ok else 3
+
+    if args.partitions:
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, args.partitions)
+        for row in (
+            t.partitions_df().orderBy("total_bytes", ascending=False).collect()
+        ):
+            d = row.asDict()
+            d["partition"] = dict(d["partition"] or {})
+            print(json.dumps(d, sort_keys=True))
+        return 0
 
     if args.vacuum:
         from dataval_spark.sources.snapshots import SnapshotTable

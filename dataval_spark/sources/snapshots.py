@@ -1136,6 +1136,108 @@ class SnapshotTable:
             snap, untouched, rewritten, "merge", partition_by
         )
 
+    # -- metadata inspection tables ----------------------------------------
+    def snapshots_df(self) -> DataFrame:
+        """One row per retained snapshot — Iceberg's ``snapshots``
+        metadata table: version, parent, operation, file/byte totals
+        and the recorded partition spec, all from metadata (zero data
+        reads). Expired versions are simply absent."""
+        cur = self.current_version()
+        rows = []
+        for k in range((cur + 1) if cur is not None else 0):
+            p = self._vpath(k)
+            if not self._fs.exists(self._Path(p)):
+                continue
+            snap = json.loads(self._read_text(p))
+            entries = self.files(snap)
+            file_rows = self.file_rows(snap)
+            counted = [file_rows[rel] for rel, _ in entries if rel in file_rows]
+            rows.append(
+                (
+                    snap["version"],
+                    snap.get("parent"),
+                    snap.get("operation"),
+                    len(snap["manifests"]),
+                    len(entries),
+                    sum(int(s) for _, s in entries),
+                    sum(counted) if len(counted) == len(entries) else None,
+                    list(snap.get("partition_spec") or []),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, operation string, n_manifests int, "
+            "n_files int, total_bytes long, total_rows long, "
+            "partition_spec array<string>",
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """One row per live data file of a snapshot — Iceberg's
+        ``files`` metadata table: path, bytes, recorded row count, the
+        hive partition values parsed off the path, and the manifest
+        column bounds (as a JSON string; None when the file predates
+        stats). Metadata-only; driver work is O(files), the same bound
+        as every manifest resolution in this class."""
+        snap = self.snapshot(version)
+        stats = self.file_stats(snap)
+        rows_map = self.file_rows(snap)
+        out = []
+        for rel, size in self.files(snap):
+            parts = {
+                seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                for seg in rel.split("/")[:-1]
+                if "=" in seg
+            }
+            bounds = stats.get(rel)
+            out.append(
+                (
+                    rel,
+                    int(size),
+                    rows_map.get(rel),
+                    parts,
+                    json.dumps(bounds, sort_keys=True) if bounds else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            "path string, bytes long, rows long, "
+            "partition map<string,string>, bounds string",
+        )
+
+    def partitions_df(self, version: int | None = None) -> DataFrame:
+        """Per-partition-value census — Iceberg's ``partitions``
+        metadata table: n_files, total bytes and (when every file
+        recorded one) total rows per hive directory value. The
+        skew/size question every 100-TB operator asks first, answered
+        without opening a single data file."""
+        snap = self.snapshot(version)
+        rows_map = self.file_rows(snap)
+        agg: dict[tuple, list] = {}
+        for rel, size in self.files(snap):
+            key = tuple(
+                seg for seg in rel.split("/")[:-1] if "=" in seg
+            )
+            a = agg.setdefault(key, [0, 0, 0, 0])  # files, bytes, rows, counted
+            a[0] += 1
+            a[1] += int(size)
+            if rel in rows_map:
+                a[2] += rows_map[rel]
+                a[3] += 1
+        out = [
+            (
+                dict(seg.split("=", 1) for seg in key) if key else {},
+                a[0],
+                a[1],
+                a[2] if a[3] == a[0] else None,
+            )
+            for key, a in agg.items()
+        ]
+        return self.spark.createDataFrame(
+            out,
+            "partition map<string,string>, n_files int, "
+            "total_bytes long, total_rows long",
+        )
+
     # -- lineage / maintenance -------------------------------------------
     def input_fingerprints(self, part_col: str, version: int | None = None) -> dict[int, str]:
         """Per-partition input fingerprints from the snapshot's OWN file
