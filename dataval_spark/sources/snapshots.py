@@ -105,14 +105,41 @@ class IncrementalReadError(RuntimeError):
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bloom_columns: dict[str, int] | list[str] | None = None,
+    ):
+        """``bloom_columns`` declares parquet BLOOM FILTERS for
+        high-cardinality point-lookup keys ({col: expected_ndv}, or a
+        list for the 1M-ndv default): written via the standard
+        parquet-mr options, consumed automatically by Spark's scan for
+        equality predicates (row-group skip without a sort — min/max
+        bounds are useless on a key like conv_id scattered across every
+        file). Recorded in each snapshot and inherited by later writers
+        constructed without the parameter, so compaction keeps the
+        blooms. Perf-only metadata: a writer that drops it loses
+        skipping, never correctness."""
         self.spark = spark
         self.root = root.rstrip("/")
+        if isinstance(bloom_columns, (list, tuple)):
+            bloom_columns = {c: 1_000_000 for c in bloom_columns}
+        self._bloom_columns = bloom_columns
         jvm = spark._jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(self.root).getFileSystem(
             spark._jsc.hadoopConfiguration()
         )
+
+    def _resolved_blooms(self) -> dict[str, int]:
+        """The bloom-filter spec in force: the constructor's, else the
+        current snapshot's recorded one, else none."""
+        if self._bloom_columns is not None:
+            return dict(self._bloom_columns)
+        if self.exists():
+            return dict(self.snapshot().get("bloom_columns") or {})
+        return {}
 
     # -- paths ----------------------------------------------------------
     def _meta_dir(self) -> str:
@@ -438,6 +465,13 @@ class SnapshotTable:
             )
         else:
             w = df.write.mode("error")
+        cols = set(df.columns)
+        for c, ndv in self._resolved_blooms().items():
+            if c in cols:
+                w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+                w = w.option(
+                    f"parquet.bloom.filter.expected.ndv#{c}", str(int(ndv))
+                )
         w.parquet(scratch)
         files: list[list] = []
         it = self._fs.listFiles(self._Path(scratch), True)
@@ -558,6 +592,9 @@ class SnapshotTable:
                 "manifests": manifests,
                 "partition_spec": self._canonical_specs(partition_by),
             }
+            blooms = self._resolved_blooms()
+            if blooms:
+                snap["bloom_columns"] = blooms
             # stream watermarks ride the chain HEAD: every commit copies
             # its parent's map forward, so the exactly-once check is one
             # current-snapshot read and expire_snapshots can never lose
@@ -999,6 +1036,9 @@ class SnapshotTable:
         }
         if snap.get("stream_state"):
             new_snap["stream_state"] = snap["stream_state"]
+        blooms = self._resolved_blooms()
+        if blooms:
+            new_snap["bloom_columns"] = blooms
         if not self._try_commit(base + 1, new_snap):
             raise CommitConflict(
                 f"table {self.root} advanced past v{base} during "
@@ -1431,6 +1471,9 @@ class SnapshotTable:
         }
         if snap.get("stream_state"):
             new_snap["stream_state"] = snap["stream_state"]
+        blooms = self._resolved_blooms()
+        if blooms:
+            new_snap["bloom_columns"] = blooms
         if not self._try_commit(base + 1, new_snap):
             raise CommitConflict(
                 f"table {self.root} advanced past v{base} during "
