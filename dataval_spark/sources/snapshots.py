@@ -186,7 +186,10 @@ class SnapshotTable:
                 best = n if best is None or n > best else best
         return best
 
-    def snapshot(self, version: int | None = None) -> dict:
+    def snapshot(self, version: int | str | None = None) -> dict:
+        """Snapshot by number, by TAG name (a str), or current (None)."""
+        if isinstance(version, str):
+            version = self.tag_version(version)
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
@@ -751,8 +754,9 @@ class SnapshotTable:
         raise CommitConflict(f"rollback lost {_MAX_COMMIT_RETRIES} races")
 
     # -- read path --------------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
-        """Materialize a snapshot: exactly its file list, no directory
+    def read(self, version: int | str | None = None) -> DataFrame:
+        """Materialize a snapshot (by number, by tag name, or current):
+        exactly its file list, no directory
         scan. Empty snapshots read as a typed empty frame. Columns that
         exist only as hidden-partition directory keys (``ts_day=...``
         from a ``days(ts)`` spec) never surface — readers see exactly
@@ -1176,6 +1180,62 @@ class SnapshotTable:
             snap, untouched, rewritten, "merge", partition_by
         )
 
+    # -- tags (immutable named snapshots) ------------------------------------
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under an immutable name — "the corpus release
+        2026-08" — readable forever via ``read(version=tag_version(n))``
+        and PROTECTED from ``expire_snapshots``. Write-once: the tag
+        file is committed with the same fail-if-exists rename CAS as a
+        snapshot, so two racers cannot tag the same name differently.
+        Returns the pinned version. (Iceberg's tag refs; branches are
+        deliberately out of scope — every mutation here is a linear
+        commit on main.)"""
+        if not name or "/" in name or name.startswith("."):
+            raise ValueError(f"bad tag name {name!r}")
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        self.snapshot(v)  # must exist (and not be expired)
+        tmp = f"{self._meta_dir()}/_tmp_{uuid.uuid4().hex}.json"
+        self._write_text(tmp, json.dumps({"version": v}))
+        dest = self._Path(f"{self._meta_dir()}/tag_{name}.json")
+        if not self._fs.rename(self._Path(tmp), dest):
+            self._fs.delete(self._Path(tmp), False)
+            raise ValueError(
+                f"tag {name!r} already exists on {self.root} "
+                f"(tags are immutable; points at v{self.tag_version(name)})"
+            )
+        return v
+
+    def tag_version(self, name: str) -> int:
+        p = f"{self._meta_dir()}/tag_{name}.json"
+        if not self._fs.exists(self._Path(p)):
+            raise FileNotFoundError(f"no tag {name!r} on {self.root}")
+        return int(json.loads(self._read_text(p))["version"])
+
+    def tags(self) -> dict[str, int]:
+        """Every tag name -> pinned version."""
+        meta = self._Path(self._meta_dir())
+        out: dict[str, int] = {}
+        if not self._fs.exists(meta):
+            return out
+        for st in self._fs.listStatus(meta):
+            n = st.getPath().getName()
+            if n.startswith("tag_") and n.endswith(".json"):
+                out[n[4:-5]] = int(
+                    json.loads(self._read_text(f"{self._meta_dir()}/{n}"))[
+                        "version"
+                    ]
+                )
+        return out
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag (the only sanctioned mutation: untag). The
+        pinned snapshot becomes expirable again."""
+        p = self._Path(f"{self._meta_dir()}/tag_{name}.json")
+        if not self._fs.delete(p, False):
+            raise FileNotFoundError(f"no tag {name!r} on {self.root}")
+
     # -- metadata inspection tables ----------------------------------------
     def snapshots_df(self) -> DataFrame:
         """One row per retained snapshot — Iceberg's ``snapshots``
@@ -1490,15 +1550,20 @@ class SnapshotTable:
         expire-snapshots contract: history shrinks, the live snapshot is
         untouched, and storage is reclaimed in a separate, crash-safe
         step. Time travel to an expired version raises FileNotFoundError
-        (identical to a never-committed slot). Returns the number of
+        (identical to a never-committed slot). TAGGED versions are never
+        expired — a tag is precisely the promise that its snapshot stays
+        readable (drop the tag to release it). Returns the number of
         snapshot records removed."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         cur = self.current_version()
         if cur is None:
             return 0
+        pinned = set(self.tags().values())
         removed = 0
         for k in range(cur - keep_last + 1):
+            if k in pinned:
+                continue
             p = self._vpath(k)
             if self._fs.exists(self._Path(p)):
                 self._fs.delete(self._Path(p), False)
