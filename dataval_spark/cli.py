@@ -218,6 +218,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "plain columns or partition transforms "
                         "(days(ts), bucket(16,id), truncate(4,code)); "
                         "an existing table's recorded spec is inherited")
+    p.add_argument("--tag", default=None, metavar="TABLE_DIR",
+                   help="pin the current (or --at-version) snapshot "
+                        "under the immutable --tag-name; tagged "
+                        "versions survive --expire-snapshots")
+    p.add_argument("--drop-tag", default=None, metavar="TABLE_DIR",
+                   help="release the --tag-name tag (the pinned "
+                        "version becomes expirable again)")
+    p.add_argument("--tag-name", default=None,
+                   help="tag name for --tag/--drop-tag")
+    p.add_argument("--at-version", type=int, default=None,
+                   help="snapshot to pin with --tag (default: current)")
     p.add_argument("--partitions", default=None, metavar="TABLE_DIR",
                    help="per-partition file/byte/row census of a "
                         "snapshot table from manifests only (no data "
@@ -407,6 +418,21 @@ def main(argv: list[str] | None = None) -> int:
             version = t.current_version()
         print(json.dumps({"published": ok, "version": version, **summary}))
         return 0 if ok else 3
+
+    if args.tag or args.drop_tag:
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        if not args.tag_name:
+            print("--tag/--drop-tag require --tag-name", file=sys.stderr)
+            return 2
+        t = SnapshotTable(spark, args.tag or args.drop_tag)
+        if args.tag:
+            v = t.tag(args.tag_name, version=args.at_version)
+            print(json.dumps({"tagged": args.tag_name, "version": v}))
+        else:
+            t.drop_tag(args.tag_name)
+            print(json.dumps({"dropped": args.tag_name, "tags": t.tags()}))
+        return 0
 
     if args.partitions:
         from dataval_spark.sources.snapshots import SnapshotTable

@@ -79,3 +79,23 @@ def test_tag_race_single_winner(spark, tmp_path):
         x.join()
     assert len(errs) == 1  # exactly one racer lost the CAS
     assert t.tag_version("r") in (0, 1)
+
+
+def test_cli_tag_faces(spark, tmp_path, capsys):
+    import json as _json
+    from dataval_spark.cli import main as cli_main
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 4))
+    t.append(_df(spark, 4, 8))
+    rc = cli_main(["--input", "unused", "--tag", str(tmp_path / "t"),
+                   "--tag-name", "rel", "--at-version", "0"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out == {"tagged": "rel", "version": 0}
+    assert t.read("rel").count() == 4
+    rc = cli_main(["--input", "unused", "--drop-tag", str(tmp_path / "t"),
+                   "--tag-name", "rel"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["tags"] == {}
+    rc = cli_main(["--input", "unused", "--tag", str(tmp_path / "t")])
+    assert rc == 2
