@@ -344,7 +344,9 @@ class SnapshotTable:
             )
         rows = self.file_rows(snap)
         entries = self.files(snap)
-        if all(rel in rows for rel, _ in entries):
+        if not snap.get("deletes") and all(rel in rows for rel, _ in entries):
+            # pending merge-on-read deletes invalidate the recorded
+            # per-file counts (they count pre-delete rows) — fall back
             return sum(rows[rel] for rel, _ in entries)
         return self.read(snap["version"]).count()
 
@@ -598,6 +600,12 @@ class SnapshotTable:
             blooms = self._resolved_blooms()
             if blooms:
                 snap["bloom_columns"] = blooms
+            # pending merge-on-read deletes follow the files they scope:
+            # an append keeps them (its new files are exempt — not in
+            # any scope list); an overwrite replaces the content and
+            # drops them with it
+            if base_files and parent and parent.get("deletes"):
+                snap["deletes"] = parent["deletes"]
             # stream watermarks ride the chain HEAD: every commit copies
             # its parent's map forward, so the exactly-once check is one
             # current-snapshot read and expire_snapshots can never lose
@@ -898,35 +906,52 @@ class SnapshotTable:
 
     def _read_entries(self, snap: dict, entries: list[list]) -> DataFrame:
         """Materialize a subset of a snapshot's file entries under its
-        pinned schema (typed empty frame for no entries). Entries are
-        read per hive layout group and unioned: any ONE snapshot's list
-        is layout-uniform (_guard_layout), but incremental_read ranges
-        that span a sanctioned layout change (e.g. a flat sort-compact
-        on a hive table) legitimately mix hive and flat files — fed to
-        one reader, Spark's partition discovery would fail on the
-        conflicting directory structures."""
+        pinned schema (typed empty frame for no entries), applying any
+        pending MERGE-ON-READ deletes scoped to those files. Entries
+        are read per (hive layout, applicable-delete set) group and
+        unioned: any ONE snapshot's list is layout-uniform
+        (_guard_layout), but incremental_read ranges that span a
+        sanctioned layout change (e.g. a flat sort-compact on a hive
+        table) legitimately mix hive and flat files — fed to one
+        reader, Spark's partition discovery would fail on the
+        conflicting directory structures — and different files can owe
+        different delete filters (a file appended after a delete is
+        exempt from it)."""
         from functools import reduce
+        from pyspark.sql import functions as F
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(snap["schema"]))
         if not entries:
             return self.spark.createDataFrame([], schema)
-        by_layout: dict[tuple[str, ...], list[str]] = {}
+        deletes = snap.get("deletes") or []
+        scoped = [set(d["files"]) for d in deletes]
+        by_group: dict[tuple, list[str]] = {}
         for rel, _ in entries:
-            by_layout.setdefault(self._entry_layout(rel), []).append(rel)
+            dkey = frozenset(
+                i for i, rels in enumerate(scoped) if rel in rels
+            )
+            by_group.setdefault((self._entry_layout(rel), dkey), []).append(rel)
         # the final select pins the column set: Spark APPENDS discovered
         # hive partition columns even under an explicit schema (verified
         # empirically), so a hidden-partition key (days(ts) -> ts_day=)
         # would otherwise leak into every read; identity partition
         # columns are IN the schema and survive the projection
         names = [f.name for f in schema.fields]
-        parts = [
-            self.spark.read.option("basePath", self._data_dir())
-            .schema(schema)
-            .parquet(*[f"{self.root}/{rel}" for rel in rels])
-            .select(*names)
-            for rels in by_layout.values()
-        ]
+        parts = []
+        for (_, dkey), rels in by_group.items():
+            df = (
+                self.spark.read.option("basePath", self._data_dir())
+                .schema(schema)
+                .parquet(*[f"{self.root}/{rel}" for rel in rels])
+                .select(*names)
+            )
+            for i in sorted(dkey):
+                pred = self._interval_pred(
+                    {c: tuple(iv) for c, iv in deletes[i]["filters"].items()}
+                )
+                df = df.where(~F.coalesce(pred, F.lit(False)))
+            parts.append(df)
         return reduce(lambda a, b: a.unionByName(b), parts)
 
     def added_entries(
@@ -1043,6 +1068,20 @@ class SnapshotTable:
         blooms = self._resolved_blooms()
         if blooms:
             new_snap["bloom_columns"] = blooms
+        # pending MOR deletes keep scoping the files that carried over
+        # unchanged (their rel paths are stable); rewritten rows were
+        # read WITH the deletes applied, and rows that land in new files
+        # are exempt by construction — including rows update_where just
+        # changed INTO a deleted range, which is SQL UPDATE semantics,
+        # not a resurrection
+        kept_rels = {rel for rel, _ in kept_entries}
+        carried = [
+            {**d, "files": [r for r in d["files"] if r in kept_rels]}
+            for d in (snap.get("deletes") or [])
+        ]
+        carried = [d for d in carried if d["files"]]
+        if carried:
+            new_snap["deletes"] = carried
         if not self._try_commit(base + 1, new_snap):
             raise CommitConflict(
                 f"table {self.root} advanced past v{base} during "
@@ -1055,22 +1094,74 @@ class SnapshotTable:
         self,
         filters: dict,
         partition_by: list[str] | None = None,
+        mode: str = "copy-on-write",
     ) -> int | None:
-        """Copy-on-write row deletion: commit a new snapshot equal to
-        the current one minus rows matching the interval ``filters``
-        (same {col: (lo, hi)} form as ``scan``; NULLs never match, so
-        NULL-keyed rows are never deleted). Only files whose manifest
-        bounds overlap the intervals are rewritten — every other file is
-        carried into the new snapshot untouched, stats included. Returns
-        the new version, or None when no file can contain a match
-        (metadata-only no-op). Raises CommitConflict if a concurrent
-        commit lands first (rerun on the new snapshot)."""
+        """Row deletion by interval ``filters`` (same {col: (lo, hi)}
+        form as ``scan``; NULLs never match, so NULL-keyed rows are
+        never deleted). Returns the new version, or None when no file
+        can contain a match (metadata-only no-op). Raises
+        CommitConflict if a concurrent commit lands first (rerun on the
+        new snapshot).
+
+        ``mode="copy-on-write"`` (default): only files whose manifest
+        bounds overlap the intervals are rewritten — every other file
+        is carried into the new snapshot untouched, stats included.
+        Reads stay rewrite-free.
+
+        ``mode="merge-on-read"``: NO data is written at all — the
+        commit records the filter plus the rel-paths of the files it
+        applies to (only bound-overlapping candidates, so the scope
+        list stays small), and every read applies the negated filter to
+        exactly those files. Files appended later are exempt by
+        construction. At 100 TB this is the difference between a
+        millisecond metadata commit and rewriting terabytes for a
+        GDPR-style trickle of deletes; ``compact()`` materializes
+        pending deletes and clears them (and always rewrites while any
+        are pending). Filter values must be JSON-serializable
+        (numbers / ISO strings)."""
         from pyspark.sql import functions as F
 
         snap = self.snapshot()
         candidates, untouched = self._split_by_overlap(snap, filters)
         if not candidates:
             return None
+        if mode == "merge-on-read":
+            entry = {
+                "filters": {
+                    c: [lo, hi] for c, (lo, hi) in filters.items()
+                },
+                "files": sorted(rel for rel, _ in candidates),
+            }
+            try:
+                json.dumps(entry["filters"])
+            except TypeError as exc:
+                raise TypeError(
+                    "merge-on-read delete filters must be "
+                    "JSON-serializable (numbers / ISO strings); got "
+                    f"{filters!r}"
+                ) from exc
+            base = snap["version"]
+            new_snap = dict(snap)
+            new_snap.update(
+                {
+                    "version": base + 1,
+                    "parent": base,
+                    "operation": "delete",
+                    "deletes": list(snap.get("deletes") or []) + [entry],
+                }
+            )
+            if not self._try_commit(base + 1, new_snap):
+                raise CommitConflict(
+                    f"table {self.root} advanced past v{base} during "
+                    "merge-on-read delete; rerun against the new "
+                    "current snapshot"
+                )
+            return base + 1
+        if mode != "copy-on-write":
+            raise ValueError(
+                f"unknown delete mode {mode!r}: expected "
+                "'copy-on-write' or 'merge-on-read'"
+            )
         pred = self._interval_pred(filters)
         survivors = self._read_entries(snap, candidates).where(
             ~F.coalesce(pred, F.lit(False))
@@ -1252,6 +1343,7 @@ class SnapshotTable:
             entries = self.files(snap)
             file_rows = self.file_rows(snap)
             counted = [file_rows[rel] for rel, _ in entries if rel in file_rows]
+            exact = len(counted) == len(entries) and not snap.get("deletes")
             rows.append(
                 (
                     snap["version"],
@@ -1260,7 +1352,7 @@ class SnapshotTable:
                     len(snap["manifests"]),
                     len(entries),
                     sum(int(s) for _, s in entries),
-                    sum(counted) if len(counted) == len(entries) else None,
+                    sum(counted) if exact else None,
                     list(snap.get("partition_spec") or []),
                 )
             )
@@ -1311,7 +1403,8 @@ class SnapshotTable:
         skew/size question every 100-TB operator asks first, answered
         without opening a single data file."""
         snap = self.snapshot(version)
-        rows_map = self.file_rows(snap)
+        # pending merge-on-read deletes make per-file counts overcount
+        rows_map = {} if snap.get("deletes") else self.file_rows(snap)
         agg: dict[tuple, list] = {}
         for rel, size in self.files(snap):
             key = tuple(
@@ -1480,9 +1573,13 @@ class SnapshotTable:
             len(files) <= max(n_target, floor_files)
             and not sort_by
             and not zorder_by
+            and not snap.get("deletes")
         ):
             # sort_by/zorder_by always rewrite: the point is the file
-            # ORDER, which the file count cannot witness
+            # ORDER, which the file count cannot witness — and pending
+            # merge-on-read deletes always rewrite too: compaction is
+            # what MATERIALIZES them (read() below applies the filters,
+            # and the compact snapshot carries none)
             return None
         df = self.read(snap["version"])
         if zorder_by:
