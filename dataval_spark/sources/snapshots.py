@@ -947,9 +947,14 @@ class SnapshotTable:
                 .select(*names)
             )
             for i in sorted(dkey):
-                pred = self._interval_pred(
-                    {c: tuple(iv) for c, iv in deletes[i]["filters"].items()}
-                )
+                d = deletes[i]
+                if "keys" in d:
+                    # key-set (equality) delete: InSet, codegen-fused
+                    pred = F.col(d["key_col"]).isin(d["keys"])
+                else:
+                    pred = self._interval_pred(
+                        {c: tuple(iv) for c, iv in d["filters"].items()}
+                    )
                 df = df.where(~F.coalesce(pred, F.lit(False)))
             parts.append(df)
         return reduce(lambda a, b: a.unionByName(b), parts)
@@ -1165,6 +1170,90 @@ class SnapshotTable:
         pred = self._interval_pred(filters)
         survivors = self._read_entries(snap, candidates).where(
             ~F.coalesce(pred, F.lit(False))
+        )
+        return self._replace_entries(
+            snap, untouched, survivors, "delete", partition_by
+        )
+
+    def delete_keys(
+        self,
+        key_col: str,
+        keys: list,
+        partition_by: list[str] | None = None,
+        mode: str = "merge-on-read",
+        max_keys: int = 100_000,
+    ) -> int | None:
+        """Row deletion by KEY SET — "remove these conv_ids", the
+        GDPR/takedown shape. Candidate files come from the keys'
+        [min, max] envelope against the manifest bounds (sorted string
+        keys prune well under the truncate(16) contract). Defaults to
+        ``merge-on-read`` — a metadata-only commit recording the key
+        list and the files it scopes; reads apply a codegen-fused
+        NOT-IN to exactly those files, and ``compact()`` materializes.
+        ``mode="copy-on-write"`` rewrites the candidate files minus the
+        keyed rows instead. The inline list is capped at ``max_keys``
+        (it lives in the snapshot document and in every reader's plan)
+        — past that, batch the deletes or use ``merge`` with a
+        tombstone frame. NULL keys never match (SQL IN semantics);
+        NULL entries in ``keys`` are rejected. Returns the new version,
+        or None when no file can contain a match."""
+        keys = list(keys)
+        if not keys:
+            return None
+        if any(k is None for k in keys):
+            raise ValueError("delete_keys: NULL keys can never match; "
+                             "drop them from the list")
+        if len(keys) > max_keys:
+            raise ValueError(
+                f"delete_keys: {len(keys)} keys exceeds max_keys="
+                f"{max_keys} (the list is carried in table metadata and "
+                "every reader's plan); batch the deletes or merge a "
+                "tombstone frame instead"
+            )
+        try:
+            json.dumps(keys)
+        except TypeError as exc:
+            raise TypeError(
+                "delete_keys: keys must be JSON-serializable "
+                "(numbers / strings)"
+            ) from exc
+        snap = self.snapshot()
+        candidates, untouched = self._split_by_overlap(
+            snap, {key_col: (min(keys), max(keys))}
+        )
+        if not candidates:
+            return None
+        if mode == "merge-on-read":
+            entry = {
+                "key_col": key_col,
+                "keys": sorted(keys),
+                "files": sorted(rel for rel, _ in candidates),
+            }
+            base = snap["version"]
+            new_snap = dict(snap)
+            new_snap.update(
+                {
+                    "version": base + 1,
+                    "parent": base,
+                    "operation": "delete",
+                    "deletes": list(snap.get("deletes") or []) + [entry],
+                }
+            )
+            if not self._try_commit(base + 1, new_snap):
+                raise CommitConflict(
+                    f"table {self.root} advanced past v{base} during "
+                    "key delete; rerun against the new current snapshot"
+                )
+            return base + 1
+        if mode != "copy-on-write":
+            raise ValueError(
+                f"unknown delete mode {mode!r}: expected "
+                "'copy-on-write' or 'merge-on-read'"
+            )
+        from pyspark.sql import functions as F
+
+        survivors = self._read_entries(snap, candidates).where(
+            ~F.coalesce(F.col(key_col).isin(keys), F.lit(False))
         )
         return self._replace_entries(
             snap, untouched, survivors, "delete", partition_by

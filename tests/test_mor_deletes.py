@@ -137,3 +137,47 @@ def test_mor_guards(spark, tmp_path):
     t.append(_df(spark, 10, 12))
     with pytest.raises(IncrementalReadError):
         t.incremental_read(0)
+
+
+def test_delete_keys_mor_and_cow(spark, tmp_path):
+    mor = SnapshotTable(spark, str(tmp_path / "mor"))
+    cow = SnapshotTable(spark, str(tmp_path / "cow"))
+    df = spark.range(30).select(
+        F.concat(F.lit("conv-"), F.format_string("%03d", F.col("id"))).alias(
+            "conv_id"
+        ),
+        F.col("id"),
+    )
+    for t in (mor, cow):
+        t.append(df)
+    doomed = ["conv-003", "conv-017", "conv-025"]
+    files0 = sorted(r for r, _ in mor.files(mor.snapshot()))
+    mor.delete_keys("conv_id", doomed)  # merge-on-read default
+    cow.delete_keys("conv_id", doomed, mode="copy-on-write")
+    assert sorted(r for r, _ in mor.files(mor.snapshot())) == files0
+    a = sorted(r.conv_id for r in mor.read().collect())
+    b = sorted(r.conv_id for r in cow.read().collect())
+    assert a == b and len(a) == 27 and "conv-017" not in a
+    # a later append of one of the keys survives (scope exemption)
+    mor.append(df.where(F.col("conv_id") == "conv-017"))
+    assert mor.read().where(F.col("conv_id") == "conv-017").count() == 1
+    # compaction materializes the key delete too
+    mor.compact(target_file_bytes=512 * 1024 * 1024)
+    assert not mor.snapshot().get("deletes")
+    assert mor.read().count() == 28
+    assert mor.row_count() == 28
+
+
+def test_delete_keys_guards(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(10).select(F.col("id")))
+    assert t.delete_keys("id", []) is None
+    assert t.delete_keys("id", [500, 600]) is None  # provably no match
+    with pytest.raises(ValueError, match="NULL keys"):
+        t.delete_keys("id", [1, None])
+    with pytest.raises(ValueError, match="max_keys"):
+        t.delete_keys("id", list(range(11)), max_keys=10)
+    with pytest.raises(TypeError, match="JSON-serializable"):
+        t.delete_keys("id", [object()])
+    with pytest.raises(ValueError, match="unknown delete mode"):
+        t.delete_keys("id", [1], mode="sideways")
