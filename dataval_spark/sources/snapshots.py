@@ -703,10 +703,15 @@ class SnapshotTable:
         would make visible."""
         return self._read_entries({"schema": handle["schema"]}, handle["files"])
 
-    def publish(self, handle: dict) -> int:
+    def publish(
+        self, handle: dict, stream_marker: tuple[str, int] | None = None
+    ) -> int:
         """Phase 3: atomically commit the staged files as an append
         snapshot. Identical semantics to :meth:`append` (schema guard,
-        layout guard, CAS retry past concurrent commits)."""
+        layout guard, CAS retry past concurrent commits).
+        ``stream_marker`` records an exactly-once batch watermark in
+        the same commit — the audited-streaming-sink case, where the
+        publish and the replay guard must be one atomic step."""
         return self._commit_staged(
             handle["files"],
             handle["manifest"],
@@ -716,6 +721,7 @@ class SnapshotTable:
             list(handle["partition_spec"]) or None,
             base_files=True,
             merge_schema=handle.get("merge_schema", False),
+            stream_marker=stream_marker,
         )
 
     def abort_staged(self, handle: dict) -> int:

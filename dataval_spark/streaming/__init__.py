@@ -1,5 +1,6 @@
 from dataval_spark.streaming.increment import increment_batch_writer
 from dataval_spark.streaming.snapshot_sink import (
+    audited_snapshot_batch_writer,
     snapshot_batch_writer,
     stream_to_snapshot,
 )
@@ -13,5 +14,6 @@ __all__ = [
     "windowed_partition_verdicts",
     "increment_batch_writer",
     "snapshot_batch_writer",
+    "audited_snapshot_batch_writer",
     "stream_to_snapshot",
 ]

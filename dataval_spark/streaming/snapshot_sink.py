@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame
 
 from ..sources.snapshots import SnapshotTable
 
-__all__ = ["run_key", "snapshot_batch_writer", "stream_to_snapshot"]
+__all__ = [
+    "run_key",
+    "snapshot_batch_writer",
+    "audited_snapshot_batch_writer",
+    "stream_to_snapshot",
+]
 
 
 def run_key(run_id: str) -> str:
@@ -82,6 +87,61 @@ def snapshot_batch_writer(
             batch_df,
             partition_by=partition_by if not table.exists() else None,
             merge_schema=merge_schema,
+            stream_marker=(key, batch_id),
+        )
+
+    return _process
+
+
+def audited_snapshot_batch_writer(
+    table: SnapshotTable,
+    run_id: str,
+    suite,
+    partition_by: list[str] | None = None,
+    quarantine: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The write-audit-publish loop per micro-batch: stage the batch
+    (invisible), run the validation ``suite`` on exactly what publish
+    would expose, then atomically publish — or abort, so a bad crawl
+    batch NEVER becomes a committed snapshot. The continuous form of
+    the CLI's ``--ingest-audited`` gate.
+
+    Exactly-once under crash replay either way: a publish records the
+    batch watermark in the same atomic commit; a rejection advances the
+    watermark with an empty append (rows stay out, the replayed batch
+    is a no-op — without this a permanently-bad batch would re-audit
+    forever). ``quarantine`` (optional) lands each rejected batch's
+    rows under ``<quarantine>/batch=<id>`` with overwrite semantics, so
+    a crash-replayed rejection replaces its own rows rather than
+    duplicating them. The non-atomic window between quarantine/abort
+    and the watermark commit is replay-safe: the replay re-stages,
+    re-audits, and overwrites the same quarantine directory."""
+    key = run_key(run_id)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        done = table.stream_batch(key)
+        if done is not None and batch_id <= done:
+            return
+        handle = table.stage_append(
+            batch_df,
+            partition_by=partition_by if not table.exists() else None,
+        )
+        summary = suite.run(table.read_staged(handle)).summary()
+        if summary["n_partitions_passed"] == summary["n_partitions"]:
+            table.publish(handle, stream_marker=(key, batch_id))
+            return
+        if quarantine is not None:
+            table.read_staged(handle).write.mode("overwrite").parquet(
+                f"{quarantine}/batch={batch_id}"
+            )
+        table.abort_staged(handle)
+        # advance the watermark WITHOUT the rows: the rejection is the
+        # batch's permanent verdict, not a retry loop. If this is the
+        # table's very first commit, carry the declared layout so later
+        # good batches inherit it
+        table.append(
+            batch_df.limit(0),
+            partition_by=partition_by if not table.exists() else None,
             stream_marker=(key, batch_id),
         )
 

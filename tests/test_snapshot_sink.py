@@ -138,3 +138,69 @@ def test_stream_then_incremental_validation(spark, tmp_path):
     w(_batch(spark, 12, 20), 1)
     delta = t.incremental_read(v0)
     assert sorted(r.id for r in delta.collect()) == list(range(12, 20))
+
+
+def test_audited_writer_publishes_clean_rejects_dirty(spark, tmp_path):
+    from dataval_spark.fixtures import transcripts
+    from dataval_spark.streaming.snapshot_sink import (
+        audited_snapshot_batch_writer,
+    )
+    from dataval_spark.suite import transcript_suite
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    q = str(tmp_path / "quarantine")
+    w = audited_snapshot_batch_writer(
+        t, run_id="crawl", suite=transcript_suite(),
+        partition_by=["part"], quarantine=q,
+    )
+    clean = transcripts(spark, n_convs=80, seed=2187, n_parts=4,
+                        with_defects=False)
+    dirty = transcripts(spark, n_convs=80, seed=2187, n_parts=4)
+
+    w(clean, 0)
+    n_clean = t.read().count()
+    assert n_clean == clean.count() and t.current_version() == 0
+
+    # dirty batch: rows never become a committed snapshot; quarantined
+    w(dirty, 1)
+    assert t.read().count() == n_clean
+    assert t.stream_batch(run_key("crawl")) == 1  # watermark advanced
+    assert spark.read.parquet(f"{q}/batch=1").count() == dirty.count()
+    assert t.orphan_files() == []  # abort reclaimed the staged files
+
+    # crash replay of both batches: no-ops (rows unchanged, quarantine
+    # not duplicated, no new snapshots)
+    v = t.current_version()
+    w(clean, 0)
+    w(dirty, 1)
+    assert t.current_version() == v and t.read().count() == n_clean
+    assert spark.read.parquet(f"{q}/batch=1").count() == dirty.count()
+
+    # the next clean batch still lands on the recorded layout
+    w(clean, 2)
+    assert t.read().count() == 2 * n_clean
+    assert all("part=" in rel for rel, _ in t.files(t.snapshot()))
+
+
+def test_audited_writer_first_batch_rejected_keeps_layout(spark, tmp_path):
+    from dataval_spark.fixtures import transcripts
+    from dataval_spark.streaming.snapshot_sink import (
+        audited_snapshot_batch_writer,
+    )
+    from dataval_spark.suite import transcript_suite
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    w = audited_snapshot_batch_writer(
+        t, run_id="crawl", suite=transcript_suite(), partition_by=["part"]
+    )
+    dirty = transcripts(spark, n_convs=80, seed=2187, n_parts=4)
+    clean = transcripts(spark, n_convs=80, seed=2187, n_parts=4,
+                        with_defects=False)
+    w(dirty, 0)
+    # table exists (empty), watermark advanced, declared layout recorded
+    assert t.read().count() == 0
+    assert t.stream_batch(run_key("crawl")) == 0
+    assert t.snapshot()["partition_spec"] == ["part"]
+    w(clean, 1)
+    assert t.read().count() == clean.count()
+    assert all("part=" in rel for rel, _ in t.files(t.snapshot()))
