@@ -386,17 +386,26 @@ class SnapshotTable:
             return list(next(iter(layouts))) or None
         return None
 
-    def _guard_layout(self, entries: list[list], context: str) -> None:
-        """Fail a commit whose final file list mixes hive layouts —
-        a mixed tree reads back silently wrong (row loss), so it must
-        never become a committed snapshot."""
+    def _guard_layout(
+        self,
+        entries: list[list],
+        context: str,
+        sanctioned: set | None = None,
+    ) -> None:
+        """Fail a commit whose final file list mixes hive layouts,
+        UNLESS every layout present is ``sanctioned`` (already in the
+        base snapshot — i.e. an earlier ``evolve_layout=True`` append
+        deliberately introduced it). Reads are mixed-layout safe (one
+        reader per layout group); the guard exists to catch ACCIDENTAL
+        switches, which would otherwise silently fragment the tree."""
         layouts = {self._entry_layout(rel) for rel, _ in entries}
-        if len(layouts) > 1:
+        if len(layouts) > 1 and not (sanctioned and layouts <= sanctioned):
             raise ValueError(
                 f"{context} would commit a mixed partition layout "
                 f"{sorted(layouts)} to {self.root}; pass the table's "
-                "existing partition_by (or rewrite the whole table via "
-                "overwrite/compact to change layout)"
+                "existing partition_by, or evolve_layout=True to "
+                "sanction the switch (or rewrite the whole table via "
+                "overwrite/compact)"
             )
 
     @staticmethod
@@ -524,6 +533,7 @@ class SnapshotTable:
         base_files: bool,
         merge_schema: bool = False,
         stream_marker: tuple[str, int] | None = None,
+        evolve_layout: bool = False,
     ) -> int:
         new_files = self._write_data_files(df, partition_by)
         new_manifest = self._write_manifest(
@@ -539,6 +549,7 @@ class SnapshotTable:
             base_files,
             merge_schema,
             stream_marker,
+            evolve_layout,
         )
 
     def _commit_staged(
@@ -552,6 +563,7 @@ class SnapshotTable:
         base_files: bool,
         merge_schema: bool = False,
         stream_marker: tuple[str, int] | None = None,
+        evolve_layout: bool = False,
     ) -> int:
         """The commit half of a write: CAS-retry loop over
         already-written data files + manifest (shared by the one-shot
@@ -560,7 +572,15 @@ class SnapshotTable:
             cur = self.current_version()
             parent = self.snapshot(cur) if cur is not None else None
             if base_files and cur is not None:
-                self._guard_layout(self.files(parent) + new_files, operation)
+                if not evolve_layout:
+                    parent_files = self.files(parent)
+                    self._guard_layout(
+                        parent_files + new_files,
+                        operation,
+                        sanctioned={
+                            self._entry_layout(rel) for rel, _ in parent_files
+                        },
+                    )
                 parent_fields = sorted(
                     map(tuple, json.loads(parent["schema_fields"]))
                 )
@@ -643,6 +663,7 @@ class SnapshotTable:
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
         stream_marker: tuple[str, int] | None = None,
+        evolve_layout: bool = False,
     ) -> int:
         """Snapshot-atomic append; returns the committed version.
         ``merge_schema=True`` allows ADDITIVE evolution: df may carry
@@ -651,8 +672,18 @@ class SnapshotTable:
         columns must keep their types. ``partition_by=None`` inherits
         the table's current partition spec — TRANSFORMS included, so an
         append to a ``days(ts)``-partitioned table derives the same
-        directory keys (a layout switch would commit a mixed tree — see
-        _layout_partition_cols)."""
+        directory keys.
+
+        ``evolve_layout=True`` sanctions PARTITION SPEC EVOLUTION: this
+        append's files land under the new ``partition_by`` while old
+        files keep their layout (Iceberg's spec-evolution semantics —
+        data is never rewritten to change a spec). Reads handle the mix
+        (one reader per layout group); directory pruning applies
+        per-file, so old-layout files simply fall back to footer-stats
+        pruning under the NEW spec's filters; later appends inherit the
+        new spec without the flag; ``compact()`` consolidates the whole
+        table into the current spec. An unsanctioned layout switch
+        still fails closed — accidental mixes fragment the tree."""
         if partition_by is None and self.exists():
             partition_by = self.partition_specs(self.snapshot())
         return self._commit(
@@ -662,6 +693,7 @@ class SnapshotTable:
             base_files=True,
             merge_schema=merge_schema,
             stream_marker=stream_marker,
+            evolve_layout=evolve_layout,
         )
 
     # -- write-audit-publish -----------------------------------------------
@@ -1053,7 +1085,16 @@ class SnapshotTable:
         all_stats = self.file_stats(snap)
         all_rows = self.file_rows(snap)
         new_files = self._write_data_files(replacement_df, partition_by)
-        self._guard_layout(kept_entries + new_files, operation)
+        # layouts already present in the base snapshot are sanctioned
+        # (an earlier evolve_layout append introduced them); only a NEW
+        # accidental layout fails the commit
+        self._guard_layout(
+            kept_entries + new_files,
+            operation,
+            sanctioned={
+                self._entry_layout(rel) for rel, _ in self.files(snap)
+            },
+        )
         stats = {
             rel: all_stats[rel] for rel, _ in kept_entries if rel in all_stats
         }
