@@ -407,12 +407,16 @@ def main(argv: list[str] | None = None) -> int:
             else None
         )
         handle = t.stage_append(spark.read.parquet(args.input), partition_by=pb)
-        suite = build_suite(args.method, args.reject_ratio, args.suite)
-        summary = suite.run(t.read_staged(handle)).summary()
-        ok = summary["n_partitions_passed"] == summary["n_partitions"]
-        if ok:
-            version = t.publish(handle)
-        else:
+        try:
+            suite = build_suite(args.method, args.reject_ratio, args.suite)
+            summary = suite.run(t.read_staged(handle)).summary()
+            ok = summary["n_partitions_passed"] == summary["n_partitions"]
+            version = t.publish(handle) if ok else None
+        except BaseException:
+            # a raising audit must not leave the staged copy behind
+            t.abort_staged(handle)
+            raise
+        if not ok:
             # the staged rows never become a committed snapshot
             t.abort_staged(handle)
             version = t.current_version()

@@ -471,6 +471,21 @@ class SnapshotTable:
                     f"partition_by references missing column(s) {missing}; "
                     f"df has {sorted(dtypes)}"
                 )
+            clash = [
+                t.hive_name
+                for t in transforms
+                if not t.is_identity and t.hive_name in dtypes
+            ]
+            if clash:
+                # silently overwriting a real data column with the
+                # derived key would corrupt it on every read (the
+                # pinned schema keeps the user's type, the path carries
+                # the transform's string) — fail the write instead
+                raise ValueError(
+                    f"partition transform key(s) {clash} collide with "
+                    "existing data column(s); rename the column or the "
+                    "transform source"
+                )
             for t in transforms:
                 if not t.is_identity:
                     df = df.withColumn(t.hive_name, t.expr(dtypes[t.source]))
@@ -608,6 +623,17 @@ class SnapshotTable:
             else:
                 manifests = [new_manifest]
             version = 0 if cur is None else cur + 1
+            # a non-evolving append records the PARENT's spec, not its
+            # own resolution: if a concurrent evolve_layout commit won
+            # the race, re-recording the spec this writer resolved
+            # before the race would silently undo the evolution (its
+            # files still land under the old — sanctioned — layout;
+            # only the spec RECORD follows the chain head)
+            own_spec = self._canonical_specs(partition_by)
+            if base_files and parent is not None and not evolve_layout:
+                spec = parent.get("partition_spec", own_spec)
+            else:
+                spec = own_spec
             snap = {
                 "version": version,
                 "parent": cur,
@@ -615,7 +641,7 @@ class SnapshotTable:
                 "schema": schema_json,
                 "schema_fields": json.dumps(fields),
                 "manifests": manifests,
-                "partition_spec": self._canonical_specs(partition_by),
+                "partition_spec": spec,
             }
             blooms = self._resolved_blooms()
             if blooms:
@@ -854,10 +880,15 @@ class SnapshotTable:
         }
 
         def path_value(rel: str, name: str) -> str | None:
+            # hive path values are %XX-escaped (space -> %20, ':' ->
+            # %3A); comparing the RAW segment against unescaped bounds
+            # would mis-prune any string with a special character
+            from urllib.parse import unquote
+
             needle = f"{name}="
             for seg in rel.split("/"):
                 if seg.startswith(needle):
-                    return seg.split("=", 1)[1]
+                    return unquote(seg.split("=", 1)[1])
             return None
 
         def transform_prunes(rel: str, col: str, lo, hi) -> bool:
@@ -1142,6 +1173,28 @@ class SnapshotTable:
             )
         return base + 1
 
+    def _commit_mor_delete(self, snap: dict, entry: dict) -> int:
+        """Commit a merge-on-read delete: the base snapshot plus one
+        more ``deletes`` entry, no data written. Pins the base version
+        (a lost CAS means the scope list is stale — rerun)."""
+        base = snap["version"]
+        new_snap = dict(snap)
+        new_snap.update(
+            {
+                "version": base + 1,
+                "parent": base,
+                "operation": "delete",
+                "deletes": list(snap.get("deletes") or []) + [entry],
+            }
+        )
+        if not self._try_commit(base + 1, new_snap):
+            raise CommitConflict(
+                f"table {self.root} advanced past v{base} during "
+                "merge-on-read delete; rerun against the new current "
+                "snapshot"
+            )
+        return base + 1
+
     def delete_where(
         self,
         filters: dict,
@@ -1192,23 +1245,7 @@ class SnapshotTable:
                     "JSON-serializable (numbers / ISO strings); got "
                     f"{filters!r}"
                 ) from exc
-            base = snap["version"]
-            new_snap = dict(snap)
-            new_snap.update(
-                {
-                    "version": base + 1,
-                    "parent": base,
-                    "operation": "delete",
-                    "deletes": list(snap.get("deletes") or []) + [entry],
-                }
-            )
-            if not self._try_commit(base + 1, new_snap):
-                raise CommitConflict(
-                    f"table {self.root} advanced past v{base} during "
-                    "merge-on-read delete; rerun against the new "
-                    "current snapshot"
-                )
-            return base + 1
+            return self._commit_mor_delete(snap, entry)
         if mode != "copy-on-write":
             raise ValueError(
                 f"unknown delete mode {mode!r}: expected "
@@ -1276,22 +1313,7 @@ class SnapshotTable:
                 "keys": sorted(keys),
                 "files": sorted(rel for rel, _ in candidates),
             }
-            base = snap["version"]
-            new_snap = dict(snap)
-            new_snap.update(
-                {
-                    "version": base + 1,
-                    "parent": base,
-                    "operation": "delete",
-                    "deletes": list(snap.get("deletes") or []) + [entry],
-                }
-            )
-            if not self._try_commit(base + 1, new_snap):
-                raise CommitConflict(
-                    f"table {self.root} advanced past v{base} during "
-                    "key delete; rerun against the new current snapshot"
-                )
-            return base + 1
+            return self._commit_mor_delete(snap, entry)
         if mode != "copy-on-write":
             raise ValueError(
                 f"unknown delete mode {mode!r}: expected "

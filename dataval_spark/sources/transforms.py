@@ -12,9 +12,13 @@ source-column predicates onto partitions automatically at plan time.
 This module is that contract for ``SnapshotTable``: ``partition_by``
 accepts transform specs alongside plain column names —
 
-    partition_by=["days(ts)"]            # one dir per UTC day
+    partition_by=["days(ts)"]            # one dir per session-tz day
     partition_by=["bucket(16, user_id)"] # 16 stable hash buckets
     partition_by=["truncate(4, code)"]   # 4-char prefixes / multiples
+
+(time transforms render in spark.sql.session.timeZone, matching how
+Spark compares a naive literal to the column — pass naive wall-time
+filter values; tz-aware ones are rejected rather than mis-pruned)
 
 The derived hive column exists only in the directory name (the data
 files never carry it; the pinned snapshot schema hides it from
@@ -71,12 +75,22 @@ _TIME_FMT = {
 
 
 def _coerce_ts(v):
-    """A filter value for a time transform, as a datetime/date. ISO
-    strings accepted ('2026-08-18', '2026-08-18 10:00:00')."""
+    """A filter value for a time transform, as a NAIVE datetime/date
+    (interpreted as session-timezone wall time, matching both the
+    write-side date_format and Spark's literal comparison of a naive
+    value). ISO strings accepted ('2026-08-18', '2026-08-18 10:00:00').
+    tz-AWARE values are rejected: the write side renders wall time, so
+    mapping an aware instant through strftime would prune files that
+    contain matching rows."""
+    if isinstance(v, str):
+        v = datetime.fromisoformat(v)
+    if isinstance(v, datetime) and v.tzinfo is not None:
+        raise ValueError(
+            f"tz-aware value {v!r} cannot be mapped through a time "
+            "partition transform; pass naive session-timezone wall time"
+        )
     if isinstance(v, (datetime, date)):
         return v
-    if isinstance(v, str):
-        return datetime.fromisoformat(v)
     raise TypeError(f"cannot map {v!r} through a time partition transform")
 
 
@@ -100,9 +114,18 @@ class Transform:
 
     @property
     def hive_name(self) -> str:
+        """The derived directory key. Parameterized transforms ENCODE
+        their parameter (``id_bucket_16``, ``code_trunc_4``): a table
+        whose bucket count or truncate width changes must present as a
+        DIFFERENT layout — otherwise old directories' values would be
+        silently reinterpreted under the new parameter and pruning
+        would drop matching files (Iceberg encodes the parameter in the
+        partition field for the same reason)."""
         if self.is_identity:
             return self.source
         suffix = {"truncate": "trunc"}.get(self.kind, self.kind)
+        if self.n is not None:
+            return f"{self.source}_{suffix}_{self.n}"
         return f"{self.source}_{suffix}"
 
     @property
@@ -115,16 +138,30 @@ class Transform:
         return f"{self.kind}s({self.source})"
 
     # -- write side ---------------------------------------------------------
+    _BUCKETABLE = {"string", "tinyint", "smallint", "int", "bigint", "long"}
+
     def expr(self, dtype: str) -> Column:
         """The derived Column (JVM-side, codegen-friendly). ``dtype``
         is the source column's simpleString (truncate is prefix for
-        strings, floor-to-multiple for integers — the Iceberg rule)."""
+        strings, floor-to-multiple for integers — the Iceberg rule).
+        ``bucket`` accepts only string/integral sources: those are the
+        types whose Spark cast-to-string agrees exactly with Python's
+        str() — the agreement plan-time pruning is built on (floats,
+        booleans and temporals render differently on the two sides, so
+        a bucket over them would prune files containing matches)."""
         c = F.col(self.source)
         if self.is_identity:
             return c
         if self.kind in _TIME_FMT:
             return F.date_format(c, _TIME_FMT[self.kind][0])
         if self.kind == "bucket":
+            if dtype not in self._BUCKETABLE:
+                raise ValueError(
+                    f"bucket({self.n},{self.source}) needs a string or "
+                    f"integral source column, got {dtype}: driver-side "
+                    "pruning hashes str(value), which only matches "
+                    "Spark's cast-to-string for those types"
+                )
             return F.pmod(
                 F.crc32(c.cast("string").cast("binary")), F.lit(self.n)
             ).cast("int")

@@ -126,14 +126,21 @@ def audited_snapshot_batch_writer(
             batch_df,
             partition_by=partition_by if not table.exists() else None,
         )
-        summary = suite.run(table.read_staged(handle)).summary()
-        if summary["n_partitions_passed"] == summary["n_partitions"]:
-            table.publish(handle, stream_marker=(key, batch_id))
-            return
-        if quarantine is not None:
-            table.read_staged(handle).write.mode("overwrite").parquet(
-                f"{quarantine}/batch={batch_id}"
-            )
+        try:
+            summary = suite.run(table.read_staged(handle)).summary()
+            if summary["n_partitions_passed"] == summary["n_partitions"]:
+                table.publish(handle, stream_marker=(key, batch_id))
+                return
+            if quarantine is not None:
+                table.read_staged(handle).write.mode("overwrite").parquet(
+                    f"{quarantine}/batch={batch_id}"
+                )
+        except BaseException:
+            # a raising audit/publish (schema drift, analysis error)
+            # must not leak a full batch copy per replay: reclaim the
+            # staged files, THEN fail the query for the operator
+            table.abort_staged(handle)
+            raise
         table.abort_staged(handle)
         # advance the watermark WITHOUT the rows: the rejection is the
         # batch's permanent verdict, not a retry loop. If this is the

@@ -51,9 +51,13 @@ def test_parse_grammar_and_canonical_specs():
         "day", "ts", "ts_day", "days(ts)",
     )
     t = parse_transform("bucket(16, user_id)")
+    # the parameter is IN the hive key: bucket(8) and bucket(16) on the
+    # same column must present as different layouts, or old directories
+    # would be reinterpreted under the new modulus and mis-pruned
     assert (t.kind, t.n, t.hive_name, t.spec) == (
-        "bucket", 16, "user_id_bucket", "bucket(16,user_id)",
+        "bucket", 16, "user_id_bucket_16", "bucket(16,user_id)",
     )
+    assert parse_transform("truncate(4,code)").hive_name == "code_trunc_4"
     t = parse_transform("truncate(4,code)")
     assert (t.kind, t.n, t.spec) == ("truncate", 4, "truncate(4,code)")
     # singular time forms accepted, canonicalized plural
@@ -63,7 +67,9 @@ def test_parse_grammar_and_canonical_specs():
             parse_transform(bad)
     # two specs deriving the same hive key cannot coexist
     with pytest.raises(ValueError, match="collide"):
-        parse_partition_specs(["bucket(4,id)", "bucket(8,id)"])
+        parse_partition_specs(["bucket(4,id)", "bucket(4,id)"])
+    # different widths are DIFFERENT layouts (not a collision)
+    assert len(parse_partition_specs(["bucket(4,id)", "bucket(8,id)"])) == 2
 
 
 def test_driver_apply_matches_jvm_expr(spark):
@@ -144,14 +150,14 @@ def test_bucket_point_filter_prunes_to_one_bucket(spark, tmp_path):
     hit, miss = t._split_by_overlap(snap, {"id": (17, 17)})
     # every bucket file's FOOTER id-range spans ~everything (buckets
     # interleave ids), so only the directory key can prune here
-    assert hit and all(f"id_bucket={b}" in rel for rel, _ in hit)
+    assert hit and all(f"id_bucket_4={b}" in rel for rel, _ in hit)
     assert miss
     # a RANGE filter cannot be served by a hash bucket (interval() is
     # None — unit-tested below); any pruning here comes from footer
     # stats only, so files from EVERY bucket must survive
     hit, _ = t._split_by_overlap(snap, {"id": (10, 20)})
     assert {rel.split("/")[1] for rel, _ in hit} == {
-        f"id_bucket={k}" for k in range(4)
+        f"id_bucket_4={k}" for k in range(4)
     }
     assert Transform("bucket", "id", 4).interval(10, 20) is None
     # correctness: scan == filtered read, both shapes
@@ -166,7 +172,7 @@ def test_truncate_prunes_string_prefixes(spark, tmp_path):
     t.append(_events(spark), partition_by=["truncate(5,code)"])
     snap = t.snapshot()
     hit, miss = t._split_by_overlap(snap, {"code": ("code3", "code3")})
-    assert hit and all("code_trunc=code3" in rel for rel, _ in hit) and miss
+    assert hit and all("code_trunc_5=code3" in rel for rel, _ in hit) and miss
     got = sorted(r.id for r in t.scan({"code": ("code3", "code3")}).collect())
     assert got == [i for i in range(40) if i % 8 == 3]
 
@@ -210,7 +216,7 @@ def test_cow_ops_on_hidden_partitioned_table(spark, tmp_path):
     t.update_where({"id": (0, 0)}, {"v": 999})
     assert t.snapshot()["partition_spec"] == ["days(ts)", "bucket(2,id)"]
     assert all(
-        "ts_day=" in rel and "id_bucket=" in rel
+        "ts_day=" in rel and "id_bucket_2=" in rel
         for rel, _ in t.files(t.snapshot())
     )
     assert t.read().where(F.col("id") == 0).collect()[0].v == 999
@@ -233,3 +239,78 @@ def test_pre_spec_snapshots_fall_back_to_identity(spark, tmp_path):
     t.append(df)  # inherits identity layout from paths
     assert t.read().count() == 12
     assert all("part=" in rel for rel, _ in t.files(t.snapshot()))
+
+
+# -- soundness regressions (review findings) ---------------------------------
+
+
+def test_bucket_width_change_is_a_layout_switch(spark, tmp_path):
+    """bucket(8) -> bucket(16) on the same column must NOT silently
+    reuse old directories: the widths produce distinct hive keys, so an
+    unsanctioned width change fails the layout guard."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_events(spark), partition_by=["bucket(4,id)"])
+    with pytest.raises(ValueError, match="mixed partition layout"):
+        t.append(_events(spark), partition_by=["bucket(8,id)"])
+
+
+def test_escaped_path_values_prune_soundly(spark, tmp_path):
+    """Hive %XX-escapes special characters in directory names; pruning
+    must compare UNESCAPED values or strings with spaces mis-prune."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(12).select(
+        F.col("id"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("a b")).otherwise(F.lit("z:q")),
+            F.lit(" "),
+            F.col("id").cast("string"),
+        ).alias("code"),
+    )
+    t.append(df, partition_by=["truncate(3,code)"])
+    rels = [rel for rel, _ in t.files(t.snapshot())]
+    assert any("%20" in rel or "%3A" in rel for rel in rels)  # escaping real
+    # point-ish filter on the 'a b' family: exact rows, and the z:q
+    # directory (escaped on disk as z%3Aq) is pruned because the
+    # comparison runs on the UNESCAPED value
+    hit, miss = t._split_by_overlap(t.snapshot(), {"code": ("a ", "a~")})
+    assert miss and all("code_trunc_3=z%3Aq" in rel for rel, _ in miss)
+    assert hit and all("code_trunc_3=a" in rel for rel, _ in hit)
+    got = sorted(r.id for r in t.scan({"code": ("a ", "a~")}).collect())
+    assert got == [0, 2, 4, 6, 8, 10]
+
+
+def test_bucket_rejects_uncanonical_source_types(spark, tmp_path):
+    """Driver pruning hashes str(v); only string/integral sources agree
+    with Spark's cast-to-string, so bucket over a double must fail at
+    write time rather than mis-prune at read time."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(4).select(F.col("id"), (F.col("id") * 1.5).alias("x"))
+    with pytest.raises(ValueError, match="integral"):
+        t.append(df, partition_by=["bucket(4,x)"])
+
+
+def test_tz_aware_filter_never_prunes_wrongly(spark, tmp_path):
+    """A tz-aware filter endpoint cannot be mapped through the
+    wall-time transform; it must degrade to 'no directory pruning'
+    (conservative), never to a wrong prune."""
+    from datetime import timezone
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_events(spark), partition_by=["days(ts)"])
+    aware = datetime(2026, 8, 12, tzinfo=timezone.utc)
+    hit, miss = t._split_by_overlap(
+        t.snapshot(), {"ts": (aware, aware.replace(hour=23))}
+    )
+    assert not miss  # no directory pruning on unservable values
+    with pytest.raises(ValueError, match="tz-aware"):
+        parse_transform("days(ts)").interval(aware, aware)
+
+
+def test_transform_key_collision_with_data_column_fails(spark, tmp_path):
+    """A df that already carries a column named like the derived hive
+    key must fail the write — silently overwriting it would corrupt
+    the column on every read."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = _events(spark).withColumn("ts_day", F.lit("user-data"))
+    with pytest.raises(ValueError, match="collide with"):
+        t.append(df, partition_by=["days(ts)"])
