@@ -234,6 +234,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "snapshot table from manifests only (no data "
                         "reads) — the skew question answered without "
                         "a scan; one JSON line per partition value")
+    p.add_argument("--alter", default=None, metavar="TABLE_DIR",
+                   help="metadata-only schema DDL on a snapshot table; "
+                        "pair with exactly one of --rename OLD:NEW, "
+                        "--drop COL, --widen COL:TYPE (no data files "
+                        "are rewritten; old files keep reading through "
+                        "scoped name mapping / native type widening)")
+    p.add_argument("--rename", default=None, metavar="OLD:NEW")
+    p.add_argument("--drop", default=None, metavar="COL")
+    p.add_argument("--widen", default=None, metavar="COL:TYPE")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -422,6 +431,31 @@ def main(argv: list[str] | None = None) -> int:
             version = t.current_version()
         print(json.dumps({"published": ok, "version": version, **summary}))
         return 0 if ok else 3
+
+    if args.alter:
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        ops = [o for o in (args.rename, args.drop, args.widen) if o]
+        if len(ops) != 1:
+            print(
+                "--alter requires exactly one of --rename/--drop/--widen",
+                file=sys.stderr,
+            )
+            return 2
+        t = SnapshotTable(spark, args.alter)
+        if args.rename:
+            old, _, new = args.rename.partition(":")
+            v = t.rename_column(old, new)
+            did = {"renamed": old, "to": new}
+        elif args.drop:
+            v = t.drop_column(args.drop)
+            did = {"dropped": args.drop}
+        else:
+            col, _, typ = args.widen.partition(":")
+            v = t.widen_column(col, typ)
+            did = {"widened": col, "to": typ}
+        print(json.dumps({**did, "version": v, "schema": dict(t.read().dtypes)}))
+        return 0
 
     if args.tag or args.drop_tag:
         from dataval_spark.sources.snapshots import SnapshotTable

@@ -608,6 +608,32 @@ class SnapshotTable:
                     additive = merge_schema and all(
                         f in fields for f in parent_fields
                     )
+                    if additive:
+                        # a NEW column must not reuse a name that still
+                        # exists PHYSICALLY in live files (the old name
+                        # of a rename, or a dropped column): the pinned
+                        # schema would silently read the stale values
+                        # into the new column for those files
+                        added = {n for n, _ in fields} - {
+                            n for n, _ in parent_fields
+                        }
+                        live = None
+                        for ent in parent.get("retired") or []:
+                            if ent["name"] not in added:
+                                continue
+                            if live is None:
+                                live = {
+                                    rel for rel, _ in self.files(parent)
+                                }
+                            if live & set(ent["files"]):
+                                raise ValueError(
+                                    f"cannot add column {ent['name']!r}:"
+                                    " the name is still carried "
+                                    "physically by live data files "
+                                    "(renamed or dropped earlier); "
+                                    "compact() first or pick another "
+                                    "name"
+                                )
                     if not additive:
                         raise ValueError(
                             f"append schema mismatch vs snapshot v{cur}: "
@@ -649,9 +675,12 @@ class SnapshotTable:
             # pending merge-on-read deletes follow the files they scope:
             # an append keeps them (its new files are exempt — not in
             # any scope list); an overwrite replaces the content and
-            # drops them with it
-            if base_files and parent and parent.get("deletes"):
-                snap["deletes"] = parent["deletes"]
+            # drops them with it. Rename scopes and retired-name guards
+            # ride along identically.
+            if base_files and parent:
+                for k in ("deletes", "renames", "retired"):
+                    if parent.get(k):
+                        snap[k] = parent[k]
             # stream watermarks ride the chain HEAD: every commit copies
             # its parent's map forward, so the exactly-once check is one
             # current-snapshot read and expire_snapshots can never lose
@@ -878,6 +907,21 @@ class SnapshotTable:
             for t in (parse_partition_specs(specs) if specs else [])
             if not t.is_identity
         }
+        renames = snap.get("renames") or []
+        rscoped = [set(r["files"]) for r in renames]
+
+        def file_col(rel: str, col: str) -> str:
+            """The filter column's PHYSICAL name in this file: stats
+            and hive dir keys were recorded under the name the file was
+            written with, so a renamed column's bounds live under the
+            old name for pre-rename files (pruning stays sharp instead
+            of degrading to unpruned)."""
+            if not renames:
+                return col
+            scope = frozenset(
+                i for i, rels in enumerate(rscoped) if rel in rels
+            )
+            return self._physical_name(col, scope, renames)
 
         def path_value(rel: str, name: str) -> str | None:
             # hive path values are %XX-escaped (space -> %20, ':' ->
@@ -920,9 +964,10 @@ class SnapshotTable:
 
         def overlaps(rel: str) -> bool:
             bounds = stats.get(rel, {})
-            for col, (lo, hi) in filters.items():
+            for lcol, (lo, hi) in filters.items():
                 if lo is None and hi is None:
                     continue  # vacuous interval: constrains nothing
+                col = file_col(rel, lcol)
                 if transform_prunes(rel, col, lo, hi):
                     return False
                 if col in bounds:
@@ -973,6 +1018,23 @@ class SnapshotTable:
         ]
         return reduce(lambda a, b: a & b, preds) if preds else F.lit(True)
 
+    @staticmethod
+    def _physical_name(
+        name: str, scope: frozenset | None, renames: list[dict]
+    ) -> str:
+        """The column name a file actually carries for logical
+        ``name``, given which rename entries apply to it (``scope`` =
+        indices; None means all). Walk newest rename first: each
+        in-scope entry whose NEW name matches the current name steps
+        back to its OLD name — composing chains (a->b then b->c) and
+        disambiguating reused names (the older file is in the later
+        rename's scope, so it keeps walking)."""
+        cur = name
+        for i in range(len(renames) - 1, -1, -1):
+            if (scope is None or i in scope) and renames[i]["new"] == cur:
+                cur = renames[i]["old"]
+        return cur
+
     def _read_entries(self, snap: dict, entries: list[list]) -> DataFrame:
         """Materialize a subset of a snapshot's file entries under its
         pinned schema (typed empty frame for no entries), applying any
@@ -985,22 +1047,41 @@ class SnapshotTable:
         reader, Spark's partition discovery would fail on the
         conflicting directory structures — and different files can owe
         different delete filters (a file appended after a delete is
-        exempt from it)."""
+        exempt from it).
+
+        RENAMED columns resolve through the snapshot's ``renames``
+        scope lists (the same files-the-DDL-saw mechanism as
+        merge-on-read deletes): a file written before ``rename_column``
+        physically carries the OLD name, so its group reads under a
+        physical schema with the old name and aliases back to the
+        logical one; files written after the rename are out of scope
+        and read as-is. WIDENED columns need no scope at all — the
+        parquet reader upcasts a narrow physical type to the pinned
+        wider one natively (SPARK-40876) — and DROPPED columns simply
+        leave the pinned schema (the explicit schema never loads the
+        stale physical column)."""
         from functools import reduce
         from pyspark.sql import functions as F
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
         schema = StructType.fromJson(json.loads(snap["schema"]))
         if not entries:
             return self.spark.createDataFrame([], schema)
         deletes = snap.get("deletes") or []
         scoped = [set(d["files"]) for d in deletes]
+        renames = snap.get("renames") or []
+        rscoped = [set(r["files"]) for r in renames]
         by_group: dict[tuple, list[str]] = {}
         for rel, _ in entries:
             dkey = frozenset(
                 i for i, rels in enumerate(scoped) if rel in rels
             )
-            by_group.setdefault((self._entry_layout(rel), dkey), []).append(rel)
+            rkey = frozenset(
+                i for i, rels in enumerate(rscoped) if rel in rels
+            )
+            by_group.setdefault(
+                (self._entry_layout(rel), dkey, rkey), []
+            ).append(rel)
         # the final select pins the column set: Spark APPENDS discovered
         # hive partition columns even under an explicit schema (verified
         # empirically), so a hidden-partition key (days(ts) -> ts_day=)
@@ -1008,12 +1089,26 @@ class SnapshotTable:
         # columns are IN the schema and survive the projection
         names = [f.name for f in schema.fields]
         parts = []
-        for (_, dkey), rels in by_group.items():
+        for (_, dkey, rkey), rels in by_group.items():
+            # logical -> physical name for THIS group's files: walk the
+            # rename chain newest-first, following only entries whose
+            # scope contains the group (chains compose; a name reused
+            # by a later rename resolves correctly because the older
+            # file sits in the later rename's scope too)
+            phys = {
+                n: self._physical_name(n, rkey, renames) for n in names
+            }
+            read_schema = StructType(
+                [
+                    StructField(phys[f.name], f.dataType, f.nullable)
+                    for f in schema.fields
+                ]
+            )
             df = (
                 self.spark.read.option("basePath", self._data_dir())
-                .schema(schema)
+                .schema(read_schema)
                 .parquet(*[f"{self.root}/{rel}" for rel in rels])
-                .select(*names)
+                .select(*[F.col(phys[n]).alias(n) for n in names])
             )
             for i in sorted(dkey):
                 d = deletes[i]
@@ -1068,7 +1163,11 @@ class SnapshotTable:
                     if e[0] in added and e[0] not in seen:
                         seen.add(e[0])
                         out.append(e)
-            elif op != "compact":
+            elif op not in ("compact", "schema"):
+                # "schema" (rename/drop/widen DDL) is metadata-only:
+                # rows are untouched, so the range stays an append-only
+                # changelog; the delta reads under the TARGET snapshot's
+                # schema (rename scopes included)
                 raise IncrementalReadError(
                     f"snapshot v{v} of {self.root} is a '{op}' — rows "
                     "changed or were removed, so the range "
@@ -1165,6 +1264,22 @@ class SnapshotTable:
         carried = [d for d in carried if d["files"]]
         if carried:
             new_snap["deletes"] = carried
+        # rename scopes and retired-name guards shrink to the files that
+        # carried over unchanged: rewritten rows were read under the
+        # LOGICAL schema and re-written with current physical names, so
+        # new files need no mapping. Dropping an entry whose scope went
+        # empty cannot break a chain: a live file in an older rename's
+        # scope existed at every later rename too (scopes only shrink by
+        # file removal), so an older entry can only outlive a newer one
+        # when no live file needs the newer step.
+        for k in ("renames", "retired"):
+            kept = [
+                {**e, "files": [r for r in e["files"] if r in kept_rels]}
+                for e in (snap.get(k) or [])
+            ]
+            kept = [e for e in kept if e["files"]]
+            if kept:
+                new_snap[k] = kept
         if not self._try_commit(base + 1, new_snap):
             raise CommitConflict(
                 f"table {self.root} advanced past v{base} during "
@@ -1428,6 +1543,197 @@ class SnapshotTable:
         return self._replace_entries(
             snap, untouched, rewritten, "merge", partition_by
         )
+
+    # -- schema evolution DDL (metadata-only commits) -------------------------
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint", "double"},
+        "smallint": {"int", "bigint", "double"},
+        "int": {"bigint", "double"},
+        "float": {"double"},
+    }
+
+    def _spec_sources(self, snap: dict) -> set[str]:
+        from .transforms import parse_partition_specs
+
+        specs = self.partition_specs(snap)
+        return {t.source for t in parse_partition_specs(specs or [])}
+
+    def _commit_schema(self, snap: dict, schema, extra: dict) -> int:
+        """Commit a metadata-only schema change: same manifests, same
+        rows, new pinned schema — operation ``schema``. Pinned to the
+        base version like every derived commit (a lost CAS means the
+        guards ran against a stale snapshot — rerun)."""
+        base = snap["version"]
+        new_snap = dict(snap)
+        new_snap.update(
+            {
+                "version": base + 1,
+                "parent": base,
+                "operation": "schema",
+                "schema": schema.json(),
+                "schema_fields": json.dumps(
+                    sorted(
+                        (f.name, f.dataType.simpleString())
+                        for f in schema.fields
+                    )
+                ),
+                **extra,
+            }
+        )
+        if not self._try_commit(base + 1, new_snap):
+            raise CommitConflict(
+                f"table {self.root} advanced past v{base} during schema "
+                "DDL; rerun against the new current snapshot"
+            )
+        return base + 1
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column without touching data files (Iceberg ALTER
+        TABLE RENAME COLUMN semantics). Existing files keep the old
+        physical name; the commit records a rename entry scoped to the
+        files it saw (exactly the merge-on-read delete mechanism), and
+        every read resolves the chain per file group. Later appends
+        write the new name physically. Pending merge-on-read delete
+        predicates that reference the old name are rewritten in the
+        same commit, so they keep filtering after the rename."""
+        from pyspark.sql.types import StructType
+
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} to rename; have {names}")
+        if new in names:
+            raise ValueError(f"rename target {new!r} already exists")
+        if old in self._spec_sources(snap):
+            raise ValueError(
+                f"column {old!r} is a partition-spec source; evolve the "
+                "layout away from it (append with evolve_layout=True) "
+                "before renaming"
+            )
+        specs = self.partition_specs(snap) or []
+        if new in self._spec_hive_names(specs):
+            raise ValueError(
+                f"rename target {new!r} collides with a derived "
+                "partition key of the current layout"
+            )
+        for f in schema.fields:
+            if f.name == old:
+                f.name = new
+        files = sorted(rel for rel, _ in self.files(snap))
+        entry = {"new": new, "old": old, "files": files}
+        extra = {
+            "renames": list(snap.get("renames") or []) + [entry],
+            "retired": list(snap.get("retired") or [])
+            + [{"name": old, "files": files}],
+        }
+        deletes = snap.get("deletes") or []
+        if any(
+            d.get("key_col") == old or old in d.get("filters", {})
+            for d in deletes
+        ):
+            rewritten = []
+            for d in deletes:
+                d = dict(d)
+                if d.get("key_col") == old:
+                    d["key_col"] = new
+                if "filters" in d and old in d["filters"]:
+                    d["filters"] = {
+                        (new if c == old else c): iv
+                        for c, iv in d["filters"].items()
+                    }
+                rewritten.append(d)
+            extra["deletes"] = rewritten
+        return self._commit_schema(snap, StructType(schema.fields), extra)
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column without rewriting data (the stale physical
+        column stays in old files but the pinned schema never loads
+        it). The name is RETIRED while those files live: re-adding it
+        via additive evolution would silently resurrect the stale
+        values, so that append fails until compact() rewrites the
+        files. Refuses to drop a column a pending merge-on-read delete
+        still filters on (compact() first to materialize the delete)."""
+        from pyspark.sql.types import StructType
+
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} to drop; have {names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        if name in self._spec_sources(snap):
+            raise ValueError(
+                f"column {name!r} is a partition-spec source; evolve the "
+                "layout away from it before dropping"
+            )
+        for d in snap.get("deletes") or []:
+            if d.get("key_col") == name or name in d.get("filters", {}):
+                raise ValueError(
+                    f"column {name!r} is referenced by a pending "
+                    "merge-on-read delete; compact() to materialize the "
+                    "delete, then drop"
+                )
+        files = sorted(rel for rel, _ in self.files(snap))
+        extra = {
+            "retired": list(snap.get("retired") or [])
+            + [{"name": name, "files": files}],
+        }
+        return self._commit_schema(
+            snap,
+            StructType([f for f in schema.fields if f.name != name]),
+            extra,
+        )
+
+    def widen_column(self, name: str, new_type: str) -> int:
+        """Widen a column's type in place (int->bigint, float->double,
+        ... — the SPARK-40876 set): pure metadata, no scope lists — the
+        parquet reader upcasts each file's narrower physical type to
+        the pinned wider one natively, and manifest stats stay
+        comparable. A bucket-transform source may widen only within the
+        integral family (the str() forms the driver-side pruning hashes
+        agree across integral widths, not across int->double)."""
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StructType,
+        )
+
+        type_by_name = {
+            "smallint": ShortType(),
+            "int": IntegerType(),
+            "bigint": LongType(),
+            "double": DoubleType(),
+        }
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        by_name = {f.name: f for f in schema.fields}
+        if name not in by_name:
+            raise ValueError(
+                f"no column {name!r} to widen; have {list(by_name)}"
+            )
+        cur = by_name[name].dataType.simpleString()
+        allowed = self._WIDENINGS.get(cur, set())
+        if new_type not in allowed:
+            raise ValueError(
+                f"cannot widen {name!r} from {cur} to {new_type}; "
+                f"supported: {sorted(allowed) or 'none'}"
+            )
+        if new_type == "double":
+            from .transforms import parse_partition_specs
+
+            for t in parse_partition_specs(self.partition_specs(snap) or []):
+                if t.source == name and not t.is_identity:
+                    raise ValueError(
+                        f"column {name!r} feeds the {t.spec!r} partition "
+                        "transform; widening to double would break the "
+                        "str()-agreement its pruning relies on"
+                    )
+        by_name[name].dataType = type_by_name[new_type]
+        return self._commit_schema(snap, StructType(schema.fields), {})
 
     # -- tags (immutable named snapshots) ------------------------------------
     def tag(self, name: str, version: int | None = None) -> int:
@@ -1732,12 +2038,16 @@ class SnapshotTable:
             and not sort_by
             and not zorder_by
             and not snap.get("deletes")
+            and not snap.get("renames")
+            and not snap.get("retired")
         ):
             # sort_by/zorder_by always rewrite: the point is the file
             # ORDER, which the file count cannot witness — and pending
-            # merge-on-read deletes always rewrite too: compaction is
-            # what MATERIALIZES them (read() below applies the filters,
-            # and the compact snapshot carries none)
+            # merge-on-read deletes, rename scopes, and retired-name
+            # guards always rewrite too: compaction is what MATERIALIZES
+            # them (read() below applies the filters and resolves the
+            # physical names; the compact snapshot carries none, which
+            # also releases retired names for reuse)
             return None
         df = self.read(snap["version"])
         if zorder_by:
