@@ -243,6 +243,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rename", default=None, metavar="OLD:NEW")
     p.add_argument("--drop", default=None, metavar="COL")
     p.add_argument("--widen", default=None, metavar="COL:TYPE")
+    p.add_argument("--add", default=None, metavar="COL:TYPE[:DEFAULT]",
+                   help="add a column (existing rows read DEFAULT, or "
+                        "NULL when omitted; no data rewritten)")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -435,10 +438,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.alter:
         from dataval_spark.sources.snapshots import SnapshotTable
 
-        ops = [o for o in (args.rename, args.drop, args.widen) if o]
+        ops = [o for o in (args.rename, args.drop, args.widen, args.add) if o]
         if len(ops) != 1:
             print(
-                "--alter requires exactly one of --rename/--drop/--widen",
+                "--alter requires exactly one of "
+                "--rename/--drop/--widen/--add",
                 file=sys.stderr,
             )
             return 2
@@ -450,6 +454,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.drop:
             v = t.drop_column(args.drop)
             did = {"dropped": args.drop}
+        elif args.add:
+            col, _, rest = args.add.partition(":")
+            typ, _, dflt = rest.partition(":")
+            default = None
+            if dflt:
+                default = {
+                    "bigint": int, "int": int, "smallint": int,
+                    "tinyint": int, "float": float, "double": float,
+                    "boolean": lambda s: s.lower() == "true",
+                }.get(typ, str)(dflt)
+            v = t.add_column(col, typ, default=default)
+            did = {"added": col, "type": typ, "default": default}
         else:
             col, _, typ = args.widen.partition(":")
             v = t.widen_column(col, typ)

@@ -67,6 +67,27 @@ _MAX_COMMIT_RETRIES = 20
 _STATS_TRUNC = 16
 
 
+def _simple_type(name: str):
+    """DataType for a scalar simpleString — session-free (the pyspark
+    DDL parser needs an active SparkContext, which DDL guards shouldn't
+    depend on)."""
+    from pyspark.sql import types as T
+
+    by_name = {
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "tinyint": T.ByteType(),
+        "smallint": T.ShortType(),
+        "int": T.IntegerType(),
+        "bigint": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+    }
+    return by_name[name]
+
+
 def _trunc_lower(s: str, width: int = _STATS_TRUNC) -> str:
     """Sound lower bound for a string min: a prefix always compares
     <= the full value (code-point order == UTF-8 byte order)."""
@@ -678,7 +699,7 @@ class SnapshotTable:
             # drops them with it. Rename scopes and retired-name guards
             # ride along identically.
             if base_files and parent:
-                for k in ("deletes", "renames", "retired"):
+                for k in ("deletes", "renames", "retired", "defaults"):
                     if parent.get(k):
                         snap[k] = parent[k]
             # stream watermarks ride the chain HEAD: every commit copies
@@ -1071,6 +1092,8 @@ class SnapshotTable:
         scoped = [set(d["files"]) for d in deletes]
         renames = snap.get("renames") or []
         rscoped = [set(r["files"]) for r in renames]
+        defaults = snap.get("defaults") or []
+        fscoped = [set(d["files"]) for d in defaults]
         by_group: dict[tuple, list[str]] = {}
         for rel, _ in entries:
             dkey = frozenset(
@@ -1079,8 +1102,11 @@ class SnapshotTable:
             rkey = frozenset(
                 i for i, rels in enumerate(rscoped) if rel in rels
             )
+            fkey = frozenset(
+                i for i, rels in enumerate(fscoped) if rel in rels
+            )
             by_group.setdefault(
-                (self._entry_layout(rel), dkey, rkey), []
+                (self._entry_layout(rel), dkey, rkey, fkey), []
             ).append(rel)
         # the final select pins the column set: Spark APPENDS discovered
         # hive partition columns even under an explicit schema (verified
@@ -1088,8 +1114,9 @@ class SnapshotTable:
         # would otherwise leak into every read; identity partition
         # columns are IN the schema and survive the projection
         names = [f.name for f in schema.fields]
+        dtype_of = {f.name: f.dataType for f in schema.fields}
         parts = []
-        for (_, dkey, rkey), rels in by_group.items():
+        for (_, dkey, rkey, fkey), rels in by_group.items():
             # logical -> physical name for THIS group's files: walk the
             # rename chain newest-first, following only entries whose
             # scope contains the group (chains compose; a name reused
@@ -1098,6 +1125,11 @@ class SnapshotTable:
             phys = {
                 n: self._physical_name(n, rkey, renames) for n in names
             }
+            # add_column initial defaults: a column added after these
+            # files were written reads as the recorded CONSTANT, not
+            # NULL — scoped, so later rows' genuine NULLs are never
+            # papered over
+            dflt = {defaults[i]["name"]: defaults[i]["value"] for i in fkey}
             read_schema = StructType(
                 [
                     StructField(phys[f.name], f.dataType, f.nullable)
@@ -1108,7 +1140,14 @@ class SnapshotTable:
                 self.spark.read.option("basePath", self._data_dir())
                 .schema(read_schema)
                 .parquet(*[f"{self.root}/{rel}" for rel in rels])
-                .select(*[F.col(phys[n]).alias(n) for n in names])
+                .select(
+                    *[
+                        F.lit(dflt[n]).cast(dtype_of[n]).alias(n)
+                        if n in dflt
+                        else F.col(phys[n]).alias(n)
+                        for n in names
+                    ]
+                )
             )
             for i in sorted(dkey):
                 d = deletes[i]
@@ -1272,7 +1311,7 @@ class SnapshotTable:
         # scope existed at every later rename too (scopes only shrink by
         # file removal), so an older entry can only outlive a newer one
         # when no live file needs the newer step.
-        for k in ("renames", "retired"):
+        for k in ("renames", "retired", "defaults"):
             kept = [
                 {**e, "files": [r for r in e["files"] if r in kept_rels]}
                 for e in (snap.get(k) or [])
@@ -1587,6 +1626,82 @@ class SnapshotTable:
             )
         return base + 1
 
+    _ADDABLE = {
+        "string",
+        "boolean",
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+        "float",
+        "double",
+        "date",
+        "timestamp",
+    }
+
+    def add_column(self, name: str, dtype: str, default=None) -> int:
+        """ALTER TABLE ADD COLUMN without touching data files: the
+        pinned schema gains the field, existing rows read it as
+        ``default`` (a constant; None for NULL), later appends supply
+        real values. The default is SCOPED to the files the DDL saw —
+        the same mechanism as renames — so a later row whose value is
+        genuinely NULL is never papered over by the default. The other
+        way to add a column is an additive append
+        (``merge_schema=True``), which backfills NULL; this is the
+        metadata-only form with Iceberg-v3-style initial defaults."""
+        from datetime import date, datetime
+
+        from pyspark.sql.types import StructField, StructType
+
+        snap = self.snapshot()
+        schema = StructType.fromJson(json.loads(snap["schema"]))
+        names = [f.name for f in schema.fields]
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        if dtype not in self._ADDABLE:
+            raise ValueError(
+                f"add_column supports scalar types {sorted(self._ADDABLE)}, "
+                f"got {dtype!r}"
+            )
+        specs = self.partition_specs(snap) or []
+        if name in self._spec_hive_names(specs):
+            raise ValueError(
+                f"column name {name!r} collides with a derived partition "
+                "key of the current layout"
+            )
+        live = {rel for rel, _ in self.files(snap)}
+        for ent in snap.get("retired") or []:
+            if ent["name"] == name and live & set(ent["files"]):
+                raise ValueError(
+                    f"cannot add column {name!r}: the name is still "
+                    "carried physically by live data files (renamed or "
+                    "dropped earlier); compact() first or pick another "
+                    "name"
+                )
+        if default is not None and not isinstance(
+            default, (str, bool, int, float, date, datetime)
+        ):
+            raise ValueError(
+                f"default must be a constant scalar, got {type(default)}"
+            )
+        field = StructField(name, _simple_type(dtype), True)
+        extra: dict = {}
+        if default is not None:
+            extra["defaults"] = list(snap.get("defaults") or []) + [
+                {
+                    "name": name,
+                    "value": default.isoformat()
+                    if isinstance(default, (date, datetime))
+                    else default,
+                    "files": sorted(live),
+                }
+            ]
+        elif snap.get("defaults"):
+            extra["defaults"] = snap["defaults"]
+        return self._commit_schema(
+            snap, StructType(list(schema.fields) + [field]), extra
+        )
+
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column without touching data files (Iceberg ALTER
         TABLE RENAME COLUMN semantics). Existing files keep the old
@@ -1627,6 +1742,12 @@ class SnapshotTable:
             "retired": list(snap.get("retired") or [])
             + [{"name": old, "files": files}],
         }
+        if any(d["name"] == old for d in snap.get("defaults") or []):
+            # an initial default follows its column's LOGICAL name
+            extra["defaults"] = [
+                {**d, "name": new} if d["name"] == old else d
+                for d in snap["defaults"]
+            ]
         deletes = snap.get("deletes") or []
         if any(
             d.get("key_col") == old or old in d.get("filters", {})
@@ -1680,6 +1801,14 @@ class SnapshotTable:
             "retired": list(snap.get("retired") or [])
             + [{"name": name, "files": files}],
         }
+        if any(d["name"] == name for d in snap.get("defaults") or []):
+            kept = [d for d in snap["defaults"] if d["name"] != name]
+            if kept:
+                extra["defaults"] = kept
+            else:
+                # _commit_schema copies the snapshot dict: an exhausted
+                # key must be removed, not just left unset in `extra`
+                extra["defaults"] = []
         return self._commit_schema(
             snap,
             StructType([f for f in schema.fields if f.name != name]),
@@ -1694,20 +1823,8 @@ class SnapshotTable:
         comparable. A bucket-transform source may widen only within the
         integral family (the str() forms the driver-side pruning hashes
         agree across integral widths, not across int->double)."""
-        from pyspark.sql.types import (
-            DoubleType,
-            IntegerType,
-            LongType,
-            ShortType,
-            StructType,
-        )
+        from pyspark.sql.types import StructType
 
-        type_by_name = {
-            "smallint": ShortType(),
-            "int": IntegerType(),
-            "bigint": LongType(),
-            "double": DoubleType(),
-        }
         snap = self.snapshot()
         schema = StructType.fromJson(json.loads(snap["schema"]))
         by_name = {f.name: f for f in schema.fields}
@@ -1732,7 +1849,7 @@ class SnapshotTable:
                         "transform; widening to double would break the "
                         "str()-agreement its pruning relies on"
                     )
-        by_name[name].dataType = type_by_name[new_type]
+        by_name[name].dataType = _simple_type(new_type)
         return self._commit_schema(snap, StructType(schema.fields), {})
 
     # -- tags (immutable named snapshots) ------------------------------------

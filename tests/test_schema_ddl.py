@@ -256,7 +256,65 @@ def test_cli_alter_faces(spark, tmp_path, capsys):
     assert cli_main(base + ["--drop", "b"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert list(out["schema"]) == ["x"]
-    assert sorted(r.x for r in t.read().collect()) == list(range(6))
+    assert cli_main(base + ["--add", "lang:string:en"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["added"] == "lang" and out["default"] == "en"
+    assert sorted((r.x, r.lang) for r in t.read().collect()) == [
+        (i, "en") for i in range(6)
+    ]
     # exactly one op required
     assert cli_main(base) == 2
     assert cli_main(base + ["--rename", "x:y", "--drop", "x"]) == 2
+
+
+# ------------------------------------------------------------ add_column
+def test_add_column_with_default_is_scoped(spark, tmp_path):
+    """Existing rows read the recorded constant; rows appended AFTER
+    the add keep their real values — including genuine NULLs, which the
+    default must never paper over."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(3).select(F.col("id").alias("k")))
+    files_before = {rel for rel, _ in t.files(t.snapshot())}
+    t.add_column("lang", "string", default="en")
+    # metadata-only: no data files written
+    assert {rel for rel, _ in t.files(t.snapshot())} == files_before
+    assert t.snapshot()["operation"] == "schema"
+    t.append(
+        spark.createDataFrame([(10, "fr"), (11, None)], "k bigint, lang string")
+    )
+    got = sorted(
+        ((r.k, r.lang) for r in t.read().collect()),
+        key=lambda p: (p[0], p[1] or ""),
+    )
+    assert got == [(0, "en"), (1, "en"), (2, "en"), (10, "fr"), (11, None)]
+
+
+def test_add_column_null_default_and_typed(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(spark.range(2).select(F.col("id").alias("k")))
+    t.add_column("score", "double")           # NULL backfill
+    t.add_column("n_tools", "int", default=0) # typed constant
+    rows = sorted((r.k, r.score, r.n_tools) for r in t.read().collect())
+    assert rows == [(0, None, 0), (1, None, 0)]
+    assert dict(t.read().dtypes) == {
+        "k": "bigint", "score": "double", "n_tools": "int",
+    }
+    # the default survives rename and dies with drop
+    t.rename_column("n_tools", "tool_count")
+    assert [r.tool_count for r in t.read().collect()] == [0, 0]
+    t.drop_column("tool_count")
+    assert t.read().columns == ["k", "score"]
+
+
+def test_add_column_guards(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_ab(spark, 0, 4))
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("a", "int")
+    with pytest.raises(ValueError, match="supports scalar types"):
+        t.add_column("x", "array<int>")
+    t.drop_column("b")
+    with pytest.raises(ValueError, match="still carried physically"):
+        t.add_column("b", "int")  # stale physical column lives on
+    with pytest.raises(ValueError, match="constant scalar"):
+        t.add_column("x", "int", default=[1, 2])
