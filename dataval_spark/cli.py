@@ -246,6 +246,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--add", default=None, metavar="COL:TYPE[:DEFAULT]",
                    help="add a column (existing rows read DEFAULT, or "
                         "NULL when omitted; no data rewritten)")
+    p.add_argument("--drift-versions", default=None, metavar="TABLE_DIR",
+                   help="per-partition KS/PSI drift of the current (or "
+                        "--to-version) snapshot vs --from-version; "
+                        "append-only ranges scan only the delta; one "
+                        "JSON line per (partition, metric); exit 3 when "
+                        "any partition drifted")
+    p.add_argument("--from-version", default=None, metavar="V|TAG",
+                   help="reference snapshot for --drift-versions")
+    p.add_argument("--to-version", default=None, metavar="V|TAG",
+                   help="snapshot to compare (default: current)")
+    p.add_argument("--drift-cols", default=None, metavar="COL[,length(COL)]",
+                   help="columns to histogram (default: turn_idx + "
+                        "length(text) when present)")
+    p.add_argument("--part-col", default="dataval_part",
+                   help="partition column for --drift-versions")
+    p.add_argument("--hists-out", default=None, metavar="FILE.json",
+                   help="persist the comparison's histograms; feed back "
+                        "via --hists-in so the NEXT release gate scans "
+                        "only its delta (each row read once, ever)")
+    p.add_argument("--hists-in", default=None, metavar="FILE.json",
+                   help="prior --hists-out for the --from-version "
+                        "snapshot (skips re-scanning the reference)")
     p.add_argument("--master", default=None)
     p.add_argument("--cpus", type=int, default=None)
     return p
@@ -434,6 +456,47 @@ def main(argv: list[str] | None = None) -> int:
             version = t.current_version()
         print(json.dumps({"published": ok, "version": version, **summary}))
         return 0 if ok else 3
+
+    if args.drift_versions:
+        from dataval_spark.constraints.version_drift import (
+            drift_between_versions,
+        )
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        if args.from_version is None:
+            print("--drift-versions requires --from-version", file=sys.stderr)
+            return 2
+
+        def _ver(v):
+            return int(v) if v is not None and v.isdigit() else v
+
+        ref_hists = None
+        if args.hists_in:
+            with open(args.hists_in) as fh:
+                ref_hists = json.load(fh)
+        t = SnapshotTable(spark, args.drift_versions)
+        res = drift_between_versions(
+            t,
+            _ver(args.from_version),
+            _ver(args.to_version),
+            columns=args.drift_cols.split(",") if args.drift_cols else None,
+            part_col=args.part_col,
+            ref_hists=ref_hists,
+        )
+        if args.hists_out:
+            with open(args.hists_out, "w") as fh:
+                json.dump(
+                    {k: res[k] for k in ("cur_version", "hists", "bins")}, fh
+                )
+        for rec in res["records"]:
+            print(json.dumps(rec, sort_keys=True))
+        print(json.dumps({
+            "mode": res["mode"],
+            "ref_version": res["ref_version"],
+            "cur_version": res["cur_version"],
+            "any_drifted": res["any_drifted"],
+        }))
+        return 3 if res["any_drifted"] else 0
 
     if args.alter:
         from dataval_spark.sources.snapshots import SnapshotTable

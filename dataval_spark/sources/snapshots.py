@@ -371,6 +371,41 @@ class SnapshotTable:
             return sum(rows[rel] for rel, _ in entries)
         return self.read(snap["version"]).count()
 
+    def column_bounds(
+        self, col: str, version: int | str | None = None
+    ) -> tuple | None:
+        """Global [min, max] of a column from MANIFEST stats only (zero
+        data reads — the 100-TB way to size histogram bins or sanity-
+        check a range). Returns None when any live file lacks a usable
+        bound for the column (pre-stats manifests, all-string truncated
+        upper bounds, a file-local all-NULL column is skipped): an
+        honest "unknown" beats a silently-partial answer. Renamed
+        columns translate to each file's physical name."""
+        snap = self.snapshot(version)
+        stats = self.file_stats(snap)
+        renames = snap.get("renames") or []
+        rscoped = [set(r["files"]) for r in renames]
+        lo = hi = None
+        for rel, _ in self.files(snap):
+            pcol = self._physical_name(
+                col,
+                frozenset(
+                    i for i, rels in enumerate(rscoped) if rel in rels
+                ),
+                renames,
+            )
+            b = stats.get(rel, {}).get(pcol)
+            if b is None:
+                return None
+            mn, mx = b
+            if mn is None and mx is None:
+                continue  # all-NULL in this file: constrains nothing
+            if mx is None:
+                return None  # truncated string upper bound: unknowable
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        return None if lo is None else (lo, hi)
+
     def files(self, snap: dict) -> list[list]:
         """A snapshot's full [relative_path, bytes] list, resolved
         through its manifests (reads O(commits) small metadata files,
