@@ -318,3 +318,58 @@ def test_add_column_guards(spark, tmp_path):
         t.add_column("b", "int")  # stale physical column lives on
     with pytest.raises(ValueError, match="constant scalar"):
         t.add_column("x", "int", default=[1, 2])
+
+
+def test_ddl_vs_append_thread_race_stays_consistent(spark, tmp_path):
+    """A rename racing a genuinely concurrent append. Legal outcomes:
+    the append commits first and the rename lands on top (or loses its
+    pinned slot with CommitConflict), or the rename commits first and
+    the append's retry — now reading the renamed head — FAILS the
+    schema guard loudly (its frame carries the stale column name;
+    silently committing it would smuggle the old name back in as a new
+    column). Never a half-applied schema, never lost rows from a
+    COMMITTED write."""
+    import threading
+
+    from dataval_spark.sources.snapshots import CommitConflict
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_ab(spark, 0, 10))
+    unexpected: list = []
+    outcomes = {"append": None, "rename": None}
+
+    def do_append():
+        try:
+            t.append(_ab(spark, 100, 110))
+            outcomes["append"] = "committed"
+        except ValueError as e:
+            assert "schema mismatch" in str(e)
+            outcomes["append"] = "stale-schema"
+        except Exception as e:  # pragma: no cover - diagnostic
+            unexpected.append(e)
+
+    def do_rename():
+        try:
+            t.rename_column("a", "x")
+            outcomes["rename"] = "committed"
+        except CommitConflict:
+            outcomes["rename"] = "conflict"
+        except Exception as e:  # pragma: no cover - diagnostic
+            unexpected.append(e)
+
+    th = [threading.Thread(target=do_append), threading.Thread(target=do_rename)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not unexpected, unexpected
+    assert outcomes["append"] in ("committed", "stale-schema")
+    assert outcomes["rename"] in ("committed", "conflict")
+    # a stale-schema append only happens when the rename won the slot
+    if outcomes["append"] == "stale-schema":
+        assert outcomes["rename"] == "committed"
+    col = "x" if outcomes["rename"] == "committed" else "a"
+    expect = list(range(10))
+    if outcomes["append"] == "committed":
+        expect += list(range(100, 110))
+    assert sorted(r[col] for r in t.read().collect()) == expect
