@@ -246,6 +246,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--add", default=None, metavar="COL:TYPE[:DEFAULT]",
                    help="add a column (existing rows read DEFAULT, or "
                         "NULL when omitted; no data rewritten)")
+    p.add_argument("--create-branch", default=None, metavar="TABLE_DIR",
+                   help="create --branch-name at the current (or "
+                        "--at-version) snapshot")
+    p.add_argument("--fast-forward", default=None, metavar="TABLE_DIR",
+                   help="publish --branch-name's commits into main "
+                        "(refuses if main advanced; resumable)")
+    p.add_argument("--drop-branch", default=None, metavar="TABLE_DIR",
+                   help="discard --branch-name (vacuum reclaims its "
+                        "orphaned files)")
+    p.add_argument("--branches", default=None, metavar="TABLE_DIR",
+                   help="list branches as one JSON object")
+    p.add_argument("--branch-name", default=None,
+                   help="branch for --create-branch/--fast-forward/"
+                        "--drop-branch")
     p.add_argument("--drift-versions", default=None, metavar="TABLE_DIR",
                    help="per-partition KS/PSI drift of the current (or "
                         "--to-version) snapshot vs --from-version; "
@@ -456,6 +470,31 @@ def main(argv: list[str] | None = None) -> int:
             version = t.current_version()
         print(json.dumps({"published": ok, "version": version, **summary}))
         return 0 if ok else 3
+
+    if args.create_branch or args.fast_forward or args.drop_branch or args.branches:
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        root = (
+            args.create_branch or args.fast_forward
+            or args.drop_branch or args.branches
+        )
+        t = SnapshotTable(spark, root)
+        if args.branches:
+            print(json.dumps(t.branches(), sort_keys=True))
+            return 0
+        if not args.branch_name:
+            print("branch ops require --branch-name", file=sys.stderr)
+            return 2
+        if args.create_branch:
+            base = t.create_branch(args.branch_name, version=args.at_version)
+            print(json.dumps({"branch": args.branch_name, "base": base}))
+        elif args.fast_forward:
+            head = t.fast_forward(args.branch_name)
+            print(json.dumps({"published": args.branch_name, "head": head}))
+        else:
+            t.drop_branch(args.branch_name)
+            print(json.dumps({"dropped": args.branch_name}))
+        return 0
 
     if args.drift_versions:
         from dataval_spark.constraints.version_drift import (

@@ -1943,6 +1943,109 @@ class SnapshotTable:
         if not self._fs.delete(p, False):
             raise FileNotFoundError(f"no tag {name!r} on {self.root}")
 
+    # -- branches (writable refs + fast-forward publish) ---------------------
+    # Iceberg branch semantics on the same CAS: a branch is a PARALLEL
+    # version chain (records at meta/b_<name>_v<K>.json, K continuing
+    # from the main version at creation), so branch commits and main
+    # commits can never collide. The multi-COMMIT write-audit-publish
+    # shape: stage several appends/deletes on a branch, validate the
+    # branch head, then fast_forward() replays the records into main's
+    # slots — or drop_branch() discards them (vacuum reclaims).
+
+    def _branch_marker(self, name: str) -> str:
+        return f"{self._meta_dir()}/branch_{name}.json"
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Create branch ``name`` at snapshot ``version`` (default
+        current). Same write-once CAS as tags: two racers cannot create
+        the same branch differently. Returns the base version."""
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9_\-]{1,64}", name):
+            raise ValueError(f"bad branch name {name!r}")
+        base = self.current_version() if version is None else version
+        if base is None:
+            raise ValueError("cannot branch an empty table")
+        self.snapshot(base)  # must exist (expired/never-committed raises)
+        tmp = f"{self._meta_dir()}/_tmp_{uuid.uuid4().hex}.json"
+        self._write_text(tmp, json.dumps({"name": name, "base": base}))
+        if not self._fs.rename(self._Path(tmp), self._Path(self._branch_marker(name))):
+            self._fs.delete(self._Path(tmp), False)
+            raise ValueError(f"branch {name!r} already exists on {self.root}")
+        return base
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """A writable handle whose commits land on the branch chain.
+        Everything works — append/read/scan/time-travel/DDL/row ops/
+        incremental_read — except table MAINTENANCE (tag/expire/vacuum/
+        nested branching), which stays on main."""
+        p = self._branch_marker(name)
+        if not self._fs.exists(self._Path(p)):
+            raise FileNotFoundError(f"no branch {name!r} on {self.root}")
+        base = json.loads(self._read_text(p))["base"]
+        return _BranchView(self, name, base)
+
+    def branches(self) -> dict[str, dict]:
+        """Every branch name -> {"base": v, "head": v} (head == base
+        before the first branch commit)."""
+        meta = self._Path(self._meta_dir())
+        out: dict[str, dict] = {}
+        if not self._fs.exists(meta):
+            return out
+        for st in self._fs.listStatus(meta):
+            n = st.getPath().getName()
+            if n.startswith("branch_") and n.endswith(".json"):
+                info = json.loads(self._read_text(f"{self._meta_dir()}/{n}"))
+                out[info["name"]] = {
+                    "base": info["base"],
+                    "head": self.branch(info["name"]).current_version(),
+                }
+        return out
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch: replay its records into main's version
+        slots, in order, via the same fail-if-exists CAS as every
+        commit. Requires main's head to still be the branch base (plus
+        any prefix THIS fast-forward already landed — the operation is
+        idempotent and crash-resumable: a slot already holding the
+        byte-identical record is skipped). A foreign record in any
+        needed slot raises CommitConflict and leaves the branch intact
+        — fast-forward never rebases. On success the branch is consumed
+        (marker + branch records removed). Returns main's new head."""
+        bv = self.branch(name)
+        base, head = bv._base, bv.current_version()
+        if head == base:
+            raise ValueError(f"branch {name!r} has no commits to publish")
+        for k in range(base + 1, head + 1):
+            rec = self._read_text(bv._vpath(k))
+            main_p = self._Path(self._vpath(k))
+            if self._fs.exists(main_p):
+                if self._read_text(self._vpath(k)) == rec:
+                    continue  # already landed (crash-resume / replay)
+                raise CommitConflict(
+                    f"main advanced past v{base} on {self.root}; "
+                    f"fast-forward of branch {name!r} would overwrite "
+                    f"v{k} — drop or re-create the branch from the new "
+                    "head"
+                )
+            if not self._try_commit(k, json.loads(rec)):
+                raise CommitConflict(
+                    f"lost the v{k} slot race publishing branch "
+                    f"{name!r}; rerun fast_forward to resume"
+                )
+        self.drop_branch(name)
+        return head
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch: its marker and records are removed; data/
+        manifest files referenced only by branch commits become orphans
+        for the next vacuum()."""
+        bv = self.branch(name)
+        for k in range(bv._base + 1, (bv.current_version() or bv._base) + 1):
+            self._fs.delete(self._Path(bv._vpath(k)), False)
+        if not self._fs.delete(self._Path(self._branch_marker(name)), False):
+            raise FileNotFoundError(f"no branch {name!r} on {self.root}")
+
     # -- metadata inspection tables ----------------------------------------
     def snapshots_df(self) -> DataFrame:
         """One row per retained snapshot — Iceberg's ``snapshots``
@@ -2079,17 +2182,26 @@ class SnapshotTable:
 
     def _live(self) -> tuple[set[str], set[str]]:
         """(live data rel-paths, live manifest names) across every
-        committed snapshot."""
+        committed snapshot — INCLUDING branch records: an active
+        branch's commits are committed state, so vacuum must never
+        reclaim the files only they reference."""
         live: set[str] = set()
         live_manifests: set[str] = set()
+
+        def take(path: str) -> None:
+            if self._fs.exists(self._Path(path)):
+                snap = json.loads(self._read_text(path))
+                live_manifests.update(snap["manifests"])
+                live.update(rel for rel, _ in self.files(snap))
+
         v = self.current_version()
         if v is not None:
             for k in range(v + 1):
-                p = self._vpath(k)
-                if self._fs.exists(self._Path(p)):
-                    snap = json.loads(self._read_text(p))
-                    live_manifests.update(snap["manifests"])
-                    live.update(rel for rel, _ in self.files(snap))
+                take(self._vpath(k))
+        for name, info in self.branches().items():
+            bv = self.branch(name)
+            for k in range(info["base"] + 1, info["head"] + 1):
+                take(bv._vpath(k))
         return live, live_manifests
 
     def orphan_files(self) -> list[str]:
@@ -2277,6 +2389,10 @@ class SnapshotTable:
         if cur is None:
             return 0
         pinned = set(self.tags().values())
+        # a branch's BASE record is its head until the first branch
+        # commit, and the parent every branch commit chains from — an
+        # active branch pins it the way a tag pins its version
+        pinned.update(info["base"] for info in self.branches().values())
         removed = 0
         for k in range(cur - keep_last + 1):
             if k in pinned:
@@ -2295,3 +2411,72 @@ class SnapshotTable:
         for rel in orphans:
             self._fs.delete(self._Path(f"{self.root}/{rel}"), False)
         return len(orphans)
+
+
+class _BranchView(SnapshotTable):
+    """A SnapshotTable whose version chain is a BRANCH: versions at or
+    below the base resolve to main's records (shared history); later
+    versions live at ``meta/b_<name>_v<K>.json``, committed with the
+    same fail-if-exists CAS — so branch and main writers can never
+    collide, and every inherited operation (append, read, scan, time
+    travel, schema DDL, row-level ops, incremental_read, streaming
+    markers) works unchanged against the branch chain. Maintenance
+    (tags, expiry, vacuum, branching) stays on main: those operations
+    reason about the whole tree, not one ref."""
+
+    def __init__(self, parent: SnapshotTable, name: str, base: int):
+        super().__init__(parent.spark, parent.root, parent._bloom_columns)
+        self._branch = name
+        self._base = base
+
+    def _vpath(self, version: int) -> str:
+        if version <= self._base:
+            return f"{self._meta_dir()}/v{version}.json"
+        return f"{self._meta_dir()}/b_{self._branch}_v{version}.json"
+
+    def current_version(self) -> int | None:
+        meta = self._Path(self._meta_dir())
+        best = self._base
+        prefix = f"b_{self._branch}_v"
+        for st in self._fs.listStatus(meta):
+            n = st.getPath().getName()
+            if n.startswith(prefix) and n.endswith(".json"):
+                try:
+                    k = int(n[len(prefix):-5])
+                except ValueError:
+                    continue
+                best = k if k > best else best
+        return best
+
+    def _blocked(self, op: str):
+        raise ValueError(
+            f"{op} is a main-table operation; run it on the table, not "
+            f"branch {self._branch!r}"
+        )
+
+    def tag(self, *a, **k):  # noqa: D102
+        self._blocked("tag")
+
+    def drop_tag(self, *a, **k):  # noqa: D102
+        self._blocked("drop_tag")
+
+    def expire_snapshots(self, *a, **k):  # noqa: D102
+        self._blocked("expire_snapshots")
+
+    def vacuum(self, *a, **k):  # noqa: D102
+        self._blocked("vacuum")
+
+    def orphan_files(self, *a, **k):  # noqa: D102
+        self._blocked("orphan_files")
+
+    def create_branch(self, *a, **k):  # noqa: D102
+        self._blocked("create_branch")
+
+    def branch(self, *a, **k):  # noqa: D102
+        self._blocked("branch")
+
+    def fast_forward(self, *a, **k):  # noqa: D102
+        self._blocked("fast_forward")
+
+    def drop_branch(self, *a, **k):  # noqa: D102
+        self._blocked("drop_branch")

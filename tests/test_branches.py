@@ -1,0 +1,184 @@
+"""Branches: writable parallel version chains + fast-forward publish —
+the multi-COMMIT write-audit-publish shape (stage several commits on a
+branch, validate the branch head, publish atomically-per-slot or drop).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataval_spark.sources.snapshots import CommitConflict, SnapshotTable
+
+
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(_kv(spark, 0, 10))
+    return t
+
+
+def test_branch_commits_invisible_on_main(spark, table):
+    table.create_branch("audit")
+    b = table.branch("audit")
+    b.append(_kv(spark, 100, 105))
+    # main untouched; branch sees base + its own commit
+    assert sorted(r.k for r in table.read().collect()) == list(range(10))
+    assert sorted(r.k for r in b.read().collect()) == list(range(10)) + list(
+        range(100, 105)
+    )
+    assert table.branches() == {"audit": {"base": 0, "head": 1}}
+    # branch time travel: version <= base routes to main history
+    assert sorted(r.k for r in b.read(0).collect()) == list(range(10))
+
+
+def test_fast_forward_publishes_all_branch_commits(spark, table):
+    table.create_branch("audit")
+    b = table.branch("audit")
+    b.append(_kv(spark, 100, 105))
+    b.delete_where({"k": (0, 2)})
+    b.append(_kv(spark, 200, 202))
+    head = table.fast_forward("audit")
+    assert head == 3 == table.current_version()
+    expect = list(range(3, 10)) + list(range(100, 105)) + [200, 201]
+    assert sorted(r.k for r in table.read().collect()) == expect
+    # intermediate history time-travels on main now
+    assert sorted(r.k for r in table.read(1).collect()) == list(range(10)) + list(
+        range(100, 105)
+    )
+    # the branch was consumed
+    assert table.branches() == {}
+    with pytest.raises(FileNotFoundError):
+        table.branch("audit")
+
+
+def test_fast_forward_refuses_when_main_advanced(spark, table):
+    table.create_branch("audit")
+    b = table.branch("audit")
+    b.append(_kv(spark, 100, 105))
+    table.append(_kv(spark, 50, 52))  # main moves: slot v1 now foreign
+    with pytest.raises(CommitConflict, match="fast-forward"):
+        table.fast_forward("audit")
+    # branch intact; dropping it discards the staged rows
+    assert sorted(r.k for r in table.branch("audit").read().collect()) == list(
+        range(10)
+    ) + list(range(100, 105))
+    table.drop_branch("audit")
+    assert table.branches() == {}
+    # main never saw the branch rows
+    assert sorted(r.k for r in table.read().collect()) == list(range(10)) + [50, 51]
+
+
+def test_vacuum_keeps_active_branch_files_then_reclaims_dropped(spark, table):
+    table.create_branch("wip")
+    b = table.branch("wip")
+    b.append(_kv(spark, 100, 130))
+    assert table.vacuum() == 0  # branch data is committed state
+    assert sorted(r.k for r in table.branch("wip").read().collect()) == list(
+        range(10)
+    ) + list(range(100, 130))
+    table.drop_branch("wip")
+    assert table.vacuum() > 0  # branch-only data + manifest now orphans
+    assert sorted(r.k for r in table.read().collect()) == list(range(10))
+
+
+def test_branch_ddl_publishes_schema(spark, table):
+    table.create_branch("schema-wip")
+    b = table.branch("schema-wip")
+    b.rename_column("v", "val")
+    b.add_column("lang", "string", default="en")
+    table.fast_forward("schema-wip")
+    assert table.read().columns == ["k", "val", "lang"]
+    assert {r.lang for r in table.read().collect()} == {"en"}
+
+
+def test_maintenance_blocked_on_branch_view(spark, table):
+    table.create_branch("x")
+    b = table.branch("x")
+    for op, args in [
+        ("tag", ("r1",)),
+        ("expire_snapshots", ()),
+        ("vacuum", ()),
+        ("create_branch", ("y",)),
+        ("fast_forward", ("x",)),
+    ]:
+        with pytest.raises(ValueError, match="main-table operation"):
+            getattr(b, op)(*args)
+
+
+def test_expire_pins_branch_base(spark, table):
+    table.append(_kv(spark, 10, 12))  # v1
+    table.create_branch("old", version=0)
+    table.append(_kv(spark, 12, 14))  # v2
+    table.expire_snapshots(keep_last=1)
+    # v0 survives (branch base); v1 is gone
+    assert sorted(r.k for r in table.branch("old").read().collect()) == list(
+        range(10)
+    )
+    with pytest.raises(FileNotFoundError):
+        table.read(1)
+    # and the branch still accepts commits chained on its base
+    table.branch("old").append(_kv(spark, 300, 302))
+    assert sorted(
+        r.k for r in table.branch("old").read().collect()
+    ) == list(range(10)) + [300, 301]
+
+
+def test_create_branch_guards(spark, table):
+    table.create_branch("a")
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_branch("a")
+    with pytest.raises(ValueError, match="bad branch name"):
+        table.create_branch("no/slashes")
+    with pytest.raises(FileNotFoundError):
+        table.create_branch("b", version=99)
+    with pytest.raises(ValueError, match="no commits to publish"):
+        table.fast_forward("a")
+
+
+def test_fast_forward_is_crash_resumable(spark, table):
+    """Simulate a crash mid-publish: copy the first branch record into
+    main by hand (byte-identical), then fast_forward — it must skip the
+    landed slot and finish."""
+    table.create_branch("audit")
+    b = table.branch("audit")
+    b.append(_kv(spark, 100, 103))
+    b.append(_kv(spark, 200, 203))
+    rec = table._read_text(b._vpath(1))
+    table._write_text(table._vpath(1), rec)  # the "crashed" first copy
+    head = table.fast_forward("audit")
+    assert head == 2
+    assert sorted(r.k for r in table.read().collect()) == list(range(10)) + list(
+        range(100, 103)
+    ) + list(range(200, 203))
+
+
+def test_cli_branch_faces(spark, table, capsys):
+    import json
+
+    from dataval_spark.cli import main as cli_main
+
+    root = table.root
+    base = ["--input", root, "--cpus", "8"]
+    assert cli_main(base + ["--create-branch", root, "--branch-name", "rel"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"branch": "rel", "base": 0}
+    table.branch("rel").append(_kv(spark, 500, 502))
+    assert cli_main(base + ["--branches", root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"rel": {"base": 0, "head": 1}}
+    assert cli_main(base + ["--fast-forward", root, "--branch-name", "rel"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"published": "rel", "head": 1}
+    assert sorted(r.k for r in table.read().collect()) == list(range(10)) + [
+        500,
+        501,
+    ]
+    # missing --branch-name is a usage error
+    assert cli_main(base + ["--create-branch", root]) == 2
