@@ -182,3 +182,30 @@ def test_cli_branch_faces(spark, table, capsys):
     ]
     # missing --branch-name is a usage error
     assert cli_main(base + ["--create-branch", root]) == 2
+
+
+def test_streaming_sink_into_branch_then_publish(spark, table):
+    """The exactly-once snapshot sink composes with branches unchanged:
+    micro-batches land on the branch (watermarks ride its chain, a
+    replay is a no-op), main is untouched until fast_forward."""
+    from dataval_spark.streaming.snapshot_sink import snapshot_batch_writer
+
+    b = None
+    table.create_branch("stream")
+    b = table.branch("stream")
+    w = snapshot_batch_writer(b, "runA")
+    w(_kv(spark, 100, 103), 0)
+    w(_kv(spark, 200, 202), 1)
+    w(_kv(spark, 200, 202), 1)  # replayed batch: no-op
+    assert b.current_version() == 2
+    assert sorted(r.k for r in table.read().collect()) == list(range(10))
+    head = table.fast_forward("stream")
+    assert head == 2
+    assert sorted(r.k for r in table.read().collect()) == list(range(10)) + [
+        100, 101, 102, 200, 201,
+    ]
+    # the published chain carries the stream watermark: a replay against
+    # MAIN (e.g. the stream re-pointed after publish) is still a no-op
+    w2 = snapshot_batch_writer(table, "runA")
+    w2(_kv(spark, 200, 202), 1)
+    assert table.current_version() == 2
