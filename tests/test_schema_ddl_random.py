@@ -195,3 +195,82 @@ def test_random_ddl_sequences_match_mirror(spark, tmp_path, seed):
     assert _spark_rows(t, m.names()) == m.sorted_rows(), ops_done
     snap = t.snapshot()
     assert not snap.get("renames") and not snap.get("deletes")
+
+
+@pytest.mark.parametrize("seed", [523])
+def test_random_ddl_sequence_on_branch_then_publish(spark, tmp_path, seed):
+    """The same randomized op sequence applied to a BRANCH handle, then
+    fast-forwarded: main must equal the mirror — composition evidence
+    that every scope-list mechanism (renames/retired/defaults/deletes)
+    rides the branch chain and survives the publish."""
+    rng = random.Random(seed)
+    t = SnapshotTable(spark, str(tmp_path / f"b{seed}"))
+    m = Mirror()
+    m.schema = [("c0", "bigint"), ("c1", "int"), ("c2", "string")]
+    next_col = 3
+
+    def mk_batch(n):
+        return [{nm: _value(rng, ty) for nm, ty in m.schema} for _ in range(n)]
+
+    def push(tbl, batch):
+        sdf = spark.createDataFrame(
+            [tuple(r[n] for n in m.names()) for r in batch],
+            ", ".join(f"{n} {ty}" for n, ty in m.schema),
+        )
+        tbl.append(sdf)
+        m.append(batch)
+
+    push(t, mk_batch(6))
+    t.create_branch("wip")
+    b = t.branch("wip")
+    for _ in range(14):
+        op = rng.choice(["append", "append", "rename", "drop", "widen", "add", "delete"])
+        names = m.names()
+        if op == "append":
+            push(b, mk_batch(rng.randrange(1, 5)))
+        elif op == "rename":
+            old = rng.choice(names)
+            new = f"c{next_col}"
+            next_col += 1
+            b.rename_column(old, new)
+            m.rename(old, new)
+        elif op == "drop":
+            if len(names) <= 2:
+                continue
+            victim = rng.choice(names)
+            try:
+                b.drop_column(victim)
+            except ValueError:
+                continue
+            m.drop(victim)
+        elif op == "widen":
+            eligible = [(n, ty) for n, ty in m.schema if ty == "int"]
+            if not eligible:
+                continue
+            n, _ty = rng.choice(eligible)
+            to = rng.choice(["bigint", "double"])
+            b.widen_column(n, to)
+            m.widen(n, to)
+        elif op == "add":
+            name = f"c{next_col}"
+            next_col += 1
+            dtype = rng.choice(_TYPES)
+            default = _value(rng, dtype)
+            b.add_column(name, dtype, default=default)
+            m.add(name, dtype, default)
+        else:
+            numeric = [n for n, ty in m.schema if ty in ("int", "bigint")]
+            if not numeric:
+                continue
+            col = rng.choice(numeric)
+            lo = rng.randrange(-500, 400)
+            hi = lo + rng.randrange(0, 400)
+            b.delete_where({col: (lo, hi)},
+                           mode=rng.choice(["copy-on-write", "merge-on-read"]))
+            m.delete(col, lo, hi)
+    # main untouched until publish
+    assert t.read().columns == ["c0", "c1", "c2"]
+    t.fast_forward("wip")
+    assert t.read().columns == m.names()
+    assert dict(t.read().dtypes) == dict(m.schema)
+    assert _spark_rows(t, m.names()) == m.sorted_rows()
