@@ -273,8 +273,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drift-cols", default=None, metavar="COL[,length(COL)]",
                    help="columns to histogram (default: turn_idx + "
                         "length(text) when present)")
-    p.add_argument("--part-col", default="dataval_part",
-                   help="partition column for --drift-versions")
+    p.add_argument("--part-col", default=None,
+                   help="partition column for drift comparisons "
+                        "(default: dataval_part for --drift-versions, "
+                        "part for --validate-increments)")
     p.add_argument("--hists-out", default=None, metavar="FILE.json",
                    help="persist the comparison's histograms; feed back "
                         "via --hists-in so the NEXT release gate scans "
@@ -519,7 +521,7 @@ def main(argv: list[str] | None = None) -> int:
             _ver(args.from_version),
             _ver(args.to_version),
             columns=args.drift_cols.split(",") if args.drift_cols else None,
-            part_col=args.part_col,
+            part_col=args.part_col or "dataval_part",
             ref_hists=ref_hists,
         )
         if args.hists_out:
@@ -810,6 +812,10 @@ def main(argv: list[str] | None = None) -> int:
         result = validate_snapshot_increments(
             spark, args.input, suite, args.manifest,
             verdicts_path=(f"{args.output}/verdicts" if args.output else None),
+            drift_columns=(
+                args.drift_cols.split(",") if args.drift_cols else None
+            ),
+            drift_part_col=args.part_col or "part",
         )
         if result is None:
             print(json.dumps({
@@ -820,8 +826,17 @@ def main(argv: list[str] | None = None) -> int:
         summary = result.summary()
         summary["up_to_date"] = False
         summary["current_version"] = t.current_version()
+        drift = getattr(result, "drift", None)
+        if drift is not None:
+            for rec in drift["records"]:
+                if rec.get("drifted"):
+                    print(json.dumps({"drift_alert": rec}, sort_keys=True))
+            summary["drift_any"] = drift["any_drifted"]
         print(json.dumps(summary))
-        return 0 if summary.get("n_partitions_passed") == summary.get("n_partitions") else 3
+        ok = summary.get("n_partitions_passed") == summary.get("n_partitions")
+        if drift is not None and drift["any_drifted"]:
+            ok = False
+        return 0 if ok else 3
 
     if args.baseline_run:
         from dataval_spark.constraints.drift import Drift

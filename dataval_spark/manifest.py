@@ -620,6 +620,8 @@ def validate_snapshot_increments(
     manifest_path: str,
     verdicts_path: str | None = None,
     run_prefix: str = "snap",
+    drift_columns: list[str] | None = None,
+    drift_part_col: str = "part",
 ) -> ValidationResult | None:
     """Continuous validation of a growing snapshot table: validate
     EXACTLY the rows appended since the last fully-validated snapshot,
@@ -645,6 +647,16 @@ def validate_snapshot_increments(
       (same run_id => completed partitions are skipped on re-run), and
       the sentinel commits LAST — a crash before it re-runs the
       increment, never skips it.
+
+    ``drift_columns`` (opt-in) adds the continuous DRIFT gate: each
+    increment's per-partition distributions are compared against the
+    last-validated version via ``drift_between_versions`` on
+    ``drift_part_col``, with histograms persisted beside the manifest
+    (``<manifest>_drift_hists.json``) so consecutive gates ride the
+    zero-base-rescan loop — every appended row is histogrammed exactly
+    once over the table's lifetime. Records land on the returned
+    result's ``drift`` attribute (None on the first/full pass, which
+    only seeds the baseline histograms).
 
     Returns the increment's ValidationResult (None when nothing new or
     the whole increment was already committed by a crashed run)."""
@@ -718,4 +730,37 @@ def validate_snapshot_increments(
     spark.createDataFrame(sentinel, schema=MANIFEST_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(manifest_path)
+    if drift_columns and result is not None:
+        from dataval_spark.constraints.version_drift import (
+            drift_between_versions,
+        )
+
+        hists_path = f"{manifest_path.rstrip('/')}_drift_hists.json"
+        drift = None
+        if last is not None and mode == "delta":
+            ref_hists = None
+            if t._fs.exists(t._Path(hists_path)):
+                saved = json.loads(t._read_text(hists_path))
+                if saved.get("cur_version") == last:
+                    ref_hists = saved
+            drift = drift_between_versions(
+                t,
+                last,
+                cur,
+                columns=drift_columns,
+                part_col=drift_part_col,
+                ref_hists=ref_hists,
+            )
+        else:
+            # full pass (first run or poisoned range): one extra
+            # histogram scan seeds the baseline, no comparison to make
+            drift = drift_between_versions(
+                t, cur, cur, columns=drift_columns, part_col=drift_part_col
+            )
+            drift["records"] = None  # self-compare: nothing to report
+        t._write_text(
+            hists_path,
+            json.dumps({k: drift[k] for k in ("cur_version", "hists", "bins")}),
+        )
+        result.drift = None if drift["records"] is None else drift
     return result

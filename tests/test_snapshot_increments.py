@@ -163,3 +163,59 @@ def test_cli_validate_increments(spark, tmp_path, capsys):
     rc = cli_main(["--input", plain, "--validate-increments", "--manifest", mp,
                    "--cpus", "4"])
     assert rc == 2 and "snapshot" in capsys.readouterr().err
+
+
+def test_continuous_drift_gate_rides_increments(spark, tmp_path):
+    """drift_columns adds the cross-version drift gate to the loop:
+    the first (full) pass only seeds the baseline histograms beside the
+    manifest; a clean delta passes with mode 'incremental' and reuses
+    the persisted histograms (no base rescan); a planted 3x-length
+    shift on one partition is flagged on exactly that partition."""
+    table = str(tmp_path / "tbl")
+    mp = str(tmp_path / "manifest")
+    t = SnapshotTable(spark, table)
+    suite = transcript_suite()
+    cols = ["length(text)"]
+
+    b1 = transcripts(spark, n_convs=60, seed=3, n_parts=2)
+    t.append(b1, partition_by=["part"])
+    r1 = validate_snapshot_increments(
+        spark, table, suite, mp, drift_columns=cols
+    )
+    assert getattr(r1, "drift", None) is None  # baseline seeded, no ref
+    hists_path = f"{mp}_drift_hists.json"
+    import os
+
+    assert os.path.exists(hists_path)
+    assert json.loads(open(hists_path).read())["cur_version"] == 0
+
+    # clean delta: same generator, different seed -> same distribution
+    b2 = transcripts(spark, n_convs=30, seed=11, n_parts=2)
+    t.append(b2, partition_by=["part"])
+    r2 = validate_snapshot_increments(
+        spark, table, suite, mp, drift_columns=cols
+    )
+    d2 = r2.drift
+    assert d2 is not None and d2["mode"] == "incremental"
+    assert {r["bins_source"] for r in d2["records"]} == {"ref_hists"}
+    assert not d2["any_drifted"]
+    assert json.loads(open(hists_path).read())["cur_version"] == 1
+
+    # planted shift: partition 0's new rows are ~3x longer
+    b3 = (
+        transcripts(spark, n_convs=30, seed=13, n_parts=2)
+        .where(F.col("part") == 0)
+        .withColumn("text", F.concat(F.col("text"), F.col("text"), F.col("text")))
+    )
+    t.append(b3, partition_by=["part"])
+    r3 = validate_snapshot_increments(
+        spark, table, suite, mp, drift_columns=cols
+    )
+    d3 = r3.drift
+    assert d3 is not None and d3["any_drifted"]
+    flagged = {
+        r["part"]
+        for r in d3["records"]
+        if r.get("drifted") and r["part"] != "*"
+    }
+    assert flagged == {"0"}
