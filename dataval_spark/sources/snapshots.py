@@ -2082,6 +2082,19 @@ class SnapshotTable:
             "partition_spec array<string>",
         )
 
+    def refs_df(self) -> DataFrame:
+        """One row per named ref — Iceberg's ``refs`` metadata table:
+        tags (immutable, pinned version) and branches (writable, base +
+        head), plus main itself. Zero data reads."""
+        rows = [("main", "branch", None, self.current_version())]
+        for name, v in sorted(self.tags().items()):
+            rows.append((name, "tag", v, v))
+        for name, info in sorted(self.branches().items()):
+            rows.append((name, "branch", info["base"], info["head"]))
+        return self.spark.createDataFrame(
+            rows, "name string, type string, base int, head int"
+        )
+
     def files_df(self, version: int | None = None) -> DataFrame:
         """One row per live data file of a snapshot — Iceberg's
         ``files`` metadata table: path, bytes, recorded row count, the

@@ -209,3 +209,15 @@ def test_streaming_sink_into_branch_then_publish(spark, table):
     w2 = snapshot_batch_writer(table, "runA")
     w2(_kv(spark, 200, 202), 1)
     assert table.current_version() == 2
+
+
+def test_refs_df_lists_main_tags_and_branches(spark, table):
+    table.tag("release-1")
+    table.create_branch("wip")
+    table.branch("wip").append(_kv(spark, 50, 52))
+    rows = {r.name: (r.type, r.base, r.head) for r in table.refs_df().collect()}
+    assert rows == {
+        "main": ("branch", None, 0),
+        "release-1": ("tag", 0, 0),
+        "wip": ("branch", 0, 1),
+    }
