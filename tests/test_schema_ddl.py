@@ -373,3 +373,31 @@ def test_ddl_vs_append_thread_race_stays_consistent(spark, tmp_path):
     if outcomes["append"] == "committed":
         expect += list(range(100, 110))
     assert sorted(r[col] for r in t.read().collect()) == expect
+
+
+def test_rename_evolved_away_identity_partition_column(spark, tmp_path):
+    """The hardest name-mapping case: an identity hive partition column
+    whose values live ONLY in directory names for old files, whose
+    layout was later evolved away, then renamed. The per-group physical
+    schema carries the OLD name, so Spark's partition discovery fills
+    the column from the `grp=` directories and the alias surfaces it as
+    the new name — and scan() still prunes the old directories via the
+    per-file physical-name translation."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    df = spark.range(8).select(
+        (F.col("id") % 2).cast("int").alias("grp"), F.col("id").alias("v")
+    )
+    t.append(df, partition_by=["grp"])
+    t.append(
+        spark.range(8, 12).select(
+            (F.col("id") % 2).cast("int").alias("grp"), F.col("id").alias("v")
+        ),
+        partition_by=["bucket(2, v)"],
+        evolve_layout=True,
+    )
+    t.rename_column("grp", "cohort")
+    rows = sorted((r.cohort, r.v) for r in t.read().collect())
+    assert rows == sorted((i % 2, i) for i in range(12))
+    sc = t.scan({"cohort": (1, 1)})
+    assert sorted(r.v for r in sc.collect()) == [1, 3, 5, 7, 9, 11]
+    assert len(sc.inputFiles()) < len(t.read().inputFiles())
