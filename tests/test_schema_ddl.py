@@ -401,3 +401,29 @@ def test_rename_evolved_away_identity_partition_column(spark, tmp_path):
     sc = t.scan({"cohort": (1, 1)})
     assert sorted(r.v for r in sc.collect()) == [1, 3, 5, 7, 9, 11]
     assert len(sc.inputFiles()) < len(t.read().inputFiles())
+
+
+def test_widen_identity_partition_column_mixed_dir_values(spark, tmp_path):
+    """Widening an identity HIVE partition column: old directories say
+    grp=1, post-widen appends say grp=1.0 — discovery parses both under
+    the pinned double schema and scan() prunes both generations (the
+    driver-side path-value compare parses floats)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(8).select(
+            (F.col("id") % 2).cast("int").alias("grp"), F.col("id").alias("v")
+        ),
+        partition_by=["grp"],
+    )
+    t.widen_column("grp", "double")
+    t.append(
+        spark.range(8, 12).select(
+            (F.col("id") % 2).cast("double").alias("grp"), F.col("id").alias("v")
+        )
+    )
+    assert sorted((r.grp, r.v) for r in t.read().collect()) == sorted(
+        (float(i % 2), i) for i in range(12)
+    )
+    sc = t.scan({"grp": (1.0, 1.0)})
+    assert sorted(r.v for r in sc.collect()) == [1, 3, 5, 7, 9, 11]
+    assert len(sc.inputFiles()) < len(t.read().inputFiles())
