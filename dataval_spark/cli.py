@@ -206,6 +206,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-last", type=int, default=3,
                    help="snapshots to retain with --expire-snapshots "
                         "(default 3; the current one is always kept)")
+    p.add_argument("--older-than-hours", type=float, default=None,
+                   help="with --expire-snapshots: additionally require "
+                        "records to be at least this old (committed_at) "
+                        "before expiring - the retention-age axis")
     p.add_argument("--ingest-audited", default=None, metavar="TABLE_DIR",
                    help="write-audit-publish: stage --input into the "
                         "snapshot table, validate the STAGED rows with "
@@ -637,7 +641,14 @@ def main(argv: list[str] | None = None) -> int:
         from dataval_spark.sources.snapshots import SnapshotTable
 
         t = SnapshotTable(spark, args.expire_snapshots)
-        n = t.expire_snapshots(keep_last=args.keep_last)
+        n = t.expire_snapshots(
+            keep_last=args.keep_last,
+            older_than_s=(
+                args.older_than_hours * 3600.0
+                if args.older_than_hours is not None
+                else None
+            ),
+        )
         print(json.dumps({
             "expired_snapshots": n,
             "current_version": t.current_version(),

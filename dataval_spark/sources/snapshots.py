@@ -584,7 +584,19 @@ class SnapshotTable:
 
     def _try_commit(self, version: int, snap: dict) -> bool:
         """Atomic compare-and-swap: rename fails iff v<version>.json
-        exists (or a racer renamed first) — the loser retries."""
+        exists (or a racer renamed first) — the loser retries.
+
+        Stamps ``committed_at`` (epoch seconds) if absent — the ONE
+        place every commit funnels through. Derived commits that copy a
+        parent record (rollback, MOR delete, schema DDL) pop the
+        inherited stamp first so they record their own time; branch
+        fast-forward deliberately keeps the original stamp (the commit
+        HAPPENED when the branch landed it, and the byte-identical
+        replay is what makes the publish crash-resumable)."""
+        import time as _time
+
+        if "committed_at" not in snap:
+            snap = {**snap, "committed_at": round(_time.time(), 3)}
         self._fs.mkdirs(self._Path(self._meta_dir()))
         tmp = f"{self._meta_dir()}/_tmp_{uuid.uuid4().hex}.json"
         self._write_text(tmp, json.dumps(snap, sort_keys=True))
@@ -897,6 +909,7 @@ class SnapshotTable:
             snap.update(
                 {"version": new_version, "parent": cur, "operation": "rollback"}
             )
+            snap.pop("committed_at", None)  # restamp: this commit is NOW
             # stream watermarks are monotone along the CHAIN, not the
             # content: a rollback rewinds rows, never the exactly-once
             # batch markers (a replayed batch must still be a no-op)
@@ -1368,6 +1381,7 @@ class SnapshotTable:
         (a lost CAS means the scope list is stale — rerun)."""
         base = snap["version"]
         new_snap = dict(snap)
+        new_snap.pop("committed_at", None)  # restamp: this commit is NOW
         new_snap.update(
             {
                 "version": base + 1,
@@ -1639,6 +1653,7 @@ class SnapshotTable:
         guards ran against a stale snapshot — rerun)."""
         base = snap["version"]
         new_snap = dict(snap)
+        new_snap.pop("committed_at", None)  # restamp: this commit is NOW
         new_snap.update(
             {
                 "version": base + 1,
@@ -2073,13 +2088,14 @@ class SnapshotTable:
                     sum(int(s) for _, s in entries),
                     sum(counted) if exact else None,
                     list(snap.get("partition_spec") or []),
+                    snap.get("committed_at"),
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "version int, parent int, operation string, n_manifests int, "
             "n_files int, total_bytes long, total_rows long, "
-            "partition_spec array<string>",
+            "partition_spec array<string>, committed_at double",
         )
 
     def refs_df(self) -> DataFrame:
@@ -2384,7 +2400,9 @@ class SnapshotTable:
             )
         return base + 1
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_s: float | None = None
+    ) -> int:
         """Drop the snapshot records of all but the newest ``keep_last``
         versions (the current snapshot is always kept). Data and
         manifest files referenced ONLY by expired snapshots become
@@ -2394,8 +2412,17 @@ class SnapshotTable:
         step. Time travel to an expired version raises FileNotFoundError
         (identical to a never-committed slot). TAGGED versions are never
         expired — a tag is precisely the promise that its snapshot stays
-        readable (drop the tag to release it). Returns the number of
-        snapshot records removed."""
+        readable (drop the tag to release it).
+
+        ``older_than_s`` (the Iceberg retention-age axis) additionally
+        requires a record to be at least that many seconds old (by its
+        ``committed_at`` stamp) before it expires: the standing policy
+        "keep a week of time travel" is ``older_than_s=7*86400`` with a
+        large keep_last. A record WITHOUT a stamp (pre-timestamp table)
+        never expires by age — conservative, only by count. Returns the
+        number of snapshot records removed."""
+        import time as _time
+
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         cur = self.current_version()
@@ -2406,14 +2433,20 @@ class SnapshotTable:
         # commit, and the parent every branch commit chains from — an
         # active branch pins it the way a tag pins its version
         pinned.update(info["base"] for info in self.branches().values())
+        cutoff = None if older_than_s is None else _time.time() - older_than_s
         removed = 0
         for k in range(cur - keep_last + 1):
             if k in pinned:
                 continue
             p = self._vpath(k)
-            if self._fs.exists(self._Path(p)):
-                self._fs.delete(self._Path(p), False)
-                removed += 1
+            if not self._fs.exists(self._Path(p)):
+                continue
+            if cutoff is not None:
+                stamp = json.loads(self._read_text(p)).get("committed_at")
+                if stamp is None or stamp >= cutoff:
+                    continue  # too young (or unstamped): keep
+            self._fs.delete(self._Path(p), False)
+            removed += 1
         return removed
 
     def vacuum(self) -> int:

@@ -221,3 +221,40 @@ def test_refs_df_lists_main_tags_and_branches(spark, table):
         "release-1": ("tag", 0, 0),
         "wip": ("branch", 0, 1),
     }
+
+
+def test_commit_timestamps_and_age_based_expiry(spark, table):
+    """Every commit carries committed_at; derived commits (rollback,
+    MOR delete, schema DDL) restamp; fast-forward keeps the branch's
+    original stamps (the byte-identity its crash-resume relies on).
+    expire_snapshots(older_than_s) expires only old-enough records."""
+    import json as _json
+    import time
+
+    t = table
+    t.append(_kv(spark, 10, 12))          # v1
+    t.delete_where({"k": (0, 0)}, mode="merge-on-read")  # v2 (derived)
+    t.rename_column("v", "w")             # v3 (derived)
+    stamps = [t.snapshot(k).get("committed_at") for k in range(4)]
+    assert all(isinstance(s, float) for s in stamps), stamps
+    assert stamps == sorted(stamps)
+    assert t.snapshots_df().where("committed_at is null").count() == 0
+    # fast-forward preserves the branch commit's own stamp
+    t.create_branch("b")
+    t.branch("b").append(
+        _kv(spark, 50, 52).withColumnRenamed("v", "w")
+    )
+    branch_stamp = t.branch("b").snapshot(4)["committed_at"]
+    t.fast_forward("b")
+    assert t.snapshot(4)["committed_at"] == branch_stamp
+    # age-based expiry: backdate v0..v2 on disk, expire older than 1h
+    for k in range(3):
+        rec = _json.loads(t._read_text(t._vpath(k)))
+        rec["committed_at"] = time.time() - 7200
+        t._write_text(t._vpath(k), _json.dumps(rec, sort_keys=True))
+    n = t.expire_snapshots(keep_last=1, older_than_s=3600)
+    assert n == 3  # v0-v2 old enough; v3 too young; v4 current
+    with pytest.raises(FileNotFoundError):
+        t.read(0)
+    assert t.snapshot(3).get("committed_at") is not None
+    assert t.read(3).count() > 0
