@@ -219,6 +219,34 @@ class SnapshotTable:
             raise FileNotFoundError(f"snapshot v{v} does not exist under {self.root}")
         return json.loads(self._read_text(p))
 
+    def version_as_of(self, ts: float) -> int:
+        """The version current AT epoch time ``ts`` — the highest
+        retained record with ``committed_at <= ts`` (Iceberg's
+        TIMESTAMP AS OF resolution). Unstamped records (pre-timestamp
+        tables) are skipped: their commit time is unknown, and guessing
+        would silently time-travel to the wrong data. Raises when no
+        retained record is old enough."""
+        cur = self.current_version()
+        best = None
+        for k in range((cur + 1) if cur is not None else 0):
+            p = self._vpath(k)
+            if not self._fs.exists(self._Path(p)):
+                continue
+            stamp = json.loads(self._read_text(p)).get("committed_at")
+            if stamp is not None and stamp <= ts:
+                best = k
+        if best is None:
+            raise FileNotFoundError(
+                f"no retained snapshot of {self.root} committed at or "
+                f"before {ts} (expired history or a pre-timestamp table)"
+            )
+        return best
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """Time travel by TIMESTAMP: the table as it stood at epoch
+        ``ts`` (``read(version_as_of(ts))``)."""
+        return self.read(self.version_as_of(ts))
+
     def _write_manifest(
         self,
         files: list[list],

@@ -258,3 +258,23 @@ def test_commit_timestamps_and_age_based_expiry(spark, table):
         t.read(0)
     assert t.snapshot(3).get("committed_at") is not None
     assert t.read(3).count() > 0
+
+
+def test_time_travel_by_timestamp(spark, table):
+    """read_as_of resolves the version current at an epoch time from
+    the committed_at stamps; times before the first stamped commit
+    raise instead of guessing."""
+    import time
+
+    t0 = t_between = None
+    t = table
+    t0 = t.snapshot(0)["committed_at"]
+    time.sleep(0.05)
+    t_between = time.time()
+    time.sleep(0.05)
+    t.append(_kv(spark, 10, 12))  # v1
+    assert t.version_as_of(t_between) == 0
+    assert sorted(r.k for r in t.read_as_of(t_between).collect()) == list(range(10))
+    assert t.version_as_of(time.time()) == 1
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        t.version_as_of(t0 - 10)
