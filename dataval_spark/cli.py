@@ -684,6 +684,7 @@ def main(argv: list[str] | None = None) -> int:
                     else None
                 ),
                 "current": snap["version"] == cur,
+                "committed_at": snap.get("committed_at"),
             }))
         return 0
 
