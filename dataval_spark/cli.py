@@ -250,6 +250,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--add", default=None, metavar="COL:TYPE[:DEFAULT]",
                    help="add a column (existing rows read DEFAULT, or "
                         "NULL when omitted; no data rewritten)")
+    p.add_argument("--export", default=None, metavar="TABLE_DIR",
+                   help="materialize a snapshot table's state to plain "
+                        "parquet at --to (current snapshot, or "
+                        "--at-version / --tag-name / --at-timestamp) — "
+                        "the hand-off face for consumers without this "
+                        "library")
+    p.add_argument("--to", default=None, metavar="OUT_DIR",
+                   help="output parquet dir for --export")
+    p.add_argument("--at-timestamp", type=float, default=None,
+                   help="with --export: epoch seconds - export the "
+                        "version current at that time (AS OF)")
     p.add_argument("--create-branch", default=None, metavar="TABLE_DIR",
                    help="create --branch-name at the current (or "
                         "--at-version) snapshot")
@@ -476,6 +487,42 @@ def main(argv: list[str] | None = None) -> int:
             version = t.current_version()
         print(json.dumps({"published": ok, "version": version, **summary}))
         return 0 if ok else 3
+
+    if args.export:
+        from dataval_spark.sources.snapshots import SnapshotTable
+
+        if not args.to:
+            print("--export requires --to OUT_DIR", file=sys.stderr)
+            return 2
+        pinned = [
+            x for x in (args.at_version, args.tag_name, args.at_timestamp)
+            if x is not None
+        ]
+        if len(pinned) > 1:
+            print(
+                "--export takes at most one of --at-version/--tag-name/"
+                "--at-timestamp",
+                file=sys.stderr,
+            )
+            return 2
+        t = SnapshotTable(spark, args.export)
+        if args.at_timestamp is not None:
+            version = t.version_as_of(args.at_timestamp)
+        elif args.tag_name is not None:
+            version = t.tag_version(args.tag_name)
+        else:
+            version = (
+                args.at_version if args.at_version is not None
+                else t.current_version()
+            )
+        df = t.read(version)
+        df.write.mode("error").parquet(args.to)
+        print(json.dumps({
+            "exported": args.to,
+            "version": version,
+            "rows": t.row_count(version=version),
+        }))
+        return 0
 
     if args.create_branch or args.fast_forward or args.drop_branch or args.branches:
         from dataval_spark.sources.snapshots import SnapshotTable

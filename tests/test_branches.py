@@ -278,3 +278,39 @@ def test_time_travel_by_timestamp(spark, table):
     assert t.version_as_of(time.time()) == 1
     with pytest.raises(FileNotFoundError, match="at or before"):
         t.version_as_of(t0 - 10)
+
+
+def test_cli_export_faces(spark, table, tmp_path, capsys):
+    """--export materializes a snapshot state (current / version / tag /
+    AS-OF) to plain parquet for consumers without the library."""
+    import json as _json
+    import time
+
+    from dataval_spark.cli import main as cli_main
+
+    root = table.root
+    t_mid = time.time()
+    table.append(_kv(spark, 10, 12))
+    table.tag("rel", version=0)
+    base = ["--input", root, "--export", root, "--cpus", "8"]
+
+    out1 = str(tmp_path / "cur")
+    assert cli_main(base + ["--to", out1]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["version"] == 1 and rep["rows"] == 12
+    assert spark.read.parquet(out1).count() == 12
+
+    out2 = str(tmp_path / "tag")
+    assert cli_main(base + ["--to", out2, "--tag-name", "rel"]) == 0
+    assert spark.read.parquet(out2).count() == 10
+    capsys.readouterr()
+
+    out3 = str(tmp_path / "asof")
+    assert cli_main(base + ["--to", out3, "--at-timestamp", str(t_mid)]) == 0
+    assert spark.read.parquet(out3).count() == 10
+    capsys.readouterr()
+
+    # guards: missing --to; more than one selector
+    assert cli_main(["--input", root, "--export", root, "--cpus", "8"]) == 2
+    assert cli_main(base + ["--to", str(tmp_path / "x"),
+                            "--tag-name", "rel", "--at-version", "0"]) == 2
