@@ -983,8 +983,37 @@ class SnapshotTable:
         residual = self._interval_pred(filters)
         return self._read_entries(snap, candidates).where(residual)
 
+    def lookup(
+        self, key_col: str, keys: list, version: int | str | None = None
+    ) -> DataFrame:
+        """Point lookups: exactly the rows whose ``key_col`` is IN
+        ``keys`` (NULL keys never match — SQL IN semantics), opening
+        only files that could contain at least ONE of the keys — each
+        key prunes independently through the same machinery as scan()
+        (manifest [min,max] bounds, hive path values, bucket/truncate
+        transforms), so "fetch these 50 conv_ids from 100 TB" touches a
+        handful of files, and the parquet bloom filters (when
+        configured) skip row groups inside them. The read face of
+        ``delete_keys``."""
+        if not keys:
+            raise ValueError("lookup needs at least one key")
+        if any(k is None for k in keys):
+            raise ValueError("NULL keys never match; remove None from keys")
+        snap = self.snapshot(version)
+        stats = self.file_stats(snap)  # one manifest parse for ALL keys
+        candidates: dict[str, list] = {}
+        for k in keys:
+            hit, _ = self._split_by_overlap(snap, {key_col: (k, k)}, stats)
+            for entry in hit:
+                candidates.setdefault(entry[0], entry)
+        from pyspark.sql import functions as F
+
+        return self._read_entries(snap, list(candidates.values())).where(
+            F.col(key_col).isin(keys)
+        )
+
     def _split_by_overlap(
-        self, snap: dict, filters: dict
+        self, snap: dict, filters: dict, stats: dict | None = None
     ) -> tuple[list[list], list[list]]:
         """Partition a snapshot's file entries into (possibly-matching,
         provably-non-matching) for interval ``filters``, judged on the
@@ -997,7 +1026,8 @@ class SnapshotTable:
         possibly-matching."""
         from .transforms import parse_partition_specs
 
-        stats = self.file_stats(snap)
+        if stats is None:
+            stats = self.file_stats(snap)
         specs = self.partition_specs(snap)
         derived = {
             t.source: t

@@ -314,3 +314,33 @@ def test_cli_export_faces(spark, table, tmp_path, capsys):
     assert cli_main(["--input", root, "--export", root, "--cpus", "8"]) == 2
     assert cli_main(base + ["--to", str(tmp_path / "x"),
                             "--tag-name", "rel", "--at-version", "0"]) == 2
+
+
+def test_lookup_prunes_per_key(spark, table):
+    """lookup(key_col, keys) opens only files that could contain at
+    least one key — the point-lookup read face. On 4 disjoint-range
+    files, two keys from one file each open exactly those two."""
+    t = SnapshotTable(spark, str(table.root) + "_lk")
+    for lo in range(0, 40, 10):
+        t.append(
+            spark.range(lo, lo + 10).select(F.col("id").alias("k")).coalesce(1)
+        )
+    got = t.lookup("k", [3, 27])
+    assert sorted(r.k for r in got.collect()) == [3, 27]
+    assert len(got.inputFiles()) == 2  # one file per key's range
+    # keys outside every range open nothing and return empty
+    none = t.lookup("k", [999])
+    assert none.count() == 0 and len(none.inputFiles()) == 0
+    # hidden bucket partitioning prunes too
+    tb = SnapshotTable(spark, str(table.root) + "_lkb")
+    tb.append(
+        spark.range(64).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        partition_by=["bucket(8, k)"],
+    )
+    got = tb.lookup("k", [5])
+    assert [r.k for r in got.collect()] == [5]
+    assert len(got.inputFiles()) < len(tb.read().inputFiles())
+    with pytest.raises(ValueError, match="at least one key"):
+        t.lookup("k", [])
+    with pytest.raises(ValueError, match="NULL keys"):
+        t.lookup("k", [1, None])
