@@ -71,6 +71,131 @@ def _cache_swap(key: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a frame to cluster parallelism — ONLY when
+    its physical plan has fewer partitions than the cluster has slots.
+
+    The hash-heavy per-row projections in this module (MinHash band
+    keys, 60-bit SimHash folds, LSH plane dots) run in the SCAN stage,
+    and a small parquet input arrives as one split
+    (spark.sql.files.maxPartitionBytes) — measured at sf1.0: the whole
+    50k-doc MinHash banding ran in ONE task for 12.7 s while 31 cores
+    idled. At production scale the scan has thousands of splits and this
+    helper is a no-op (shuffling a corpus of raw text to gain
+    parallelism it already has would be pure cost), so the condition is
+    the partition count, not the data size."""
+    sc = df.sparkSession.sparkContext
+    n = df.rdd.getNumPartitions()
+    p = sc.defaultParallelism
+    return df.repartition(p) if n < p else df
+
+
+# ------------------------------------------------ salted self-pair join
+def salted_self_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str = "doc",
+    payload_cols: tuple[str, ...] = (),
+    target_bucket_rows: int = 2048,
+) -> DataFrame:
+    """Enumerate unordered within-bucket pairs of a keyed frame with
+    per-bucket salt-block decomposition (guide §2.5: a single hot key
+    cannot be split by AQE skew-join).
+
+    The plain self-equi-join puts EVERY pair of a bucket in the one task
+    that owns that join key: a bucket of m rows is m²/2 pair
+    enumerations on one core while the rest of the cluster idles
+    (measured at sf1.0: one MinHash band bucket of 31.6k docs → ~5·10⁸
+    pairs in a single task — the entire q53 wall). Fix: rows of a bucket
+    larger than ``target_bucket_rows`` get a deterministic salt
+    s = pmod(xxhash64(id), g) with g = ceil(m / target); the pair space
+    splits into g·(g+1)/2 blocks (lo ≤ hi), and each unordered pair
+    (x, y) is produced in exactly ONE block — (min(sx,sy), max(sx,sy)):
+    side A carries a row with salt s into blocks (s, s..g-1), side B
+    into blocks (0..s, s). Off-diagonal blocks see a pair once in an
+    arbitrary orientation, so ids are normalized with least/greatest and
+    payloads swapped alongside; diagonal blocks keep the classic
+    a.id < b.id guard. Buckets at or under the target keep g = 1 — one
+    diagonal block, byte-identical behavior to the plain join.
+
+    Only oversized buckets are counted and broadcast (≤ rows/target
+    entries, so the broadcast stays bounded at any corpus size); the
+    salt is a pure hash of the id, so task retries reproduce the same
+    blocks (SPARK-38388 hazard avoided).
+
+    Returns one row per unordered pair with columns ``doc_a``/``doc_b``
+    (doc_a < doc_b), the bucket key columns, and ``<p>_a``/``<p>_b`` for
+    every payload column."""
+    cnt = F.count(F.lit(1)).alias("_bn")
+    big = (
+        keyed.groupBy(*key_cols)
+        .agg(cnt)
+        .where(F.col("_bn") > target_bucket_rows)
+    )
+    sized = keyed.join(F.broadcast(big), key_cols, "left")
+    g = F.ceil(F.coalesce(F.col("_bn"), F.lit(1)) / target_bucket_rows).cast("int")
+    s = F.pmod(F.xxhash64(F.col(id_col)), g).cast("int")
+    sized = sized.withColumn("_g", g).withColumn("_s", s)
+    a = (
+        sized.withColumn("_hi", F.explode(F.sequence(F.col("_s"), F.col("_g") - 1)))
+        .withColumnRenamed("_s", "_lo")
+        .drop("_g", "_bn")
+        # distribute the PROBE side by block key: the keyed frame usually
+        # comes out of a cache with very few partitions (one input file →
+        # 1-2 blocks), and when the planner picks a broadcast hash join —
+        # both sides of these self-joins are tiny relative to the pair
+        # volume they emit — stream-side parallelism IS the partition
+        # count: without this every block's m²-pair probe loop runs in
+        # the cache's 1-2 tasks and the salt decomposition buys nothing
+        # (measured at sf1.0: q53's BHJ enumerated ~10⁹ pairs in one
+        # task). Hash-repartitioning by (bucket, lo, hi) spreads blocks
+        # across tasks for BHJ and doubles as the required distribution
+        # if the planner shuffles instead. The partition count is pinned
+        # (4× cluster parallelism, scale-adaptive, not a constant):
+        # with an unpinned column repartition AQE coalesces by INPUT
+        # bytes — a few hundred MB of keys → a handful of tasks — which
+        # is exactly wrong for a stage whose cost is the quadratic pair
+        # volume it EMITS, not the bytes it reads.
+        .repartition(
+            4 * keyed.sparkSession.sparkContext.defaultParallelism,
+            *key_cols, "_lo", "_hi",
+        )
+        .alias("a")
+    )
+    b = (
+        sized.withColumn("_lo", F.explode(F.sequence(F.lit(0), F.col("_s"))))
+        .withColumnRenamed("_s", "_hi")
+        .drop("_g", "_bn")
+        .alias("b")
+    )
+    cond = reduce(
+        lambda acc, c: acc & (F.col(f"a.{c}") == F.col(f"b.{c}")),
+        key_cols + ["_lo", "_hi"],
+        F.lit(True),
+    )
+    joined = a.join(b, cond).where(
+        # diagonal blocks hold both orientations: keep a < b. Off-diagonal
+        # blocks hold exactly one orientation: keep it (normalized below).
+        (F.col("a._lo") != F.col("a._hi"))
+        | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    swap = F.col(f"a.{id_col}") > F.col(f"b.{id_col}")
+    out = [
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        *[F.col(f"a.{c}") for c in key_cols],
+        *[
+            F.when(swap, F.col(f"b.{c}")).otherwise(F.col(f"a.{c}")).alias(f"{c}_a")
+            for c in payload_cols
+        ],
+        *[
+            F.when(swap, F.col(f"a.{c}")).otherwise(F.col(f"b.{c}")).alias(f"{c}_b")
+            for c in payload_cols
+        ],
+    ]
+    return joined.select(*out)
+
+
 # ----------------------------------------------------------------- exact
 def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents — GROUP BY
@@ -169,29 +294,55 @@ def minhash_candidates(
     n_hashes: int = 8, band_size: int = 2,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH: explode band keys,
-    self-join per band, dedupe pairs. Shuffle volume = docs × bands."""
+    self-join per band, dedupe pairs. Shuffle volume = docs × bands.
+
+    Two structural choices for scale (round 7):
+      * the self-join rides salted_self_pairs — a template-heavy corpus
+        concentrates most docs in a handful of band buckets (sf1.0: one
+        bucket held 31.6k of 50k docs → ~5·10⁸ pairs in ONE task), and
+        AQE cannot split a single join key.
+      * a pair colliding in several bands is emitted only by its OWNER
+        band — the lowest band index where both docs agree — a per-row
+        predicate over the carried band arrays, replacing a distinct()
+        that re-shuffled every candidate pair (the candidate volume is
+        the operator's cost center: ~10⁹ rows at sf1.0). Same dedup
+        trick as code_near_pairs."""
     bands_arr = minhash_band_array(F.col(text_col), n_hashes, band_size)
+    n_bands = n_hashes // band_size
     # degenerate docs (NULL/blank text) all hash to IDENTICAL band keys —
     # at 10^6 such docs that is one bucket of O(m^2) candidate pairs and
     # "near-duplicates" with no content to compare. Content-free docs are
     # exact-dedup territory, not MinHash's.
-    keyed = df.where(content_bearing(F.col(text_col))).select(
-        F.col(id_col).alias("doc"),
-        F.explode(bands_arr).alias("band_key"),
+    keyed = (
+        fan_out(df).where(content_bearing(F.col(text_col)))
+        # bands computed ONCE per row in its own projection; the
+        # generator below references the column, not the expression
+        .select(F.col(id_col).alias("doc"), bands_arr.alias("bands"))
+        .select("doc", "bands", F.posexplode("bands").alias("band_idx", "band_key"))
     )
-    # materialize (doc, band_key) before the self-join: each band key
-    # embeds two full tokenize+md5+min passes and both join sides would
-    # recompute all of them per doc (same CollapseProject behavior as
-    # simhash_near_pairs — measured there at ~10x). ~50 B/doc/band,
-    # memory+disk, vs re-hashing the corpus text 16x.
+    # materialize (doc, band_idx, band_key, bands) before the self-join:
+    # each band key embeds two full tokenize+md5+min passes and both join
+    # sides would recompute all of them per doc (same CollapseProject
+    # behavior as simhash_near_pairs — measured there at ~10x).
+    # ~50 B/doc/band + the bands array, memory+disk, vs re-hashing the
+    # corpus text 16x.
     keyed = _cache_swap("minhash_candidates", keyed)
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+    pairs = salted_self_pairs(
+        keyed, ["band_idx", "band_key"], id_col="doc", payload_cols=("bands",)
     )
+    # owner-band predicate: band 0 always owns; band i owns only when no
+    # earlier band key agrees (band keys are concat_ws strings — never
+    # NULL — so plain != is a total comparison)
+    owner = F.lit(True)
+    for i in range(1, n_bands):
+        no_earlier = reduce(
+            lambda acc, j: acc
+            & (F.col("bands_a")[j] != F.col("bands_b")[j]),
+            range(i),
+            F.lit(True),
+        )
+        owner = F.when(F.col("band_idx") == i, no_earlier).otherwise(owner)
+    return pairs.where(owner).select("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------- simhash
@@ -311,19 +462,23 @@ def _chunk_layout(bits: int, max_hamming: int) -> list[tuple[int, int]]:
 
 
 def _pair_join(coded: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    # salted_self_pairs, not a plain self-equi-join: SimHash codes of a
+    # template-heavy corpus concentrate in a few chunk buckets (sf1.0:
+    # top bucket 15.7k of 50k docs → ~1.2·10⁸ pairs in one task) and AQE
+    # cannot split a single hot join key. code_a/code_b ride as payloads
+    # (swapped with the id normalization; hamming is symmetric and the
+    # owner predicate in code_near_pairs compares per-chunk equality,
+    # also symmetric).
     keys = simhash_chunk_keys(F.col("code"), bits, max_hamming)
     keyed = coded.select("doc", "code", F.explode(F.array(*keys)).alias("k"))
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    return a.join(
-        b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc") < F.col("b.doc"))
-    ).select(
-        F.col("a.doc").alias("doc_a"),
-        F.col("b.doc").alias("doc_b"),
-        F.col("a.k.ci").alias("ci"),
-        F.col("a.code").alias("code_a"),
-        F.col("b.code").alias("code_b"),
-        F.bit_count(F.col("a.code").bitwiseXOR(F.col("b.code"))).alias("hamming"),
+    pairs = salted_self_pairs(keyed, ["k"], id_col="doc", payload_cols=("code",))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("k.ci").alias("ci"),
+        F.col("code_a"),
+        F.col("code_b"),
+        F.bit_count(F.col("code_a").bitwiseXOR(F.col("code_b"))).alias("hamming"),
     )
 
 
@@ -379,7 +534,7 @@ def simhash_near_pairs(
     # content-free docs (NULL/blank text) all code to 0 and would pair
     # with each other quadratically; they belong to exact dedup
     # (content_bearing — shared with callers' seed sets)
-    coded = df.where(content_bearing(F.col(text_col))).select(
+    coded = fan_out(df).where(content_bearing(F.col(text_col))).select(
         F.col(id_col).alias("doc"), hashed_tokens(F.col(text_col), bits).alias("_ht")
     ).select("doc", simhash_from_hashed(F.col("_ht"), bits).alias("code"))
     # Materialize (doc, code) ONCE before the self-join: without a

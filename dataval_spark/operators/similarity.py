@@ -238,8 +238,6 @@ def cosine_near_dup_pairs(
             f"n_tables and n_planes must be >= 1, got {n_tables}/{n_planes}"
             " — 0 tables would silently report zero near-duplicates"
         )
-    from dataval_spark.operators.dedup import _cache_swap
-
     keys = F.array(
         *[
             F.struct(
@@ -255,35 +253,110 @@ def cosine_near_dup_pairs(
     # anyway (NULL sim). Zero vectors are excluded too: same bucket-0
     # collision, and 0/0 cosine is NULL, so dropping them is also
     # result-preserving.
+    from dataval_spark.operators.dedup import fan_out
+
     base = (
-        df.where(vector_ok(F.col(vec_col), dim))
+        fan_out(df).where(vector_ok(F.col(vec_col), dim))
         .select(
             F.col(id_col).alias("doc"),
-            F.col(vec_col).alias("v"),
-            # norm once per row INTO the cache: computed per candidate
-            # pair it would re-run the 64-element fold 2x per pair (the
-            # pair volume is the operator's cost center, the row count
-            # is not)
+            # double up front: the JVM dot/norm always folded over
+            # array<double> (see _vec) and float→double is exact, so the
+            # Arrow batches below carry the identical values
+            _vec(F.col(vec_col)).alias("v"),
+            # norm once per row: computed per candidate pair it would
+            # re-run the 64-element fold 2x per pair (the pair volume is
+            # the operator's cost center, the row count is not)
             norm(F.col(vec_col)).alias("nv"),
         )
         .where(F.col("nv") > 0)
     )
-    coded = base.select("doc", "v", "nv", F.explode(keys).alias("k"))
-    coded = _cache_swap("cosine_near_dup_pairs", coded)
-    a, b = coded.alias("a"), coded.alias("b")
-    sim = F.round(
-        F.try_divide(
-            dot(F.col("a.v"), F.col("b.v")), F.col("a.nv") * F.col("b.nv")
-        ),
-        4,
+    coded = base.select(
+        "doc", "v", "nv", F.explode(keys).alias("k")
+    ).select("doc", "v", "nv", F.col("k.tbl").alias("tbl"), F.col("k.bkt").alias("bkt"))
+
+    # Per-bucket pair scoring in numpy (guide §4.2), not a per-pair JVM
+    # HOF fold: the self-join form paid an interpreted zip_with+aggregate
+    # dot product PER CANDIDATE PAIR (~15 µs each; at sf1.0 that is
+    # 2.5·10⁷ pairs → 381 s). Here each (table, bucket) group crosses the
+    # Arrow boundary once (rows, not pairs) and all in-bucket pair dots
+    # are produced by dim vectorized outer-product accumulations.
+    #
+    # Numeric parity is exact, not approximate: S starts at 0.0 and adds
+    # V[:,d]·Vᵀ[d,:] for d = 0..dim-1 in index order, so each pair's dot
+    # is the same left-to-right IEEE-double chain ((0+x₀y₀)+x₁y₁)+… the
+    # JVM aggregate and the DuckDB list_sum twin evaluate (numpy's
+    # elementwise multiply/add are single IEEE ops — no FMA, no
+    # reassociation). Python only PRE-FILTERS with a conservative margin
+    # below the rounded threshold; the returned sim is re-derived in the
+    # JVM from the raw dot with the exact original round(try_divide(...))
+    # expression, so emitted rows are bit-identical to the join form.
+    import pandas as pd  # local: keep module import light
+
+    id_field = next(f for f in coded.schema.fields if f.name == "doc")
+    out_schema = (
+        f"doc_a {id_field.dataType.simpleString()}, "
+        f"doc_b {id_field.dataType.simpleString()}, "
+        "dot double, na double, nb double"
     )
-    pairs = (
-        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc") < F.col("b.doc")))
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            sim.alias("sim"),
+    # everything at or above `cut` COULD round (HALF_UP) to >= threshold
+    # at 4 decimals; the extra 1e-9 covers the pre-filter's own division
+    # rounding (the authoritative comparison happens JVM-side)
+    cut = threshold - 0.00005 - 1e-9
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = {
+            "doc_a": pdf["doc"].iloc[:0],
+            "doc_b": pdf["doc"].iloc[:0],
+            "dot": np.empty(0),
+            "na": np.empty(0),
+            "nb": np.empty(0),
+        }
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(empty)
+        ids = pdf["doc"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.asarray(np.stack(pdf["v"].to_numpy()[order]), dtype=np.float64)
+        nv = pdf["nv"].to_numpy()[order]
+        out_a, out_b, out_dot, out_na, out_nb = [], [], [], [], []
+        # row-blocked so the (blk × n) product matrix stays ~32 MB even
+        # for a pathologically hot bucket
+        blk = max(1, int(4_000_000 // n))
+        for s in range(0, n - 1, blk):
+            e = min(s + blk, n)
+            S = np.zeros((e - s, n))
+            for d in range(V.shape[1]):
+                S += np.multiply.outer(V[s:e, d], V[:, d])
+            sims = S / np.multiply.outer(nv[s:e], nv)
+            mask = sims >= cut
+            # strict id inequality, not index: duplicate ids never pair
+            # (the join form's a.doc < b.doc)
+            mask &= ids[None, :] > ids[s:e, None]
+            ai, bj = np.nonzero(mask)
+            if len(ai):
+                out_a.append(ids[ai + s])
+                out_b.append(ids[bj])
+                out_dot.append(S[ai, bj])
+                out_na.append(nv[ai + s])
+                out_nb.append(nv[bj])
+        if not out_a:
+            return pd.DataFrame(empty)
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "dot": np.concatenate(out_dot),
+                "na": np.concatenate(out_na),
+                "nb": np.concatenate(out_nb),
+            }
         )
-        .where(F.col("sim") >= threshold)
+
+    cand = coded.groupBy("tbl", "bkt").applyInPandas(_score, out_schema)
+    sim = F.round(F.try_divide(F.col("dot"), F.col("na") * F.col("nb")), 4)
+    pairs = cand.select("doc_a", "doc_b", sim.alias("sim")).where(
+        F.col("sim") >= threshold
     )
     return pairs.distinct() if n_tables > 1 else pairs
