@@ -80,6 +80,14 @@ def remove_boilerplate_lines(
 ) -> DataFrame:
     """Strip boilerplate lines from every document; all other columns
     pass through. Line order within each document is preserved."""
+    from dataval_spark.operators.dedup import fan_out
+
+    # three passes read this frame (count, keep, final join); a small
+    # parquet input arrives as ONE split, serializing every explode+md5
+    # pass on a single core — fan_out is a no-op once the scan has >=
+    # cluster-parallelism splits (the identical repartition subtree is
+    # shared by all three passes via exchange reuse)
+    df = fan_out(df)
     frequent = boilerplate_lines(df, id_col, text_col, max_occurrences, min_chars)
     lines = _lines_with_pos(df, id_col, text_col)
     kept = lines.join(

@@ -125,13 +125,45 @@ def salted_self_pairs(
 
     Returns one row per unordered pair with columns ``doc_a``/``doc_b``
     (doc_a < doc_b), the bucket key columns, and ``<p>_a``/``<p>_b`` for
-    every payload column."""
+    every payload column.
+
+    Adaptive: one cheap aggregation over ``keyed`` (callers pass a
+    cached or cache-derived frame, so this is a sub-second job) measures
+    the max bucket and the total pair volume first. When no bucket is
+    oversized AND the total volume is small relative to the cluster
+    (≤ ~2M pairs per slot), the whole salt/repartition scaffolding is
+    skipped and the classic a.id < b.id self-join runs — the scaffolding
+    costs ~2-3 s of extra jobs/tasks per call (measured on the
+    32k-template rep-pair stage of prepare_corpus), which would tax
+    every SMALL pair stage to protect against a skew they don't have.
+    Both paths produce the identical pair set."""
     cnt = F.count(F.lit(1)).alias("_bn")
-    big = (
-        keyed.groupBy(*key_cols)
-        .agg(cnt)
-        .where(F.col("_bn") > target_bucket_rows)
-    )
+    sizes_all = keyed.groupBy(*key_cols).agg(cnt)
+    stats = sizes_all.agg(
+        F.max("_bn").alias("mx"),
+        F.sum(F.col("_bn") * (F.col("_bn") - 1) / 2).alias("pairs"),
+    ).first()
+    max_bucket = stats["mx"] or 0
+    total_pairs = stats["pairs"] or 0.0
+    sc = keyed.sparkSession.sparkContext
+    if (
+        max_bucket <= target_bucket_rows
+        and total_pairs <= 2_000_000 * sc.defaultParallelism
+    ):
+        a, b = keyed.alias("a"), keyed.alias("b")
+        cond = reduce(
+            lambda acc, c: acc & (F.col(f"a.{c}") == F.col(f"b.{c}")),
+            key_cols,
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        )
+        return a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            *[F.col(f"a.{c}") for c in key_cols],
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
+    big = sizes_all.where(F.col("_bn") > target_bucket_rows)
     sized = keyed.join(F.broadcast(big), key_cols, "left")
     g = F.ceil(F.coalesce(F.col("_bn"), F.lit(1)) / target_bucket_rows).cast("int")
     s = F.pmod(F.xxhash64(F.col(id_col)), g).cast("int")
@@ -756,13 +788,52 @@ def connected_components(
             # consumed twice WITHIN one job would be computed twice,
             # racing the block store).
             return df.localCheckpoint(eager=eager_needed)
-    raw = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # checkpoint the DIRECTED pair set first, THEN mirror it: the two
+    # union branches are different projections over the same join
+    # subtree, so a single checkpoint of the union evaluated the whole
+    # (often expensive) pair join twice — measured 7.2 s vs 3.5 s on the
+    # 223k-edge corpus rep graph at sf1.0
+    raw = _ckpt(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
     edges = _ckpt(
         raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
     labels = _ckpt(
         ids.select(F.col(id_col).alias("doc"), F.col(id_col).alias("label"))
     )
+    # Scope the shuffle-partition count of the iterative rounds to the
+    # MEASURED graph size (edges is checkpointed, so the count is a
+    # cheap metadata-ish job). Each probe is ~6-8 exchange stages over
+    # frames that are usually tiny relative to the session's shuffle
+    # width, and AQE's coalescing keeps >= defaultParallelism partitions
+    # (coalescePartitions.parallelismFirst), so at the session default a
+    # probe pays hundreds of near-empty task launches — measured at
+    # sf1.0: the identical 446k-edge CC ran 12.2 s at 64 shuffle
+    # partitions vs 4.8 s at 8. ~200k edges per partition keeps the
+    # per-task join work real; a 10^9-edge graph stays at the session
+    # width (the cap), so this is scale-adaptive, not a small-corpus
+    # constant. The conf is session-global: set/restore is safe here
+    # because the loop is driver-synchronous (batch operator, same
+    # contract as _cache_swap's eager action); plans compiled after the
+    # finally see the original value.
+    spark = ids.sparkSession
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = edges.count()
+    scoped_sp = max(4, min(int(prev_sp), (n_edges + 199_999) // 200_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(scoped_sp))
+    try:
+        return _cc_rounds(
+            ids, raw, edges, labels, id_col, max_iter, strict, algorithm,
+            _ckpt,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _cc_rounds(
+    ids, raw, edges, labels, id_col, max_iter, strict, algorithm, _ckpt
+) -> DataFrame:
     if strict:
         # edges carry both directions, so the a-side covers every endpoint
         orphans = (
