@@ -84,19 +84,29 @@ def _ngram_pairs(col: Column, n: int) -> Column:
     padded = F.concat(
         F.array_repeat(F.lit(BOS), n - 1), toks, F.array(F.lit(EOS))
     )
-    return F.when(F.size(toks) == 0, F.array().cast(
-        "array<struct<ctx:string,w:string>>"
-    )).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(padded) - n),
+
+    # padded is BOUND once per row (dedup._bind's 1-element-array trick):
+    # interpreted HOFs re-evaluate non-lambda subtrees per element, so
+    # referencing `padded` directly inside the position lambda re-ran
+    # the whole pad-concat for BOTH the slice and the element_at of
+    # every position — O(len²) array builds per document (measured:
+    # 130 s to explode 2.8M bigram pairs at sf1.0; ~1 s bound).
+    def from_padded(p: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size(p) - n),
             lambda i: F.struct(
                 # slice() is 1-based: positions i+1 .. i+n-1 = the
                 # n-1 context tokens; for n=1 the slice is empty and
                 # every pair shares the "" context (pure unigram model)
-                F.array_join(F.slice(padded, i + 1, n - 1), " ").alias("ctx"),
-                F.element_at(padded, i + n).alias("w"),
+                F.array_join(F.slice(p, i + 1, n - 1), " ").alias("ctx"),
+                F.element_at(p, i + n).alias("w"),
             ),
         )
+
+    return F.when(F.size(toks) == 0, F.array().cast(
+        "array<struct<ctx:string,w:string>>"
+    )).otherwise(
+        F.element_at(F.transform(F.array(padded), from_padded), 1)
     )
 
 
@@ -114,7 +124,12 @@ def train_ngram_lm(
     step, not a per-query cost."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    pairs = ref.select(
+    from dataval_spark.operators.dedup import fan_out
+
+    # a small reference corpus arrives as one parquet split; the n-gram
+    # explode would then run on a single core (guide §2: scan
+    # parallelism). No-op when the scan already has enough splits.
+    pairs = fan_out(ref).select(
         F.explode(_ngram_pairs(F.col(text_col), n)).alias("_p")
     ).select("_p.ctx", "_p.w")
     from pyspark.storagelevel import StorageLevel
@@ -156,9 +171,12 @@ def score_perplexity(
 
     ``broadcast_lm=True`` hints both LM frames broadcast-side, turning
     scoring into a shuffle-free scan -> map-join -> per-doc agg."""
+    from dataval_spark.operators.dedup import fan_out
+
     ng, ctx = lm.ngrams, lm.contexts
     if broadcast_lm:
         ng, ctx = F.broadcast(ng), F.broadcast(ctx)
+    docs = fan_out(docs)
     pairs = docs.select(
         F.col(id_col),
         F.explode_outer(_ngram_pairs(F.col(text_col), lm.n)).alias("_p"),

@@ -110,7 +110,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries x corpus, deterministic
     tie-break on corpus id. Output: query_id, vec_id, sim, rank."""
-    joined = corpus.withColumn("_nv", norm(F.col(vec_col))).crossJoin(
+    from dataval_spark.operators.dedup import fan_out
+
+    # fan_out: every corpus row pays |queries| HOF dot products in the
+    # SCAN stage; a single-split corpus would score them all on one core
+    joined = fan_out(corpus).withColumn("_nv", norm(F.col(vec_col))).crossJoin(
         F.broadcast(queries.withColumn("_nq", norm(F.col(query_vec_col))))
     )
     return rank_topk(

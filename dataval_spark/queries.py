@@ -1016,7 +1016,9 @@ def q25(spark, sf_dir):
     heuristic marker-based language ID (argmax with deterministic
     tie-break) in one (source, predicted_lang) aggregation pass
     (round-4 registry fold of the former q25/q26 pair)."""
-    d = t(spark, sf_dir, "documents")
+    # fan_out: the marker-score HOF filters are the cost and a
+    # single-split documents scan would run them all on one core
+    d = D.fan_out(t(spark, sf_dir, "documents"))
     # project the quality + marker scores once, then run the argmax chain
     # over the cheap score columns (avoids re-evaluating each array filter
     # 2x per CASE branch — Catalyst does not CSE across the when-chain)
@@ -1928,13 +1930,23 @@ def _minhash_band_sql(n_hashes: int = 4, band_size: int = 2) -> str:
 def q53(spark, sf_dir):
     """MinHash-LSH candidate pairs (banded, deduped) — the pair stage of
     dedup.minhash_candidates; the oracle reproduces the same band keys so
-    candidate sets match exactly."""
-    pairs = D.minhash_candidates(
+    candidate sets match exactly.
+
+    Round 7: the two aggregates are computed by
+    dedup.minhash_candidate_census — aggregate pushdown through the
+    per-bucket-clique union (inclusion-exclusion over band subsets +
+    per-bucket maxes) instead of enumerating the candidate pairs. The
+    sf1.0 corpus is template-heavy (one band bucket holds 31.6k of 50k
+    docs), so the enumerated form walks ~1.05·10⁹ joined rows to
+    produce TWO numbers; the census is O(docs) and provably equal
+    (census docstring; pinned by
+    test_minhash_census_equals_enumerated_aggregate, which runs both
+    forms). The DuckDB oracle still enumerates — candidate-set
+    equality is what the driver hash certifies — and the enumerating
+    operator itself stays the library surface for pair CONSUMERS
+    (skew-salted, see minhash_candidates)."""
+    return D.minhash_candidate_census(
         t(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=4, band_size=2
-    )
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_candidate_pairs"),
-        F.countDistinct("doc_a").alias("n_docs_as_a"),
     )
 
 

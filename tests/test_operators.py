@@ -53,6 +53,41 @@ def test_minhash_lsh_candidates(docs):
     assert (1, 4) not in pairs
 
 
+def test_minhash_census_equals_enumerated_aggregate(spark, docs):
+    """minhash_candidate_census must equal the aggregate of the
+    enumerated candidate-pair set — the equivalence q53 relies on
+    (inclusion-exclusion over band subsets + per-bucket maxes). Checked
+    on the hand-built fixture AND a 400-doc template-heavy corpus whose
+    band buckets are large and heavily overlapping (the exact regime
+    the census exists for), at both 2 and 4 bands."""
+    template_rows = [
+        (i, ("shared boilerplate header " * 3)
+            + (f"unique tail {i % 13} {i % 7}" if i % 5 else ""))
+        for i in range(400)
+    ] + [(9001, None), (9002, "   ")]
+    template = spark.createDataFrame(template_rows, "doc_id long, text string")
+    for frame in (docs, template):
+        for n_hashes, band_size in ((4, 2), (8, 2)):
+            pairs = D.minhash_candidates(
+                frame, "doc_id", n_hashes=n_hashes, band_size=band_size
+            )
+            expect = pairs.agg(
+                F.count(F.lit(1)).alias("n_candidate_pairs"),
+                F.countDistinct("doc_a").alias("n_docs_as_a"),
+            ).collect()[0]
+            got = D.minhash_candidate_census(
+                frame, "doc_id", n_hashes=n_hashes, band_size=band_size
+            ).collect()[0]
+            assert got["n_candidate_pairs"] == expect["n_candidate_pairs"]
+            assert got["n_docs_as_a"] == expect["n_docs_as_a"]
+
+
+def test_minhash_census_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = D.minhash_candidate_census(empty, "doc_id").collect()[0]
+    assert row["n_candidate_pairs"] == 0 and row["n_docs_as_a"] == 0
+
+
 def test_simhash_hamming(docs):
     codes = {r.doc_id: r.code for r in docs.select(
         "doc_id", D.simhash(F.col("text"), 16).alias("code")).collect()}
