@@ -1203,6 +1203,13 @@ def q45(spark, sf_dir):
     of buckets and the candidate join degenerates toward all-pairs —
     round 2's q45 spent 5.4 s there; the wide-code plan is the one that
     survives 100x. 60 not 64 so the DuckDB twin stays signed-safe."""
+    # Round 7 note: an exact-code-collapse census (pigeonhole join on
+    # distinct codes with multiplicities, weighted aggregates) was
+    # prototyped and measured SLOWER here — sf1.0's code diversity is
+    # high (13.5k chunk buckets over 32.6k distinct codes), so the
+    # code-level join saves only ~10x enumeration while adding ~3 s of
+    # extra cache/stats jobs; the salted doc-level enumeration already
+    # runs at ~10⁸ pairs/s. Kept enumerated.
     pairs = D.simhash_near_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", bits=60, max_hamming=3
     )
