@@ -80,18 +80,28 @@ def remove_boilerplate_lines(
 ) -> DataFrame:
     """Strip boilerplate lines from every document; all other columns
     pass through. Line order within each document is preserved."""
-    from dataval_spark.operators.dedup import fan_out
+    from dataval_spark.operators.dedup import _cache_swap, fan_out
 
     # three passes read this frame (count, keep, final join); a small
     # parquet input arrives as ONE split, serializing every explode+md5
     # pass on a single core — fan_out is a no-op once the scan has >=
-    # cluster-parallelism splits (the identical repartition subtree is
-    # shared by all three passes via exchange reuse)
+    # cluster-parallelism splits
     df = fan_out(df)
-    frequent = boilerplate_lines(df, id_col, text_col, max_occurrences, min_chars)
-    lines = _lines_with_pos(df, id_col, text_col)
+    # the frequent-count pass and the keep pass both need the exploded
+    # fingerprinted lines; cache them once (same one-live-entry swap as
+    # the pair operators) instead of re-running the explode+md5 per pass
+    lines = _cache_swap(
+        "boilerplate_lines", _lines_with_pos(df, id_col, text_col)
+    )
+    frequent = (
+        lines.where(F.length(F.trim(F.col("_line"))) >= min_chars)
+        .groupBy("_fp")
+        .agg(F.count_distinct(F.col("_doc")).alias("n_docs"))
+        .where(F.col("n_docs") > max_occurrences)
+        .select(F.col("_fp").alias("fp"))
+    )
     kept = lines.join(
-        F.broadcast(frequent.select(F.col("fp").alias("_fp"))), "_fp", "left_anti"
+        F.broadcast(frequent.withColumnRenamed("fp", "_fp")), "_fp", "left_anti"
     )
     rebuilt = (
         kept.groupBy("_doc")
