@@ -234,7 +234,7 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     fingerprint HAVING COUNT>1 (reference duplicate check shape,
     /root/reference/dataval/camera_overlap.py:40)."""
     return (
-        df.withColumn("fp", F.md5(normalize(F.col(text_col))))
+        fan_out(df).withColumn("fp", F.md5(normalize(F.col(text_col))))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("dup_cnt"))
         .where(F.col("dup_cnt") > 1)
@@ -263,7 +263,7 @@ def dedup_keep_first(
         key = F.md5(normalize(F.col(text_col)))
     cols = df.columns
     return (
-        df.groupBy(key.alias("_k"))
+        fan_out(df).groupBy(key.alias("_k"))
         .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_row"))
         .select("_row.*")
     )
@@ -1080,7 +1080,7 @@ def contamination(
         benchmark.select(F.md5(normalize(F.col(text_col))).alias("fp")).distinct()
     )
     return (
-        corpus.withColumn("fp", F.md5(normalize(F.col(text_col))))
+        fan_out(corpus).withColumn("fp", F.md5(normalize(F.col(text_col))))
         .join(F.broadcast(bench_fp), "fp", "left_semi")
         .select(id_col, "fp")
     )
