@@ -603,10 +603,13 @@ def test_connected_components_one_action_per_round(spark, monkeypatch, algorithm
     """Driver round-trip fold: each CC round pays exactly ONE action —
     the per-round localCheckpoint is LAZY (eager=False) and is
     materialized by the round's own convergence count/aggregation; only
-    the two init checkpoints (edges, labels) are eager. For a 2-node
-    single-edge graph, halving takes exactly 2 rounds (one that changes
-    node 1's label, one that confirms the fixed point), so the recorded
-    call sequence is [True, True, False, False]."""
+    the THREE init checkpoints are eager (round 7: the directed pair
+    set is checkpointed BEFORE mirroring — one evaluation of the pair
+    join instead of one per union branch — then the bidirectional edge
+    set and the labels). For a 2-node single-edge graph, halving takes
+    exactly 2 rounds (one that changes node 1's label, one that
+    confirms the fixed point), so the recorded call sequence is
+    [True, True, True, False, False]."""
     ids = spark.createDataFrame([(0,), (1,)], "doc long")
     pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
     calls: list[bool] = []
@@ -621,8 +624,9 @@ def test_connected_components_one_action_per_round(spark, monkeypatch, algorithm
     got = {r.doc: r.cluster for r in D.connected_components(
         ids, pairs, algorithm=algorithm, strict=False).collect()}
     assert got == {0: 0, 1: 0}
-    assert calls[:2] == [True, True], calls  # init edges + labels: eager
-    rounds = calls[2:]
+    # init raw pairs + mirrored edges + labels: eager
+    assert calls[:3] == [True, True, True], calls
+    rounds = calls[3:]
     assert rounds and all(e is False for e in rounds), calls
     if algorithm == "halving":
         assert len(rounds) == 2, calls  # change probe + confirm probe
