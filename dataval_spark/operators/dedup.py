@@ -1037,7 +1037,15 @@ def simhash_clusters(
         .select("doc", simhash_from_hashed(F.col("_ht"), bits).alias("code"))
     )
     coded = _cache_swap("simhash_clusters", coded)
-    groups = coded.groupBy("code").agg(F.min("doc").alias("rep"))
+    # the (code, rep) aggregation is consumed FIVE times — both sides of
+    # the rep pair join, its adaptive stats pass, the CC seed ids, and
+    # the member join-back — and each consumer re-ran the groupBy
+    # shuffle (measured ~7 s of the corpus CC setup at sf1.0). One more
+    # live-cache entry pins it; it is one row per distinct code.
+    groups = _cache_swap(
+        "simhash_clusters_groups",
+        coded.groupBy("code").agg(F.min("doc").alias("rep")),
+    )
     rep_coded = groups.select(F.col("rep").alias("doc"), "code")
     rep_pairs = code_near_pairs(rep_coded, bits, max_hamming)
     labels = connected_components(
